@@ -1,0 +1,404 @@
+"""Top-level decoder orchestration: NAL routing, header storage, POC/RPS/ref
+lists, picture assembly and output queue.
+
+Capability counterpart of /root/reference/libde265/decctx.{h,cc}
+(decoder_context::decode / decode_NAL / process_slice_segment_header /
+process_picture_order_count / process_reference_picture_set /
+construct_reference_picture_lists).
+"""
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .bitstream import nal as nal_mod
+from .bitstream.nal import NALParser
+from .bitstream.paramsets import read_vps, read_sps, read_pps, VPS, SPS, PPS
+from .bitstream.sliceheader import read_slice_header, SLICE_TYPE_I
+from .bitstream.ctu import SliceReader
+from .plan import FramePlan
+from .dpb import DPB, SHORT_TERM, LONG_TERM, UNUSED
+from .reconstruct import reconstruct_frame
+
+
+class Decoder:
+    """Stream decoder with the same lifecycle as the reference C API:
+    push_data() / flush() / decode() / get_next_picture()."""
+
+    def __init__(self, backend="numpy"):
+        self.nal_parser = NALParser()
+        self.vps: Dict[int, VPS] = {}
+        self.sps: Dict[int, SPS] = {}
+        self.pps: Dict[int, PPS] = {}
+        self.dpb = DPB()
+        self.backend = backend
+
+        self.img: Optional[FramePlan] = None   # current picture under decode
+        self.img_dpb_idx = -1
+        self.prev_tid0_poc = 0
+        self.poc = 0
+        self.first_decoded_picture = True
+        self.no_rasl_output_flag = False
+        self.handle_cra_as_bla = False
+        self.last_rap_poc = 0
+        self.curr_rps = None          # marked reference sets for current pic
+        self.ref_pic_lists = None     # per-slice [l][i] -> dpb idx
+        self.warnings: List[str] = []
+        self.limit_tid = 100
+        self.wpp_contexts = {}
+        self.dep_slice_ctx = None
+        self.width = 0
+        self.height = 0
+
+    # ------------------------------------------------------------------ API
+    def push_data(self, data: bytes, pts=None):
+        self.nal_parser.push_data(data, pts)
+
+    def push_nal(self, data: bytes, pts=None):
+        self.nal_parser.push_nal(data, pts)
+
+    def flush(self):
+        self.nal_parser.flush()
+
+    def decode(self) -> bool:
+        """Decode one NAL; returns True if more work may remain."""
+        nal = self.nal_parser.pop()
+        if nal is None:
+            if self.nal_parser.end_of_stream:
+                self._finish_picture()
+                self.dpb.flush_reorder()
+                return False
+            return False
+        self._decode_nal(nal)
+        return True
+
+    def decode_all(self):
+        while self.decode():
+            pass
+
+    def get_next_picture(self):
+        p = self.dpb.pop_output()
+        return p
+
+    # ------------------------------------------------------------------ NAL
+    def _decode_nal(self, nal):
+        t = nal.header.nal_unit_type
+        if nal.header.nuh_layer_id != 0:
+            return
+        if t <= 31 and nal.header.nuh_temporal_id > self.limit_tid:
+            return
+        if t == nal_mod.NAL_VPS_NUT:
+            v = read_vps(nal.data)
+            self.vps[v.video_parameter_set_id] = v
+        elif t == nal_mod.NAL_SPS_NUT:
+            s = read_sps(nal.data)
+            self.sps[s.seq_parameter_set_id] = s
+        elif t == nal_mod.NAL_PPS_NUT:
+            p = read_pps(nal.data, self.sps)
+            self.pps[p.pic_parameter_set_id] = p
+        elif t in (nal_mod.NAL_PREFIX_SEI, nal_mod.NAL_SUFFIX_SEI):
+            pass  # SEI processed in api layer (decoded-picture-hash in sei.py)
+        elif t in (nal_mod.NAL_EOS_NUT, nal_mod.NAL_EOB_NUT, nal_mod.NAL_AUD_NUT,
+                   nal_mod.NAL_FD_NUT):
+            pass
+        elif t < 32:
+            self._decode_slice_nal(nal)
+
+    # ---------------------------------------------------------------- slice
+    def _decode_slice_nal(self, nal):
+        sh = read_slice_header(nal.data, nal.header, self.pps, self.sps)
+        pps = self.pps[sh.pic_parameter_set_id]
+        sps = pps.sps
+
+        if sh.first_slice_segment_in_pic_flag:
+            self._finish_picture()
+            self._start_picture(sh, sps, pps, nal)
+        if self.img is None:
+            return  # cannot decode (e.g. broken stream start)
+
+        if not sh.dependent_slice_segment_flag:
+            sh.SliceAddrRS = sh.slice_segment_address
+            self._cur_independent_sh = sh
+        else:
+            parent = self._cur_independent_sh
+            sh.SliceAddrRS = parent.SliceAddrRS
+            # dependent segments inherit everything not re-sent
+            for attr in ("slice_type", "slice_qp_delta", "SliceQPY", "initType",
+                         "slice_sao_luma_flag", "slice_sao_chroma_flag",
+                         "num_ref_idx_l0_active", "num_ref_idx_l1_active",
+                         "slice_deblocking_filter_disabled_flag",
+                         "slice_beta_offset", "slice_tc_offset",
+                         "slice_cb_qp_offset", "slice_cr_qp_offset",
+                         "slice_loop_filter_across_slices_enabled_flag",
+                         "cabac_init_flag", "collocated_from_l0_flag",
+                         "collocated_ref_idx", "MaxNumMergeCand", "pred_weight",
+                         "mvd_l1_zero_flag", "slice_temporal_mvp_enabled_flag"):
+                setattr(sh, attr, getattr(parent, attr))
+        self.img.slice_headers.append(sh)
+
+        # reference lists for this slice
+        ref_lists = None
+        if sh.slice_type != SLICE_TYPE_I:
+            ref_lists = self._construct_ref_lists(sh, sps, pps)
+        sh.RefPicList = ref_lists
+
+        # entry point offset fixup for stripped emulation-prevention bytes
+        # (mirror of decctx.cc:652-656)
+        data_start = sh.header_size_bytes
+        slice_data = nal.data[data_start:]
+        if sh.entry_point_offsets and nal.skipped:
+            # entry offsets count pre-stripping bytes; our NAL payload already
+            # has emulation-prevention bytes removed, so convert
+            sh.entry_point_offsets = _fixup_entry_points(
+                sh.entry_point_offsets, nal.skipped, data_start)
+
+        motion = None
+        if sh.slice_type != SLICE_TYPE_I:
+            from .motion import MotionDeriver
+            motion = MotionDeriver(self, self.img, sh)
+        reader = SliceReader(self.img, sh, slice_data, motion=motion,
+                             wpp_contexts=self.wpp_contexts,
+                             dep_slice_ctx=self.dep_slice_ctx)
+        reader.decode()
+        self.dep_slice_ctx = reader.saved_ctx_for_dep
+
+    # ------------------------------------------------------------- pictures
+    def _start_picture(self, sh, sps, pps, nal):
+        t = sh.nal_unit_type
+        self._compute_poc(sh, sps)
+        if not nal_mod.is_idr(t):
+            self._process_rps(sh, sps)
+        else:
+            self.dpb.clear_references()
+            self.curr_rps = {"st_curr_before": [], "st_curr_after": [],
+                             "lt_curr": [], "st_follow": []}
+        idx = self.dpb.new_picture(self.poc)
+        self.img_dpb_idx = idx
+        self.img = FramePlan(sps, pps, poc=self.poc)
+        self.width = sps.pic_width_in_luma_samples
+        self.height = sps.pic_height_in_luma_samples
+        pic = self.dpb.pics[idx]
+        pic.plan = self.img
+        pic.pic_output_flag = bool(sh.pic_output_flag)
+        self.wpp_contexts = {}
+        self.dep_slice_ctx = None
+
+    def _finish_picture(self):
+        if self.img is None:
+            return
+        img = self.img
+        planes = reconstruct_frame(img, dpb_images=self.dpb)
+        img.compress_motion()
+        pic = self.dpb.pics[self.img_dpb_idx]
+        pic.planes = planes
+        pic.output_planes = self._crop(img, planes)
+        # output process (decctx.cc:1914-1953)
+        sps = img.sps
+        self.dpb.insert_reorder(self.img_dpb_idx)
+        if not pic.pic_output_flag:
+            # remove from reorder, never output
+            self.dpb.reorder.remove(self.img_dpb_idx)
+            pic.needed_for_output = False
+        max_reorder = sps.max_num_reorder_pics[-1]
+        while self.dpb.num_pictures_in_reorder() > max_reorder:
+            self.dpb.output_next()
+        self.img = None
+        self.img_dpb_idx = -1
+
+    def _crop(self, img, planes):
+        sps = img.sps
+        if not sps.conformance_window_flag:
+            return planes
+        sw, shh = sps.SubWidthC, sps.SubHeightC
+        l = sps.conf_win_left_offset * sw
+        r = sps.conf_win_right_offset * sw
+        t = sps.conf_win_top_offset * shh
+        b = sps.conf_win_bottom_offset * shh
+        out = [planes[0][t:img.H - b, l:img.W - r]]
+        cl, cr_, ct, cb = l // sw, r // sw, t // shh, b // shh
+        for c in (1, 2):
+            h, w = planes[c].shape
+            out.append(planes[c][ct:h - cb, cl:w - cr_])
+        return out
+
+    # ------------------------------------------------------------ POC (8.3.1)
+    def _compute_poc(self, sh, sps):
+        t = sh.nal_unit_type
+        max_lsb = sps.MaxPicOrderCntLsb
+        lsb = sh.slice_pic_order_cnt_lsb
+        if nal_mod.is_idr(t):
+            self.poc = 0
+            self.prev_tid0_poc = 0
+            self.first_decoded_picture = False
+            self.last_rap_poc = 0
+            return
+        prev = self.prev_tid0_poc
+        prev_lsb = (prev % max_lsb + max_lsb) % max_lsb
+        prev_msb = prev - prev_lsb
+        if nal_mod.is_rap(t) and (self.first_decoded_picture or
+                                  (nal_mod.is_bla(t) or
+                                   (nal_mod.is_cra(t) and self.handle_cra_as_bla))):
+            msb = 0
+            self.poc = lsb
+        else:
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            self.poc = msb + lsb
+        if sh.nuh_temporal_id == 0 and not nal_mod.is_rasl(t) and \
+                not nal_mod.is_radl(t) and not nal_mod.is_sublayer_non_reference(t):
+            self.prev_tid0_poc = self.poc
+        if nal_mod.is_rap(t):
+            self.last_rap_poc = self.poc
+        self.first_decoded_picture = False
+
+    # ------------------------------------------------------------ RPS (8.3.2)
+    def _process_rps(self, sh, sps):
+        rps = sh.slice_rps if sh.slice_rps is not None else \
+            (sps.ref_pic_sets[sh.CurrRpsIdx] if sps.ref_pic_sets else None)
+        st_before, st_after, st_follow = [], [], []
+        lt_curr, lt_follow = [], []
+        if rps is not None:
+            for d, used in zip(rps.delta_poc_s0, rps.used_s0):
+                (st_before if used else st_follow).append(self.poc + d)
+            for d, used in zip(rps.delta_poc_s1, rps.used_s1):
+                (st_after if used else st_follow).append(self.poc + d)
+        lt_pocs = []
+        max_lsb = sps.MaxPicOrderCntLsb
+        for i in range(sh.num_long_term_sps + sh.num_long_term_pics):
+            poc_lt = sh.poc_lsb_lt[i]
+            has_msb = bool(sh.delta_poc_msb_present_flag[i])
+            if has_msb:
+                lsb = sh.slice_pic_order_cnt_lsb
+                poc_lt = self.poc - sh.delta_poc_msb_cycle_lt[i] * max_lsb - \
+                    (lsb - sh.poc_lsb_lt[i])
+            used = bool(sh.used_by_curr_pic_lt_flag[i])
+            (lt_curr if used else lt_follow).append((poc_lt, has_msb))
+
+        # mark pictures
+        dpb = self.dpb
+        curr = {"st_curr_before": [], "st_curr_after": [], "lt_curr": [],
+                "st_follow": []}
+        marked = set()
+        for name, pocs in (("st_curr_before", st_before), ("st_curr_after", st_after)):
+            for poc in pocs:
+                i = dpb.index_with_poc(poc)
+                if i < 0:
+                    self.warnings.append(f"missing short-term reference POC {poc}")
+                    i = self._generate_missing_reference(poc, sps)
+                dpb.pics[i].state = SHORT_TERM
+                curr[name].append(i)
+                marked.add(i)
+        follow_idx = set()
+        for poc in st_follow:
+            i = dpb.index_with_poc(poc)
+            if i >= 0:
+                dpb.pics[i].state = SHORT_TERM
+                follow_idx.add(i)
+                marked.add(i)
+        for poc_lt, has_msb in lt_curr:
+            if has_msb:
+                i = dpb.index_with_poc(poc_lt)
+            else:
+                i = dpb.index_with_poc_lsb(poc_lt, max_lsb)
+            if i < 0:
+                self.warnings.append(f"missing long-term reference POC {poc_lt}")
+                i = self._generate_missing_reference(poc_lt, sps)
+            dpb.pics[i].state = LONG_TERM
+            curr["lt_curr"].append(i)
+            marked.add(i)
+        for poc_lt, has_msb in lt_follow:
+            i = dpb.index_with_poc(poc_lt) if has_msb else \
+                dpb.index_with_poc_lsb(poc_lt, max_lsb)
+            if i >= 0:
+                dpb.pics[i].state = LONG_TERM
+                marked.add(i)
+        # unmark everything else
+        for i, p in enumerate(dpb.pics):
+            if p.state != UNUSED and i not in marked and i != self.img_dpb_idx:
+                p.state = UNUSED
+        self.curr_rps = curr
+
+    def _generate_missing_reference(self, poc, sps):
+        """Grey concealment frame (decctx.cc:1408-1434)."""
+        idx = self.dpb.new_picture(poc)
+        pic = self.dpb.pics[idx]
+        pic.needed_for_output = False
+        W, H = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        grey = 1 << (sps.BitDepthY - 1)
+        dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
+        pic.planes = [np.full((H, W), grey, dt),
+                      np.full((H // 2, W // 2), grey, dt),
+                      np.full((H // 2, W // 2), grey, dt)]
+        pic.plan = FramePlan(sps, list(self.pps.values())[0], poc=poc)
+        pic.integrity = 1
+        return idx
+
+    # ------------------------------------------------------ ref lists (8.3.4)
+    def _construct_ref_lists(self, sh, sps, pps):
+        curr = self.curr_rps or {"st_curr_before": [], "st_curr_after": [],
+                                 "lt_curr": []}
+        before = curr["st_curr_before"]
+        after = curr["st_curr_after"]
+        lt = curr["lt_curr"]
+        n_total = len(before) + len(after) + len(lt)
+        lists = []
+        for l in range(2):
+            n_active = sh.num_ref_idx_l0_active if l == 0 else sh.num_ref_idx_l1_active
+            if l == 0:
+                tmp = before + after + lt
+            else:
+                tmp = after + before + lt
+            if not tmp:
+                lists.append([])
+                continue
+            while len(tmp) < n_active:
+                tmp = tmp + tmp  # wrap-around fill
+            tmp = tmp[:max(n_active, n_total)]
+            mod_flag = sh.ref_pic_list_modification_flag_l0 if l == 0 else \
+                sh.ref_pic_list_modification_flag_l1
+            entries = sh.list_entry_l0 if l == 0 else sh.list_entry_l1
+            base = (before + after + lt) if l == 0 else (after + before + lt)
+            if mod_flag:
+                full = base
+                while len(full) < n_active:
+                    full = full + full
+                out = [full[e] for e in entries[:n_active]]
+            else:
+                out = tmp[:n_active]
+            lists.append(out)
+        # remember long-term-ness for TMVP
+        sh.RefIsLongTerm = [[self.dpb.pics[i].state == LONG_TERM for i in ll]
+                            for ll in lists]
+        sh.RefPOC = [[self.dpb.pics[i].poc for i in ll] for ll in lists]
+        return lists
+
+
+def _skipped_before(skipped, pos):
+    return sum(1 for s in skipped if s < pos)
+
+
+def _fixup_entry_points(offsets, skipped, data_start):
+    """Entry-point offsets count unstripped bytes; convert to offsets within
+    the stripped slice-data buffer (decctx.cc:652-656 equivalent)."""
+    rel_skips = sorted(s - data_start for s in skipped if s >= data_start)
+    fixed = []
+    prev_stripped = 0
+    acc_unstripped = 0
+    for off in offsets:
+        acc_unstripped += off
+        # stripped position = unstripped - (#skips with unstripped pos < acc)
+        # skip k (stripped pos p = rel_skips[k]) has unstripped pos p + k + 1
+        n = 0
+        for k, p in enumerate(rel_skips):
+            if p + k < acc_unstripped:
+                n = k + 1
+            else:
+                break
+        stripped_pos = acc_unstripped - n
+        fixed.append(stripped_pos - prev_stripped)
+        prev_stripped = stripped_pos
+    return fixed

@@ -1,0 +1,140 @@
+"""Decode-plan and per-frame metadata structures.
+
+This is the device-friendly mirror of the reference's per-picture metadata
+(`MetaDataArray` grids, /root/reference/libde265/image.h:85-157,221-857) and of
+the per-worker coefficient buffers (decctx.h:82-89): the serial bitstream
+front-end fills these structure-of-arrays plans; the TPU back-end consumes them
+as batched tensors.
+
+Granularities:
+  - 4x4 grid ("min TU"): prediction mode, intra modes, QP, flags, cbf
+  - 16x16 grid: compressed motion field (for temporal MV prediction)
+  - CTB grid: SAO parameters, slice/tile ids
+"""
+from dataclasses import dataclass, field
+from typing import List, Optional
+import numpy as np
+
+# prediction modes
+MODE_INTER = 0
+MODE_INTRA = 1
+MODE_SKIP = 2
+
+# part modes
+PART_2Nx2N = 0
+PART_2NxN = 1
+PART_Nx2N = 2
+PART_NxN = 3
+PART_2NxnU = 4
+PART_2NxnD = 5
+PART_nLx2N = 6
+PART_nRx2N = 7
+
+
+@dataclass
+class TURecord:
+    """One transform unit: prediction + residual work item, in z-scan decode
+    order. coeffs is a dense (size,size) int16 array or None when cbf=0."""
+    cidx: int          # 0=Y, 1=Cb, 2=Cr
+    x: int             # position in the plane's own sample units
+    y: int
+    log2: int
+    intra_mode: int    # -1 for inter TUs
+    qp: int            # QP' for this plane (final, incl. chroma mapping)
+    transform_skip: bool
+    tq_bypass: bool
+    pred_mode: int     # MODE_INTRA / MODE_INTER
+    coeffs: Optional[np.ndarray]
+    # cross-component prediction (range ext) — 0 for Main
+    cross_comp_alpha: int = 0
+    explicit_rdpcm: int = -1  # -1 none, 0 horizontal, 1 vertical
+
+
+@dataclass
+class PURecord:
+    """One (inter) prediction unit with fully derived motion."""
+    x: int
+    y: int
+    w: int
+    h: int
+    pred_flag: tuple          # (l0, l1)
+    mv: tuple                 # ((mvx0, mvy0), (mvx1, mvy1)) in 1/4-pel
+    ref_idx: tuple            # (r0, r1)
+    ref_poc: tuple            # POC of references (for metadata/debug)
+    ref_dpb: tuple            # DPB slot indices of references
+
+
+@dataclass
+class SAOInfo:
+    """Per-CTB SAO parameters, per plane."""
+    type_idx: np.ndarray      # (nctbY, nctbX, 3) 0=off,1=band,2=edge
+    eo_class: np.ndarray      # (nctbY, nctbX, 3) edge class 0..3
+    band_pos: np.ndarray      # (nctbY, nctbX, 3)
+    offsets: np.ndarray       # (nctbY, nctbX, 3, 4) int
+
+
+class FramePlan:
+    """All decode state for one picture produced by the front-end."""
+
+    def __init__(self, sps, pps, poc=0):
+        self.sps = sps
+        self.pps = pps
+        self.poc = poc
+        W, H = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        self.W, self.H = W, H
+        # 4x4 grids (padded up)
+        gw, gh = -(-W // 4), -(-H // 4)
+        self.gw, self.gh = gw, gh
+        self.pred_mode = np.full((gh, gw), MODE_INTRA, np.uint8)
+        self.skip_flag = np.zeros((gh, gw), np.uint8)
+        self.intra_mode_y = np.full((gh, gw), 255, np.uint8)  # 255 = not intra
+        self.intra_mode_c = np.full((gh, gw), 255, np.uint8)
+        self.ct_depth = np.zeros((gh, gw), np.uint8)
+        self.log2_cb_size = np.zeros((gh, gw), np.uint8)
+        self.qp_y = np.zeros((gh, gw), np.int8)
+        self.tq_bypass = np.zeros((gh, gw), np.uint8)
+        self.pcm_flag = np.zeros((gh, gw), np.uint8)
+        self.cbf_luma = np.zeros((gh, gw), np.uint8)   # cbf of the TU covering it
+        self.tu_boundary = np.zeros((gh, gw), np.uint8)  # bit0: left edge, bit1: top edge
+        self.pb_boundary = np.zeros((gh, gw), np.uint8)
+        self.cb_boundary = np.zeros((gh, gw), np.uint8)
+        # motion at 4x4 granularity (for spatial neighbors/deblock)
+        self.mv = np.zeros((gh, gw, 2, 2), np.int16)       # [list][x/y]
+        self.ref_idx = np.full((gh, gw, 2), -1, np.int8)
+        self.pred_flag = np.zeros((gh, gw, 2), np.uint8)
+        self.ref_poc = np.zeros((gh, gw, 2), np.int32)
+        # per-CTB
+        nctbx, nctby = sps.PicWidthInCtbsY, sps.PicHeightInCtbsY
+        self.nctbx, self.nctby = nctbx, nctby
+        self.slice_addr_rs = np.full((nctby, nctbx), -1, np.int32)
+        self.ctb_slice_seg = np.full((nctby, nctbx), -1, np.int32)
+        self.sao = SAOInfo(
+            type_idx=np.zeros((nctby, nctbx, 3), np.uint8),
+            eo_class=np.zeros((nctby, nctbx, 3), np.uint8),
+            band_pos=np.zeros((nctby, nctbx, 3), np.uint8),
+            offsets=np.zeros((nctby, nctbx, 3, 4), np.int16),
+        )
+        # work lists in decode order
+        self.tus: List[TURecord] = []
+        self.pus: List[PURecord] = []
+        # per-slice info for loop filters / reconstruction
+        self.slice_headers = []
+        # reconstructed planes (filled by backend)
+        self.planes = None  # [Y, Cb, Cr] numpy arrays
+        # 16x16 compressed motion field for TMVP of later frames
+        mw, mh = -(-W // 16), -(-H // 16)
+        self.cmv = np.zeros((mh, mw, 2, 2), np.int16)
+        self.cref_idx = np.full((mh, mw, 2), -1, np.int8)
+        self.cpred_flag = np.zeros((mh, mw, 2), np.uint8)
+        self.cref_poc = np.zeros((mh, mw, 2), np.int32)
+        self.cis_long_term = np.zeros((mh, mw, 2), np.uint8)
+        self.cintra = np.ones((mh, mw), np.uint8)
+
+    def compress_motion(self):
+        """Subsample the 4x4 motion field to 16x16 (spec: TMVP uses the
+        motion of the top-left 4x4 of each 16x16 region)."""
+        self.cmv = self.mv[::4, ::4].copy()
+        self.cref_idx = self.ref_idx[::4, ::4].copy()
+        self.cpred_flag = self.pred_flag[::4, ::4].copy()
+        self.cref_poc = self.ref_poc[::4, ::4].copy()
+        self.cintra = (self.pred_mode[::4, ::4] == MODE_INTRA).astype(np.uint8)
