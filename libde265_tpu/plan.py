@@ -103,6 +103,7 @@ class FramePlan:
         self.ref_idx = np.full((gh, gw, 2), -1, np.int8)
         self.pred_flag = np.zeros((gh, gw, 2), np.uint8)
         self.ref_poc = np.zeros((gh, gw, 2), np.int32)
+        self.ref_lt = np.zeros((gh, gw, 2), np.uint8)
         # per-CTB
         nctbx, nctby = sps.PicWidthInCtbsY, sps.PicHeightInCtbsY
         self.nctbx, self.nctby = nctbx, nctby
@@ -137,4 +138,5 @@ class FramePlan:
         self.cref_idx = self.ref_idx[::4, ::4].copy()
         self.cpred_flag = self.pred_flag[::4, ::4].copy()
         self.cref_poc = self.ref_poc[::4, ::4].copy()
+        self.cis_long_term = self.ref_lt[::4, ::4].copy()
         self.cintra = (self.pred_mode[::4, ::4] == MODE_INTRA).astype(np.uint8)
