@@ -1,0 +1,460 @@
+"""Minimal conforming HEVC Main-profile encoder (en265-equivalent capability,
+/root/reference/libde265/encoder/encoder-core.h:70-130) used both as a real
+encoder and as the test-vector generator for the inter decode path.
+
+Design: fixed-QP, fixed CU size, closed-loop — every CU is reconstructed with
+the *decoder's own exact ops* (intra_ref / inter_ref / transform_ref) as it is
+encoded, so reference frames match any conforming decoder bit-exactly.
+Quantization projects the residual onto the decoder's exact reconstruction
+basis (impulse responses of dequant+inverse-transform), so no forward-quant
+spec constants are needed.
+"""
+from dataclasses import dataclass, field
+from typing import List
+import numpy as np
+
+from .cabac_enc import add_emulation_prevention
+from .headers import write_vps, write_sps, write_pps, write_slice_header
+from .syntax import SliceWriter
+from ..bitstream.paramsets import read_sps, read_pps
+from ..bitstream.sliceheader import SLICE_TYPE_I, SLICE_TYPE_P
+from ..bitstream.scan import SCAN_DIAG, SCAN_HORIZ, SCAN_VERT
+from ..plan import FramePlan, MODE_INTRA, MODE_INTER, PART_2Nx2N
+from ..ops import intra_ref, transform_ref, inter_ref
+from ..reconstruct import Availability, gather_border
+from ..dpb import DPB, DPBPicture, SHORT_TERM
+from ..motion import MotionDeriver
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 64
+    height: int = 64
+    qp: int = 30
+    log2_ctb: int = 5
+    log2_min_cb: int = 3
+    log2_min_tb: int = 2
+    log2_max_tb: int = 5
+    max_transform_hierarchy_depth_inter: int = 0
+    max_transform_hierarchy_depth_intra: int = 0
+    cu_log2: int = 4                  # emitted CU size
+    log2_max_poc_lsb: int = 6
+    sao: bool = False
+    disable_deblocking: bool = True
+    sign_data_hiding: bool = False
+    transform_skip: bool = False
+    cu_qp_delta: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    weighted_pred: bool = False
+    luma_log2_weight_denom: int = 6
+    luma_weight_delta: int = 0
+    luma_offset: int = 0
+    num_ref_l0: int = 1
+    max_merge_cand: int = 5
+    temporal_mvp: bool = False
+    amp: bool = False
+    strong_intra_smoothing: bool = False
+    intra_period: int = 0             # 0: only first frame intra
+    intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
+    inter_mode: str = "skip"          # skip | mv | mixed
+    mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
+                          (13, 21), (-2, -2))
+    inter_residual: bool = False
+
+    @property
+    def pic_size_in_ctbs(self):
+        wc = -(-self.width // (1 << self.log2_ctb))
+        hc = -(-self.height // (1 << self.log2_ctb))
+        return wc * hc
+
+
+class _FakeDecoderCtx:
+    """Just enough decoder context for MotionDeriver inside the encoder."""
+
+    def __init__(self, dpb):
+        self.dpb = dpb
+
+
+class _CUEmitter:
+    """Decides quadtree shape and emits each CU (mode decisions + recon)."""
+
+    def __init__(self, enc, slice_type):
+        self.enc = enc
+        self.slice_type = slice_type
+        self.cu_count = 0
+
+    def want_split(self, x0, y0, log2_size, depth):
+        return log2_size > self.enc.cfg.cu_log2
+
+    def emit(self, sw: SliceWriter, x0, y0, log2_size, depth):
+        enc = self.enc
+        idx = self.cu_count
+        self.cu_count += 1
+        if self.slice_type == SLICE_TYPE_I:
+            enc._emit_intra_cu(sw, x0, y0, log2_size, depth, idx)
+        else:
+            mode = enc.cfg.inter_mode
+            if mode == "mixed":
+                mode = ("skip", "mv", "intra", "mv_res")[idx % 4]
+            elif mode == "mv" and enc.cfg.inter_residual:
+                mode = "mv_res"
+            if mode == "intra":
+                sw.write_skip_flag(x0, y0, False)
+                sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
+                sw.write_pred_mode(True)
+                enc._emit_intra_cu(sw, x0, y0, log2_size, depth, idx,
+                                   header_done=True)
+            elif mode == "skip":
+                enc._emit_skip_cu(sw, x0, y0, log2_size, depth, idx)
+            else:
+                enc._emit_mv_cu(sw, x0, y0, log2_size, depth, idx,
+                                with_residual=(mode == "mv_res"))
+
+
+class Encoder:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        # self-parse our own headers for exact derived geometry
+        self.sps_nal = write_sps(cfg)
+        self.pps_nal = write_pps(cfg)
+        self.vps_nal = write_vps()
+        from ..bitstream.nal import unescape_rbsp
+        self.sps = read_sps(unescape_rbsp(self.sps_nal)[0])
+        self.pps = read_pps(unescape_rbsp(self.pps_nal)[0], {0: self.sps})
+        self.dpb = DPB()
+        self._basis_cache = {}
+
+    # ------------------------------------------------------------ stream
+    def encode(self, frames: List[list]) -> bytes:
+        """frames: list of [Y,Cb,Cr] uint8 planes. Returns Annex-B bytes."""
+        out = bytearray()
+        for nal in (self.vps_nal, self.sps_nal, self.pps_nal):
+            out += b"\x00\x00\x00\x01" + nal
+        for i, planes in enumerate(frames):
+            intra = (i == 0) or (self.cfg.intra_period and
+                                 i % self.cfg.intra_period == 0)
+            out += self._encode_frame(planes, i, intra)
+        return bytes(out)
+
+    def _encode_frame(self, src_planes, poc, intra):
+        cfg = self.cfg
+        slice_type = SLICE_TYPE_I if intra else SLICE_TYPE_P
+        nal_type = 19 if intra else 1    # IDR_W_RADL / TRAIL_R
+        if intra:
+            self.dpb.clear_references()
+            poc_out = 0
+            self._poc_base = poc
+        poc_out = poc - getattr(self, "_poc_base", 0)
+
+        frame = FramePlan(self.sps, self.pps, poc=poc_out)
+        n_refs_avail = sum(1 for p in self.dpb.pics
+                           if p.state == SHORT_TERM and p.poc < poc_out)
+        n_refs = max(1, min(cfg.num_ref_l0, n_refs_avail)) if not intra else 0
+        # slice header object for writer-side derivations
+        hw = write_slice_header(cfg, nal_type, slice_type, poc_out,
+                                num_neg_refs=n_refs or 1,
+                                num_active=n_refs or 1)
+        from ..bitstream.sliceheader import SliceHeader
+        sh = SliceHeader()
+        sh.slice_type = slice_type
+        sh.SliceQPY = cfg.qp
+        sh.initType = 0 if intra else 1
+        sh.slice_segment_address = 0
+        sh.SliceAddrRS = 0
+        sh.MaxNumMergeCand = cfg.max_merge_cand
+        sh.num_ref_idx_l0_active = n_refs or 1
+        sh.num_ref_idx_l1_active = 0
+        sh.slice_temporal_mvp_enabled_flag = 1 if (cfg.temporal_mvp and not intra) else 0
+        sh.collocated_from_l0_flag = 1
+        sh.collocated_ref_idx = 0
+        sh.slice_sao_luma_flag = 1 if cfg.sao else 0
+        sh.slice_sao_chroma_flag = 1 if cfg.sao else 0
+        sh.slice_deblocking_filter_disabled_flag = 1 if cfg.disable_deblocking else 0
+        if cfg.weighted_pred and not intra:
+            from ..bitstream.sliceheader import PredWeight
+            pw = PredWeight()
+            pw.luma_log2_weight_denom = cfg.luma_log2_weight_denom
+            pw.chroma_log2_weight_denom = cfg.luma_log2_weight_denom
+            for l in range(2):
+                for r in range(cfg.num_ref_l0):
+                    pw.luma_weight[l].append((1 << cfg.luma_log2_weight_denom)
+                                             + cfg.luma_weight_delta)
+                    pw.luma_offset[l].append(cfg.luma_offset)
+                    pw.chroma_weight[l].append([1 << cfg.luma_log2_weight_denom] * 2)
+                    pw.chroma_offset[l].append([0, 0])
+            sh.pred_weight = pw
+        frame.slice_headers.append(sh)
+
+        # reference lists from DPB (most recent first, like our RPS writes)
+        refs = sorted([i for i, p in enumerate(self.dpb.pics)
+                       if p.state == SHORT_TERM and p.poc < poc_out],
+                      key=lambda i: -self.dpb.pics[i].poc)[:max(1, n_refs)]
+        sh.RefPicList = [refs, []]
+        sh.RefPOC = [[self.dpb.pics[i].poc for i in refs], []]
+        sh.RefIsLongTerm = [[False] * len(refs), []]
+
+        self.frame = frame
+        self.src = src_planes
+        self.recon = [p.astype(np.uint8).copy() * 0 for p in src_planes]
+        self.avail = Availability(frame)
+        self.motion = None if intra else MotionDeriver(
+            _FakeDecoderCtx(self.dpb), frame, sh)
+
+        if cfg.sao:
+            self._decide_sao(frame)
+        sw = SliceWriter(frame, sh)
+        emitter = _CUEmitter(self, slice_type)
+        wc = self.sps.PicWidthInCtbsY
+        hc = self.sps.PicHeightInCtbsY
+        for cy in range(hc):
+            for cx in range(wc):
+                last = (cy == hc - 1 and cx == wc - 1)
+                sw.write_ctb(cx, cy, emitter, last)
+        payload = bytes(hw.bytes) + sw.cabac.data()
+        nal = add_emulation_prevention(payload)
+
+        # in-loop filters on the reference reconstruction
+        if not cfg.disable_deblocking:
+            from ..ops.deblock_ref import deblock_frame
+            deblock_frame(frame, self.recon)
+        if cfg.sao:
+            from ..ops.sao_ref import sao_frame
+            self.recon = sao_frame(frame, self.recon)
+
+        # store recon into DPB as reference
+        frame.compress_motion()
+        idx = self.dpb.new_picture(poc_out)
+        pic = self.dpb.pics[idx]
+        pic.planes = self.recon
+        pic.plan = frame
+        pic.needed_for_output = False
+        return b"\x00\x00\x00\x01" + nal
+
+    def _decide_sao(self, frame):
+        """Deterministic per-CTB SAO parameters for stream generation."""
+        k = 0
+        for cy in range(frame.nctby):
+            for cx in range(frame.nctbx):
+                for ci in range(3):
+                    t = (k + ci) % 3
+                    frame.sao.type_idx[cy, cx, ci] = t
+                    if t == 1:
+                        frame.sao.band_pos[cy, cx, ci] = (k * 5 + ci * 7) % 29
+                        frame.sao.offsets[cy, cx, ci] = [1 + (k % 3), -2, 3, -1]
+                    elif t == 2:
+                        frame.sao.eo_class[cy, cx, ci] = k % 4
+                        frame.sao.offsets[cy, cx, ci] = [2, 1, -(k % 3), -2]
+                k += 1
+        # Cr shares type/eo_class with Cb (spec)
+        frame.sao.type_idx[:, :, 2] = frame.sao.type_idx[:, :, 1]
+        frame.sao.eo_class[:, :, 2] = frame.sao.eo_class[:, :, 1]
+
+    # --------------------------------------------------------------- CUs
+    def _emit_intra_cu(self, sw, x0, y0, log2_size, depth, idx,
+                       header_done=False):
+        cfg = self.cfg
+        if not header_done:
+            if sw.sh.slice_type != SLICE_TYPE_I:
+                sw.write_skip_flag(x0, y0, False)
+                sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
+                sw.write_pred_mode(True)
+            else:
+                sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
+        mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
+        sw.write_part_mode_intra(log2_size, PART_2Nx2N)
+        sw.write_intra_modes(x0, y0, log2_size, [mode])
+
+        # predict + residual on luma and both chroma planes
+        n = 1 << log2_size
+        coeffs_y = self._intra_predict_and_quant(0, x0, y0, log2_size, mode)
+        cx, cy_, clog2 = x0 >> 1, y0 >> 1, log2_size - 1
+        coeffs_cb = self._intra_predict_and_quant(1, cx, cy_, clog2, mode,
+                                                  defer=True)
+        coeffs_cr = self._intra_predict_and_quant(2, cx, cy_, clog2, mode,
+                                                  defer=True)
+        cbf_y = coeffs_y is not None
+        cbf_cb = coeffs_cb is not None
+        cbf_cr = coeffs_cr is not None
+        # transform tree: no split (maxdepth 0, log2<=MaxTb)
+        sw.write_cbf_chroma(0, cbf_cb)
+        sw.write_cbf_chroma(0, cbf_cr)
+        sw.write_cbf_luma(True, cbf_y)
+        sw.record_tu(x0, y0, log2_size, cbf_y)
+        if cbf_y:
+            sw.write_residual(coeffs_y, log2_size,
+                              0, self._scan_for(mode, log2_size, 0))
+        self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y)
+        if cbf_cb:
+            sw.write_residual(coeffs_cb, clog2, 1, self._scan_for(mode, clog2, 1))
+        self._recon_intra(1, cx, cy_, clog2, mode, coeffs_cb)
+        if cbf_cr:
+            sw.write_residual(coeffs_cr, clog2, 2, self._scan_for(mode, clog2, 2))
+        self._recon_intra(2, cx, cy_, clog2, mode, coeffs_cr)
+
+    def _scan_for(self, mode, log2, cidx):
+        sps = self.sps
+        if log2 == 2 or (log2 == 3 and cidx == 0):
+            if 6 <= mode <= 14:
+                return SCAN_VERT
+            if 22 <= mode <= 30:
+                return SCAN_HORIZ
+        return SCAN_DIAG
+
+    def _qp_for(self, cidx):
+        from ..bitstream.ctu import chroma_qp_from_luma
+        if cidx == 0:
+            return self.cfg.qp
+        off = self.cfg.cb_qp_offset if cidx == 1 else self.cfg.cr_qp_offset
+        qpi = max(0, min(57, self.cfg.qp + off))
+        return chroma_qp_from_luma(qpi, self.sps.ChromaArrayType)
+
+    # basis-projection quantization ------------------------------------
+    def _basis(self, log2, qp, is_dst):
+        key = (log2, qp, is_dst)
+        if key in self._basis_cache:
+            return self._basis_cache[key]
+        n = 1 << log2
+        eye = np.zeros((n * n, n, n), np.int32)
+        for k in range(n * n):
+            eye[k, k // n, k % n] = 1
+        # decoder impulse response of a unit level at each coeff position
+        resp = np.stack([
+            transform_ref.scale_and_inv_transform(
+                eye[k], qp, log2, is_dst, False, False)
+            for k in range(n * n)])
+        flat = resp.reshape(n * n, n * n).astype(np.float64)
+        norms = (flat * flat).sum(1)
+        norms[norms == 0] = 1.0
+        self._basis_cache[key] = (flat, norms)
+        return flat, norms
+
+    def _quantize(self, residual, log2, qp, is_dst):
+        """Project residual onto decoder impulse-response basis -> levels."""
+        n = 1 << log2
+        flat, norms = self._basis(log2, qp, is_dst)
+        proj = flat @ residual.astype(np.float64).ravel() / norms
+        levels = np.round(proj).astype(np.int32).reshape(n, n)
+        return np.clip(levels, -32767, 32767)
+
+    def _intra_predict_and_quant(self, cidx, x, y, log2, mode, defer=False):
+        """Returns quantized coeffs or None if all-zero. Prediction uses the
+        current recon (neighbors already reconstructed in z-order)."""
+        pred = self._intra_pred(cidx, x, y, log2, mode)
+        n = 1 << log2
+        src = self.src[cidx][y:y + n, x:x + n].astype(np.int32)
+        residual = src - pred
+        is_dst = (cidx == 0 and log2 == 2)
+        q = self._quantize(residual, log2, self._qp_for(cidx), is_dst)
+        if not q.any():
+            return None
+        return q
+
+    def _intra_pred(self, cidx, x, y, log2, mode):
+        n = 1 << log2
+        bd = 8
+        ref = gather_border(self.frame, self.recon, self.avail, x, y, log2,
+                            cidx, bd)
+        fref = intra_ref.filter_border(ref, n, mode, cidx, bd,
+                                       bool(self.cfg.strong_intra_smoothing))
+        return intra_ref.predict(fref, mode, log2, cidx, bd)
+
+    def _recon_intra(self, cidx, x, y, log2, mode, coeffs):
+        pred = self._intra_pred(cidx, x, y, log2, mode)
+        n = 1 << log2
+        if coeffs is not None:
+            is_dst = (cidx == 0 and log2 == 2)
+            res = transform_ref.scale_and_inv_transform(
+                coeffs, self._qp_for(cidx), log2, is_dst, False, False)
+            out = np.clip(pred + res, 0, 255)
+        else:
+            out = np.clip(pred, 0, 255)
+        self.recon[cidx][y:y + n, x:x + n] = out.astype(np.uint8)
+
+    # ----------------------------------------------------------- inter CUs
+    def _emit_skip_cu(self, sw, x0, y0, log2_size, depth, idx):
+        sw.write_skip_flag(x0, y0, True)
+        sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTER, True)
+        n_cand = self.cfg.max_merge_cand
+        merge_idx = idx % n_cand
+        sw.write_merge_idx(merge_idx)
+        size = 1 << log2_size
+        self.motion.decode_merge(sw, x0, y0, x0, y0, size, size, 0,
+                                 PART_2Nx2N, depth, merge_idx)
+        self._recon_inter_pu(self.frame.pus[-1])
+        sw.record_tu(x0, y0, log2_size, False)
+
+    def _emit_mv_cu(self, sw, x0, y0, log2_size, depth, idx, with_residual):
+        cfg = self.cfg
+        sw.write_skip_flag(x0, y0, False)
+        sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTER, False)
+        sw.write_pred_mode(False)
+        sw.write_part_mode_inter_2nx2n(log2_size)
+        # prediction unit: explicit MV (no merge)
+        sw.write_merge_flag(False)
+        n_act = sw.sh.num_ref_idx_l0_active
+        ref_idx = idx % n_act
+        sw.write_ref_idx(ref_idx, n_act)
+        mvd = cfg.mv_patterns[idx % len(cfg.mv_patterns)]
+        sw.write_mvd(mvd)
+        sw.write_mvp_flag(0)
+        size = 1 << log2_size
+        self.motion.decode_amvp(sw, x0, y0, x0, y0, size, size, 0, PART_2Nx2N,
+                                depth, 0, [ref_idx, 0], [mvd, (0, 0)], [0, 0])
+        pu = self.frame.pus[-1]
+        pred = self._recon_inter_pu(pu, write=False)
+        coeffs = None
+        if with_residual:
+            src = self.src[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
+            residual = src - pred[0]
+            coeffs = self._quantize(residual, log2_size, self.cfg.qp, False)
+            if not coeffs.any():
+                coeffs = None
+        # rqt_root_cbf (merge==0 -> always present)
+        sw.write_rqt_root_cbf(coeffs is not None)
+        sw.record_tu(x0, y0, log2_size, coeffs is not None)
+        if coeffs is not None:
+            # transform tree, no split; chroma cbf 0, luma inferred 1
+            sw.write_cbf_chroma(0, False)
+            sw.write_cbf_chroma(0, False)
+            sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG)
+            res = transform_ref.scale_and_inv_transform(
+                coeffs, self.cfg.qp, log2_size, False, False, False)
+            out = np.clip(pred[0] + res, 0, 255)
+            self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(np.uint8)
+            self.recon[1][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \
+                pred[1].astype(np.uint8)
+            self.recon[2][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \
+                pred[2].astype(np.uint8)
+        else:
+            self.recon[0][y0:y0 + size, x0:x0 + size] = pred[0].astype(np.uint8)
+            for ci in (1, 2):
+                self.recon[ci][y0 >> 1:(y0 + size) >> 1,
+                               x0 >> 1:(x0 + size) >> 1] = pred[ci].astype(np.uint8)
+
+    def _recon_inter_pu(self, pu, write=True):
+        """MC with the decoder's exact ops; returns [Y,Cb,Cr] predictions."""
+        sh = self.frame.slice_headers[0]
+        pu.slice_header = sh
+        preds = {}
+        preds_c = {1: {}, 2: {}}
+        for l in range(2):
+            if not pu.pred_flag[l]:
+                continue
+            refpic = self.dpb.pics[pu.ref_dpb[l]]
+            preds[l] = inter_ref.mc_luma(refpic.planes[0], pu.x, pu.y,
+                                         pu.w, pu.h, pu.mv[l], 8)
+            for ci in (1, 2):
+                preds_c[ci][l] = inter_ref.mc_chroma(
+                    refpic.planes[ci], pu.x >> 1, pu.y >> 1,
+                    pu.w >> 1, pu.h >> 1, pu.mv[l], 8)
+        out_y = inter_ref.weighted_combine(preds, pu, sh, 0, 8)
+        out_c = [inter_ref.weighted_combine(preds_c[ci], pu, sh, ci, 8)
+                 for ci in (1, 2)]
+        if write:
+            self.recon[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = out_y.astype(np.uint8)
+            for k, ci in enumerate((1, 2)):
+                self.recon[ci][pu.y >> 1:(pu.y + pu.h) >> 1,
+                               pu.x >> 1:(pu.x + pu.w) >> 1] = out_c[k].astype(np.uint8)
+        return [out_y, out_c[0], out_c[1]]

@@ -1,0 +1,200 @@
+"""VPS/SPS/PPS/slice-header writers (spec 7.3.2, 7.3.6).
+
+Capability counterpart of the write() halves of /root/reference/libde265/
+{vps,sps,pps}.cc and slice.cc:882-1246, for the en265-equivalent encoder.
+Emits minimal-but-conforming Main-profile headers.
+"""
+from .cabac_enc import BitWriter, add_emulation_prevention
+from ..bitstream.nal import NAL_VPS_NUT, NAL_SPS_NUT, NAL_PPS_NUT
+
+
+def nal_header(w: BitWriter, nal_type: int, tid: int = 0):
+    w.put_bit(0)
+    w.put_bits(nal_type, 6)
+    w.put_bits(0, 6)          # nuh_layer_id
+    w.put_bits(tid + 1, 3)    # nuh_temporal_id_plus1
+
+
+def write_ptl(w: BitWriter, max_sub_layers: int = 1):
+    w.put_bits(0, 2)     # profile_space
+    w.put_bit(0)         # tier
+    w.put_bits(1, 5)     # profile_idc = Main
+    w.put_bits(0b01100000000000000000000000000000, 32)  # compat: Main(+10?) bits 1,2
+    w.put_bits(0, 32)    # constraint flags (44 bits total -> 32+12)
+    w.put_bits(0, 12)
+    w.put_bits(0, 4)     # reserved (to total 48 after compat)
+    w.put_bits(120, 8)   # level_idc 4.0
+    # no sub layers
+
+
+def write_vps(width=0, height=0):
+    w = BitWriter()
+    nal_header(w, NAL_VPS_NUT)
+    w.put_bits(0, 4)   # vps id
+    w.put_bits(3, 2)   # reserved '11'
+    w.put_bits(0, 6)   # max_layers_minus1
+    w.put_bits(0, 3)   # max_sub_layers_minus1
+    w.put_bit(1)       # temporal_id_nesting
+    w.put_bits(0xFFFF, 16)
+    write_ptl(w)
+    w.put_bit(0)       # sub_layer_ordering_info_present
+    w.put_uvlc(3)      # max_dec_pic_buffering_minus1
+    w.put_uvlc(0)      # num_reorder_pics
+    w.put_uvlc(0)      # max_latency
+    w.put_bits(0, 6)   # max_layer_id
+    w.put_uvlc(0)      # num_layer_sets_minus1
+    w.put_bit(0)       # timing_info_present
+    w.put_bit(0)       # extension
+    w.rbsp_trailing()
+    return add_emulation_prevention(w.data())
+
+
+def write_sps(cfg):
+    w = BitWriter()
+    nal_header(w, NAL_SPS_NUT)
+    w.put_bits(0, 4)   # vps id
+    w.put_bits(0, 3)   # max_sub_layers_minus1
+    w.put_bit(1)       # temporal_id_nesting
+    write_ptl(w)
+    w.put_uvlc(0)      # sps id
+    w.put_uvlc(1)      # chroma_format_idc 4:2:0
+    w.put_uvlc(cfg.width)
+    w.put_uvlc(cfg.height)
+    w.put_bit(0)       # conformance window
+    w.put_uvlc(0)      # bit_depth_luma_minus8
+    w.put_uvlc(0)      # bit_depth_chroma_minus8
+    w.put_uvlc(cfg.log2_max_poc_lsb - 4)
+    w.put_bit(0)       # sub_layer_ordering_info_present
+    w.put_uvlc(3)      # max_dec_pic_buffering_minus1
+    w.put_uvlc(0)      # num_reorder_pics
+    w.put_uvlc(0)      # max_latency
+    w.put_uvlc(cfg.log2_min_cb - 3)
+    w.put_uvlc(cfg.log2_ctb - cfg.log2_min_cb)
+    w.put_uvlc(cfg.log2_min_tb - 2)
+    w.put_uvlc(cfg.log2_max_tb - cfg.log2_min_tb)
+    w.put_uvlc(cfg.max_transform_hierarchy_depth_inter)
+    w.put_uvlc(cfg.max_transform_hierarchy_depth_intra)
+    w.put_bit(0)       # scaling_list_enable
+    w.put_bit(1 if cfg.amp else 0)
+    w.put_bit(1 if cfg.sao else 0)
+    w.put_bit(0)       # pcm_enabled
+    w.put_uvlc(0)      # num_short_term_ref_pic_sets
+    w.put_bit(0)       # long_term_ref_pics_present
+    w.put_bit(1 if cfg.temporal_mvp else 0)
+    w.put_bit(1 if cfg.strong_intra_smoothing else 0)
+    w.put_bit(0)       # vui_present
+    w.put_bit(0)       # extension
+    w.rbsp_trailing()
+    return add_emulation_prevention(w.data())
+
+
+def write_pps(cfg):
+    w = BitWriter()
+    nal_header(w, NAL_PPS_NUT)
+    w.put_uvlc(0)      # pps id
+    w.put_uvlc(0)      # sps id
+    w.put_bit(0)       # dependent_slice_segments_enabled
+    w.put_bit(0)       # output_flag_present
+    w.put_bits(0, 3)   # num_extra_slice_header_bits
+    w.put_bit(1 if cfg.sign_data_hiding else 0)
+    w.put_bit(0)       # cabac_init_present
+    w.put_uvlc(cfg.num_ref_l0 - 1)
+    w.put_uvlc(0)      # num_ref_idx_l1_default_minus1
+    w.put_svlc(cfg.qp - 26)
+    w.put_bit(0)       # constrained_intra_pred
+    w.put_bit(1 if cfg.transform_skip else 0)
+    w.put_bit(1 if cfg.cu_qp_delta else 0)
+    if cfg.cu_qp_delta:
+        w.put_uvlc(cfg.diff_cu_qp_delta_depth)
+    w.put_svlc(cfg.cb_qp_offset)
+    w.put_svlc(cfg.cr_qp_offset)
+    w.put_bit(0)       # slice_chroma_qp_offsets_present
+    w.put_bit(1 if cfg.weighted_pred else 0)
+    w.put_bit(0)       # weighted_bipred
+    w.put_bit(0)       # transquant_bypass_enable
+    w.put_bit(0)       # tiles_enabled
+    w.put_bit(0)       # entropy_coding_sync
+    w.put_bit(1)       # loop_filter_across_slices
+    w.put_bit(1)       # deblocking_filter_control_present
+    w.put_bit(0)       # deblocking_filter_override_enabled
+    w.put_bit(1 if cfg.disable_deblocking else 0)
+    if not cfg.disable_deblocking:
+        w.put_svlc(0)  # beta offset /2
+        w.put_svlc(0)  # tc offset /2
+    w.put_bit(0)       # pic_scaling_list_present
+    w.put_bit(0)       # lists_modification_present
+    w.put_uvlc(0)      # log2_parallel_merge_level_minus2
+    w.put_bit(0)       # slice_segment_header_extension
+    w.put_bit(0)       # pps_extension
+    w.rbsp_trailing()
+    return add_emulation_prevention(w.data())
+
+
+def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
+                       num_neg_refs=1, num_active=None):
+    """Returns the BitWriter (caller appends CABAC data after alignment).
+    slice_type: 0=B, 1=P, 2=I."""
+    w = BitWriter()
+    nal_header(w, nal_type)
+    first = first_ctb == 0
+    w.put_bit(1 if first else 0)  # first_slice_segment_in_pic_flag
+    if nal_type >= 16 and nal_type <= 23:
+        w.put_bit(0)  # no_output_of_prior_pics
+    w.put_uvlc(0)     # pps id
+    if not first:
+        import math
+        n = max(1, (cfg.pic_size_in_ctbs - 1).bit_length())
+        w.put_bits(first_ctb, n)
+    w.put_uvlc(slice_type)
+    if not (16 <= nal_type <= 20 and nal_type in (19, 20)):
+        pass
+    if nal_type not in (19, 20):  # not IDR: POC + RPS
+        w.put_bits(poc % (1 << cfg.log2_max_poc_lsb), cfg.log2_max_poc_lsb)
+        w.put_bit(0)   # short_term_ref_pic_set_sps_flag=0 -> explicit RPS
+        # st_ref_pic_set(num_sets=0 -> idx 0, no inter_rps prediction)
+        w.put_uvlc(num_neg_refs)   # num_negative_pics
+        w.put_uvlc(0)              # num_positive_pics
+        for i in range(num_neg_refs):
+            w.put_uvlc(0)          # delta_poc_s0_minus1 = 0 (prev pic)
+            w.put_bit(1)           # used_by_curr_pic_s0
+        if cfg.temporal_mvp:
+            w.put_bit(1)           # slice_temporal_mvp_enabled
+    if cfg.sao:
+        w.put_bit(1)  # slice_sao_luma
+        w.put_bit(1)  # slice_sao_chroma
+    if slice_type != 2:
+        if num_active is not None and num_active != cfg.num_ref_l0:
+            w.put_bit(1)  # num_ref_idx_active_override
+            w.put_uvlc(num_active - 1)
+        else:
+            w.put_bit(0)  # num_ref_idx_active_override
+        if cfg.temporal_mvp:
+            # collocated_from_l0 defaults 1 for P; collocated_ref_idx: only
+            # read when num_ref_active>1
+            na = num_active if num_active is not None else cfg.num_ref_l0
+            if na > 1:
+                w.put_uvlc(0)  # collocated_ref_idx
+        if cfg.weighted_pred and slice_type == 1:
+            write_pred_weight_table(w, cfg,
+                num_active if num_active is not None else cfg.num_ref_l0)
+        w.put_uvlc(5 - cfg.max_merge_cand)
+    w.put_svlc(0)     # slice_qp_delta
+    # deblocking_filter_control_present=1, override_enabled=0 -> nothing
+    if cfg.sao or not cfg.disable_deblocking:
+        w.put_bit(1)  # slice_loop_filter_across_slices_enabled
+    # no tiles/wpp -> no entry points
+    w.put_bit(1)      # alignment bit
+    w.byte_align_zero()
+    return w
+
+
+def write_pred_weight_table(w, cfg, num_active):
+    w.put_uvlc(cfg.luma_log2_weight_denom)
+    w.put_svlc(0)  # delta_chroma_log2_weight_denom
+    for i in range(num_active):
+        w.put_bit(1)  # luma_weight_flag
+    for i in range(num_active):
+        w.put_bit(0)  # chroma_weight_flag
+    for i in range(num_active):
+        w.put_svlc(cfg.luma_weight_delta)
+        w.put_svlc(cfg.luma_offset)

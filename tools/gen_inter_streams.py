@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Generate inter (P-frame) test vectors with our own encoder, using the
+reference decoder (.ref_build/dec265) as the golden oracle.
+
+Rationale: the reference's experimental encoder hangs in its inter RDO on
+non-trivial content (observed: infinite loop in enc265 for low-delay streams),
+so inter coverage comes from our en265-equivalent encoder whose output is
+validated through dec265 — decoded YUV + per-plane MD5s land in
+tests/data/manifest_inter.json.
+"""
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+DEC = os.path.join(REPO, ".ref_build", "dec265", "dec265")
+DATA = os.path.join(REPO, "tests", "data")
+
+from libde265_tpu.encoder import Encoder, EncoderConfig  # noqa: E402
+
+
+def make_frames(n, w, h, seed=3):
+    rng = np.random.RandomState(seed)
+    gy, gx = np.mgrid[0:h, 0:w]
+    base = np.clip(100 + 60 * np.sin(gx / 7.0) * np.cos(gy / 9.0)
+                   + rng.randint(0, 30, (h, w)), 0, 255).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = np.roll(base, (t * 2, t * 3), (0, 1))
+        u = np.clip(128 + 50 * np.sin(np.mgrid[0:h//2, 0:w//2][1] / 5.0 + t * .3),
+                    0, 255).astype(np.uint8)
+        v = np.clip(128 + 50 * np.cos(np.mgrid[0:h//2, 0:w//2][0] / 6.0),
+                    0, 255).astype(np.uint8)
+        frames.append([y, u, v])
+    return frames
+
+
+CASES = [
+    # name, w, h, nframes, config kwargs
+    ("p_skip", 64, 64, 4, dict(inter_mode="skip")),
+    ("p_mv", 64, 64, 4, dict(inter_mode="mv")),
+    ("p_mvres", 64, 64, 4, dict(inter_mode="mv", inter_residual=True)),
+    ("p_mixed", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True)),
+    ("p_deblk", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
+                                disable_deblocking=False)),
+    ("p_sao", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True, sao=True)),
+    ("p_filters", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
+                                  disable_deblocking=False, sao=True)),
+    ("p_2ref", 64, 64, 4, dict(inter_mode="mv", num_ref_l0=2)),
+    ("p_tmvp", 64, 64, 4, dict(inter_mode="mixed", temporal_mvp=True)),
+    ("p_wp", 64, 64, 4, dict(inter_mode="mv", weighted_pred=True,
+                             luma_weight_delta=10, luma_offset=5)),
+    ("p_bigmv", 64, 64, 4, dict(inter_mode="mv", mv_patterns=(
+        (33, 17), (-40, -25), (121, 3), (1, 2), (3, 1), (2, 3), (-65, 77), (7, -7)))),
+    ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
+    ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
+                                     disable_deblocking=False, sao=True,
+                                     temporal_mvp=True)),
+    ("i_deblk_sao", 64, 64, 2, dict(intra_period=1, disable_deblocking=False,
+                                    sao=True)),
+]
+
+
+def plane_md5s(yuv_path, w, h, frames):
+    out = []
+    fsz = w * h + 2 * (w // 2) * (h // 2)
+    data = open(yuv_path, "rb").read()
+    assert len(data) == fsz * frames
+    for t in range(frames):
+        b = t * fsz
+        out.append({
+            "y": hashlib.md5(data[b:b + w * h]).hexdigest(),
+            "u": hashlib.md5(data[b + w*h:b + w*h + (w//2)*(h//2)]).hexdigest(),
+            "v": hashlib.md5(data[b + w*h + (w//2)*(h//2):b + fsz]).hexdigest(),
+        })
+    return out
+
+
+def main():
+    os.makedirs(DATA, exist_ok=True)
+    manifest = {}
+    for name, w, h, nf, kw in CASES:
+        cfg = EncoderConfig(width=w, height=h, qp=30, **kw)
+        enc = Encoder(cfg)
+        stream = enc.encode(make_frames(nf, w, h))
+        bit = os.path.join(DATA, f"{name}.bin")
+        gold = os.path.join(DATA, f"{name}_gold.yuv")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([DEC, "-q", "-o", gold, bit], capture_output=True,
+                           text=True, timeout=300)
+        assert r.returncode == 0, (name, r.stderr)
+        manifest[name] = {"w": w, "h": h, "frames": nf,
+                          "md5": plane_md5s(gold, w, h, nf),
+                          "size_bytes": len(stream)}
+        print(f"{name}: {len(stream)} bytes")
+    with open(os.path.join(DATA, "manifest_inter.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
