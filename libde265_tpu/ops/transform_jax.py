@@ -31,7 +31,8 @@ def _matrices(log2, is_dst):
 def dequant_batch(coeffs, qp, log2, bitdepth=8):
     """coeffs: (N,n,n) int32; qp: (N,) int32. Returns (N,n,n) int32."""
     bd_shift = bitdepth + log2 - 5
-    factor = (16 * LEVEL_SCALE_ARR[qp % 6]) << (qp // 6)  # (N,)
+    ls = jnp.asarray(LEVEL_SCALE_ARR)
+    factor = (16 * ls[qp % 6]) << (qp // 6)  # (N,)
     d = (coeffs.astype(jnp.int64) * factor[:, None, None].astype(jnp.int64)
          + (1 << (bd_shift - 1))) >> bd_shift
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
