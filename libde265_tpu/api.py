@@ -80,3 +80,85 @@ def decode_stream(data: bytes, **kw):
         if not more:
             break
     return out
+
+
+class _RefShim:
+    """Maps decode-order frame ids to reconstructed pictures for MC."""
+    class _P:
+        __slots__ = ("planes", "plan", "poc")
+
+        def __init__(self):
+            self.planes = None
+            self.plan = None
+            self.poc = 0
+
+    def __init__(self):
+        self.pics = {}
+
+    def add(self, fid, plan, planes):
+        p = self._P()
+        p.plan, p.planes, p.poc = plan, planes, plan.poc
+        self.pics[fid] = p
+
+
+def decode_stream_native(data: bytes, **kw):
+    """Decode a whole Annex-B stream using the C++ front-end
+    (native/libhevc_frontend.so) + the Python/JAX reconstruction backend.
+    Returns pictures in output order, same results as decode_stream()."""
+    from .native_frontend import NativeFrontend
+    from .bitstream.nal import split_annexb
+    from .bitstream.paramsets import read_sps, read_pps
+    from .reconstruct import reconstruct_frame
+    import numpy as np
+
+    spss, ppss = {}, {}
+    for u in split_annexb(data):
+        t = u.header.nal_unit_type
+        if t == 33:
+            s = read_sps(u.data)
+            spss[s.seq_parameter_set_id] = s
+        elif t == 34:
+            p = read_pps(u.data, spss)
+            ppss[p.pic_parameter_set_id] = p
+    fe = NativeFrontend()
+    plans = fe.parse(data, spss, ppss)
+    refs = _RefShim()
+    done = []
+    for plan in plans:
+        if plan.nal_type == -1:  # concealment frame: grey planes
+            sps = plan.sps
+            grey = 1 << (sps.BitDepthY - 1)
+            dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
+            planes = [np.full((plan.H, plan.W), grey, dt),
+                      np.full((plan.H // 2, plan.W // 2), grey, dt),
+                      np.full((plan.H // 2, plan.W // 2), grey, dt)]
+        else:
+            planes = reconstruct_frame(plan, dpb_images=refs)
+        refs.add(plan.frame_id, plan, planes)
+        if plan.nal_type != -1 and plan.output_flag:
+            done.append(plan)
+    # output order: reorder by POC within IDR-delimited groups
+    out = []
+    group = []
+    for plan in done:
+        if plan.nal_type in (19, 20) and group:  # IDR starts new group
+            out.extend(sorted(group, key=lambda p: p.poc))
+            group = []
+        group.append(plan)
+    out.extend(sorted(group, key=lambda p: p.poc))
+    pics = []
+    for plan in out:
+        planes = refs.pics[plan.frame_id].planes
+        sps = plan.sps
+        if sps.conformance_window_flag:
+            sw, shh = sps.SubWidthC, sps.SubHeightC
+            l = sps.conf_win_left_offset * sw
+            r = sps.conf_win_right_offset * sw
+            t = sps.conf_win_top_offset * shh
+            b = sps.conf_win_bottom_offset * shh
+            cl, cr_, ct, cb2 = l // sw, r // sw, t // shh, b // shh
+            planes = [planes[0][t:plan.H - b, l:plan.W - r],
+                      planes[1][ct:planes[1].shape[0] - cb2, cl:planes[1].shape[1] - cr_],
+                      planes[2][ct:planes[2].shape[0] - cb2, cl:planes[2].shape[1] - cr_]]
+        pics.append(DecodedPicture(poc=plan.poc, planes=planes))
+    return pics

@@ -1,0 +1,206 @@
+"""ctypes binding for the C++ front-end (native/libhevc_frontend.so).
+
+Produces FramePlan objects identical to the pure-Python front-end (which is
+its differential-test oracle) — NAL/header/CABAC/motion work runs natively,
+pixel reconstruction stays in the JAX/numpy backend.
+"""
+import ctypes as C
+import os
+
+import numpy as np
+
+from .plan import FramePlan, TURecord, PURecord, MODE_INTRA, MODE_INTER
+
+_LIB = None
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "native", "libhevc_frontend.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not built — run `make -C native`")
+        _LIB = C.CDLL(path)
+        _LIB.fe_new.restype = C.c_void_p
+        _LIB.fe_push_stream.argtypes = [C.c_void_p, C.c_char_p, C.c_int64]
+        _LIB.fe_error.restype = C.c_char_p
+        _LIB.fe_error.argtypes = [C.c_void_p]
+    return _LIB
+
+
+def _arr(a):
+    return a.ctypes.data_as(C.c_void_p)
+
+
+class NativeFrontend:
+    """Parses a whole Annex-B stream natively; yields FramePlans."""
+
+    def __init__(self):
+        self.lib = _lib()
+        self.h = self.lib.fe_new()
+
+    def __del__(self):
+        try:
+            if getattr(self, "h", None) and self.lib is not None:
+                self.lib.fe_free(C.c_void_p(self.h))
+        except Exception:
+            pass
+        self.h = None
+
+    def parse(self, stream: bytes, sps_map, pps_map):
+        """sps_map/pps_map: python-parsed parameter sets (the native side has
+        its own; python ones carry derived values for the backend)."""
+        n = self.lib.fe_push_stream(self.h, stream, len(stream))
+        if n < 0:
+            raise ValueError("native front-end error: " +
+                             self.lib.fe_error(C.c_void_p(self.h)).decode())
+        frames = []
+        for i in range(n):
+            frames.append(self._frame(i, sps_map, pps_map))
+        return frames
+
+    def _frame(self, idx, sps_map, pps_map):
+        lib = self.lib
+        info = np.zeros(23, np.int32)
+        assert lib.fe_frame_info(C.c_void_p(self.h), idx, _arr(info)) == 0
+        (W, H, poc, nal_type, output_flag, n_tus, n_pus, clen, plen, n_slices,
+         gw, gh, nctbx, nctby, max_reorder, cl, cr, ct_, cb, sps_id, frame_id,
+         mw, mh) = [int(v) for v in info]
+        sps = sps_map[sps_id]
+        pps = list(pps_map.values())[0]
+        plan = FramePlan(sps, pps, poc=poc)
+        plan.frame_id = frame_id
+        plan.nal_type = nal_type
+        plan.output_flag = output_flag
+        plan.max_num_reorder = max_reorder
+        assert plan.gw == gw and plan.gh == gh, (plan.gw, gw, plan.gh, gh)
+
+        mv = np.zeros((gh, gw, 2, 2), np.int16)
+        ref_idx = np.zeros((gh, gw, 2), np.int8)
+        pred_flag = np.zeros((gh, gw, 2), np.uint8)
+        refpoc = np.zeros((gh, gw, 2), np.int32)
+        ref_lt = np.zeros((gh, gw, 2), np.uint8)
+        r = lib.fe_get_grids(
+            C.c_void_p(self.h), idx,
+            _arr(plan.pred_mode), _arr(plan.skip_flag), _arr(plan.intra_mode_y),
+            _arr(plan.intra_mode_c), _arr(plan.ct_depth), _arr(plan.log2_cb_size),
+            _arr(plan.qp_y), _arr(plan.tq_bypass), _arr(plan.pcm_flag),
+            _arr(plan.cbf_luma), _arr(plan.tu_boundary), _arr(plan.pb_boundary),
+            _arr(plan.cb_boundary), _arr(mv), _arr(ref_idx), _arr(pred_flag),
+            _arr(refpoc), _arr(ref_lt))
+        assert r == 0
+        plan.mv = mv
+        plan.ref_idx = ref_idx
+        plan.pred_flag = pred_flag
+        plan.ref_poc = refpoc
+        plan.ref_lt = ref_lt
+
+        slice_addr = np.zeros((nctby, nctbx), np.int32)
+        slice_seg = np.zeros((nctby, nctbx), np.int32)
+        sao_type = np.zeros((nctby, nctbx, 3), np.uint8)
+        sao_eo = np.zeros((nctby, nctbx, 3), np.uint8)
+        sao_band = np.zeros((nctby, nctbx, 3), np.uint8)
+        sao_off = np.zeros((nctby, nctbx, 3, 4), np.int16)
+        r = lib.fe_get_ctb_grids(C.c_void_p(self.h), idx, _arr(slice_addr),
+                                 _arr(slice_seg), _arr(sao_type), _arr(sao_eo),
+                                 _arr(sao_band), _arr(sao_off))
+        assert r == 0
+        plan.slice_addr_rs = slice_addr
+        plan.ctb_slice_seg = slice_seg
+        plan.sao.type_idx = sao_type
+        plan.sao.eo_class = sao_eo
+        plan.sao.band_pos = sao_band
+        plan.sao.offsets = sao_off
+
+        tu_meta = np.zeros((max(1, n_tus), 10), np.int32)
+        coeffs = np.zeros(max(1, clen), np.int16)
+        pcm = np.zeros(max(1, plen), np.int16)
+        r = lib.fe_get_tus(C.c_void_p(self.h), idx, _arr(tu_meta), _arr(coeffs),
+                           _arr(pcm))
+        assert r == 0
+        pu_meta = np.zeros((max(1, n_pus), 17), np.int32)
+        r = lib.fe_get_pus(C.c_void_p(self.h), idx, _arr(pu_meta))
+        assert r == 0
+        sl = np.zeros((max(1, n_slices), 16), np.int32)
+        r = lib.fe_get_slices(C.c_void_p(self.h), idx, _arr(sl))
+        assert r == 0
+
+        # slice headers (lightweight shims with the fields the backend uses)
+        from .bitstream.sliceheader import SliceHeader, PredWeight
+        for si in range(n_slices):
+            (seg, addr_rs, typ, qp, boff, toff, nodbk, saol, saoc, lfa,
+             mm, nr0, nr1, has_pw, cbq, crq) = [int(v) for v in sl[si]]
+            s = SliceHeader()
+            s.slice_segment_address = seg
+            s.SliceAddrRS = addr_rs
+            s.slice_type = typ
+            s.SliceQPY = qp
+            s.slice_beta_offset = boff
+            s.slice_tc_offset = toff
+            s.slice_deblocking_filter_disabled_flag = nodbk
+            s.slice_sao_luma_flag = saol
+            s.slice_sao_chroma_flag = saoc
+            s.slice_loop_filter_across_slices_enabled_flag = lfa
+            s.MaxNumMergeCand = mm
+            s.num_ref_idx_l0_active = nr0
+            s.num_ref_idx_l1_active = nr1
+            s.slice_cb_qp_offset = cbq
+            s.slice_cr_qp_offset = crq
+            if has_pw:
+                pwbuf = np.zeros(2 + 2 * 16 * 6, np.int32)
+                lib.fe_get_pred_weights(C.c_void_p(self.h), idx, si, _arr(pwbuf))
+                pw = PredWeight()
+                pw.luma_log2_weight_denom = int(pwbuf[0])
+                pw.chroma_log2_weight_denom = int(pwbuf[1])
+                o = 2
+                for l in range(2):
+                    for rr in range(16):
+                        pw.luma_weight[l].append(int(pwbuf[o]))
+                        pw.luma_offset[l].append(int(pwbuf[o + 1]))
+                        pw.chroma_weight[l].append([int(pwbuf[o + 2]), int(pwbuf[o + 4])])
+                        pw.chroma_offset[l].append([int(pwbuf[o + 3]), int(pwbuf[o + 5])])
+                        o += 6
+                s.pred_weight = pw
+            else:
+                s.pred_weight = None
+            plan.slice_headers.append(s)
+
+        # TU records
+        pcm_off = 0
+        for i in range(n_tus):
+            (cidx, x, y, log2, imode, qp, tskip, tqb, pm, coff) = \
+                [int(v) for v in tu_meta[i]]
+            n = 1 << log2
+            if cidx == -1:
+                tu = TURecord(cidx=-1, x=x, y=y, log2=log2, intra_mode=-1,
+                              qp=0, transform_skip=False, tq_bypass=False,
+                              pred_mode=MODE_INTRA, coeffs=None)
+                ysz = n * n
+                csz = (n // 2) * (n // 2)
+                tu.pcm_y = pcm[coff:coff + ysz].reshape(n, n).astype(np.uint16)
+                tu.pcm_c = pcm[coff + ysz:coff + ysz + 2 * csz].reshape(
+                    2, n // 2, n // 2).astype(np.uint16)
+                plan.tus.append(tu)
+                continue
+            cf = None
+            if coff >= 0:
+                cf = coeffs[coff:coff + n * n].reshape(n, n).astype(np.int32)
+            plan.tus.append(TURecord(
+                cidx=cidx, x=x, y=y, log2=log2, intra_mode=imode, qp=qp,
+                transform_skip=bool(tskip), tq_bypass=bool(tqb),
+                pred_mode=pm, coeffs=cf))
+        # PU records
+        for i in range(n_pus):
+            m = [int(v) for v in pu_meta[i]]
+            pu = PURecord(
+                x=m[0], y=m[1], w=m[2], h=m[3],
+                pred_flag=(m[4], m[5]),
+                mv=((m[6], m[7]), (m[8], m[9])),
+                ref_idx=(m[10], m[11]),
+                ref_poc=(m[12], m[13]),
+                ref_dpb=(m[14], m[15]))   # decode-order frame ids
+            pu.slice_header = plan.slice_headers[m[16]]
+            plan.pus.append(pu)
+        return plan
