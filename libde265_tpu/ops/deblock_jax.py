@@ -101,8 +101,8 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
     p = seg[..., 3::-1]   # p0..p3 at idx 0..3
     q = seg[..., 4:]
 
-    beta = BETA_ARR[jnp.clip(qp + beta_off, 0, 51)] << (bitdepth - 8)
-    tc = TC_ARR[jnp.clip(qp + 2 * (bs - 1) + tc_off, 0, 53)] << (bitdepth - 8)
+    beta = jnp.asarray(BETA_ARR)[jnp.clip(qp + beta_off, 0, 51)] << (bitdepth - 8)
+    tc = jnp.asarray(TC_ARR)[jnp.clip(qp + 2 * (bs - 1) + tc_off, 0, 53)] << (bitdepth - 8)
 
     dp0 = jnp.abs(p[..., 0, 2] - 2 * p[..., 0, 1] + p[..., 0, 0])
     dp3 = jnp.abs(p[..., 3, 2] - 2 * p[..., 3, 1] + p[..., 3, 0])
