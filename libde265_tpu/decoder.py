@@ -97,7 +97,10 @@ class Decoder:
             p = read_pps(nal.data, self.sps)
             self.pps[p.pic_parameter_set_id] = p
         elif t in (nal_mod.NAL_PREFIX_SEI, nal_mod.NAL_SUFFIX_SEI):
-            pass  # SEI processed in api layer (decoded-picture-hash in sei.py)
+            from .bitstream.sei import parse_sei
+            for msg in parse_sei(nal.data):
+                if msg.picture_hash is not None:
+                    self._pending_hash = msg.picture_hash
         elif t in (nal_mod.NAL_EOS_NUT, nal_mod.NAL_EOB_NUT, nal_mod.NAL_AUD_NUT,
                    nal_mod.NAL_FD_NUT):
             pass
@@ -188,6 +191,15 @@ class Decoder:
             return
         img = self.img
         planes = reconstruct_frame(img, dpb_images=self.dpb)
+        ph = getattr(self, "_pending_hash", None)
+        if ph is not None:
+            from .bitstream.sei import verify_picture_hash
+            if not verify_picture_hash(planes, ph, img.sps.BitDepthY):
+                self.warnings.append(
+                    f"decoded-picture-hash MISMATCH for POC {img.poc}")
+            else:
+                self.hash_checks_passed = getattr(self, "hash_checks_passed", 0) + 1
+            self._pending_hash = None
         img.compress_motion()
         pic = self.dpb.pics[self.img_dpb_idx]
         pic.planes = planes

@@ -57,6 +57,7 @@ class EncoderConfig:
     amp: bool = False
     strong_intra_smoothing: bool = False
     intra_period: int = 0             # 0: only first frame intra
+    write_hash_sei: bool = False      # append decoded-picture-hash suffix SEI
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -136,6 +137,9 @@ class Encoder:
             intra = (i == 0) or (self.cfg.intra_period and
                                  i % self.cfg.intra_period == 0)
             out += self._encode_frame(planes, i, intra)
+            if self.cfg.write_hash_sei:
+                from ..bitstream.sei import write_picture_hash_sei
+                out += b"\x00\x00\x00\x01" + write_picture_hash_sei(self.recon)
         return bytes(out)
 
     def _encode_frame(self, src_planes, poc, intra):
