@@ -156,6 +156,9 @@ class SliceReader:
             is_tile_start = (ctb_addr_ts == 0 or
                              pps.TileId[ctb_rs] != pps.TileId[pps.CtbAddrTStoRS[ctb_addr_ts - 1]])
             is_row_start = (cx == 0)
+            # record slice ids before any availability checks below
+            frame.ctb_slice_seg[cy, cx] = sh.slice_segment_address
+            frame.slice_addr_rs[cy, cx] = sh.SliceAddrRS
 
             if not first_ctb:
                 if pps.tiles_enabled_flag and is_tile_start:
@@ -164,20 +167,38 @@ class SliceReader:
                     self.cabac = CabacDecoder(self.data, offsets[substream])
                     self.ctx.init_states(sh.initType, clip3(0, 51, sh.SliceQPY))
                     self.qp_y_pred_prev = sh.SliceQPY
+                    self.last_cu_qp = sh.SliceQPY
                 elif pps.entropy_coding_sync_enabled_flag and is_row_start:
                     substream += 1
                     self.cabac = CabacDecoder(self.data, offsets[substream])
-                    # WPP context inheritance from CTB(1, row-1)
+                    # WPP context inheritance from CTB(1, row-1), only if the
+                    # above-right CTB is available (same slice/tile, spec 9.3.1)
                     saved = self.wpp_contexts.get(cy - 1)
-                    if saved is not None:
+                    ar_ok = self.available_zscan(xCtb, yCtb,
+                                                 xCtb + self.ctb_size,
+                                                 yCtb - self.ctb_size)                         if yCtb > 0 else False
+                    if self.pic_w_ctbs == 1:
+                        ar_ok = cy > 0 and self.available_zscan(
+                            xCtb, yCtb, xCtb, yCtb - self.ctb_size)
+                    if saved is not None and ar_ok:
                         self.ctx = saved.copy()
                     else:
                         self.ctx.init_states(sh.initType, clip3(0, 51, sh.SliceQPY))
                     self.qp_y_pred_prev = sh.SliceQPY
+                    self.last_cu_qp = sh.SliceQPY
             else:
-                if pps.entropy_coding_sync_enabled_flag and is_row_start and cy > 0:
+                if pps.entropy_coding_sync_enabled_flag and is_row_start and cy > 0 \
+                        and not sh.dependent_slice_segment_flag:
                     saved = self.wpp_contexts.get(cy - 1)
-                    if saved is not None and not sh.dependent_slice_segment_flag:
+                    # first CTB of a new slice at a row start: sync only if the
+                    # above-right CTB is in the same slice/tile
+                    ar_ok = self.available_zscan(xCtb, yCtb,
+                                                 xCtb + self.ctb_size,
+                                                 yCtb - self.ctb_size)
+                    if self.pic_w_ctbs == 1:
+                        ar_ok = self.available_zscan(xCtb, yCtb, xCtb,
+                                                     yCtb - self.ctb_size)
+                    if saved is not None and ar_ok:
                         self.ctx = saved.copy()
 
             # record slice ids

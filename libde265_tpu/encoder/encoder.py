@@ -58,6 +58,10 @@ class EncoderConfig:
     strong_intra_smoothing: bool = False
     intra_period: int = 0             # 0: only first frame intra
     write_hash_sei: bool = False      # append decoded-picture-hash suffix SEI
+    tiles: tuple = None               # (cols, rows) uniform tile grid
+    lf_across_tiles: bool = True
+    wpp: bool = False                 # entropy_coding_sync (one substream/row)
+    num_slices: int = 1               # independent slices per frame (CTB rows)
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -189,7 +193,6 @@ class Encoder:
                     pw.chroma_weight[l].append([1 << cfg.luma_log2_weight_denom] * 2)
                     pw.chroma_offset[l].append([0, 0])
             sh.pred_weight = pw
-        frame.slice_headers.append(sh)
 
         # reference lists from DPB (most recent first, like our RPS writes)
         refs = sorted([i for i, p in enumerate(self.dpb.pics)
@@ -208,17 +211,65 @@ class Encoder:
 
         if cfg.sao:
             self._decide_sao(frame)
-        sw = SliceWriter(frame, sh)
         emitter = _CUEmitter(self, slice_type)
         wc = self.sps.PicWidthInCtbsY
         hc = self.sps.PicHeightInCtbsY
-        for cy in range(hc):
-            for cx in range(wc):
-                last = (cy == hc - 1 and cx == wc - 1)
-                sw.write_ctb(cx, cy, emitter, last)
-        payload = bytes(hw.bytes) + sw.cabac.data()
-        nal = add_emulation_prevention(payload)
+        # partition CTB rows into slices
+        nsl = max(1, min(cfg.num_slices, hc))
+        rows_per = -(-hc // nsl)
+        slice_row0 = list(range(0, hc, rows_per))
+        nal = b""
+        nals = []
+        ts_to_rs = self.pps.CtbAddrTStoRS
+        for si, r0 in enumerate(slice_row0):
+            r1 = min(r0 + rows_per, hc)
+            seg_addr = r0 * wc
+            ssh = type(sh)()
+            ssh.__dict__.update(sh.__dict__)
+            ssh.slice_segment_address = seg_addr
+            ssh.SliceAddrRS = seg_addr
+            frame.slice_headers.append(ssh)
+            if self.motion is not None:
+                self.motion.sh = ssh
+            sw = SliceWriter(frame, ssh)
+            # CTBs of this slice in tile-scan order
+            addrs = [rs for rs in (ts_to_rs[t] for t in range(wc * hc))
+                     if r0 <= rs // wc < r1]
+            wpp_saved = {}
+            for i, rs in enumerate(addrs):
+                cx, cy = rs % wc, rs // wc
+                last_in_slice = (i == len(addrs) - 1)
+                last_ctb = last_in_slice
+                # substream boundary after this CTB?
+                boundary = None
+                if not last_in_slice:
+                    nrs = addrs[i + 1]
+                    if cfg.tiles and self.pps.TileId[nrs] != self.pps.TileId[rs]:
+                        boundary = "tile"
+                    elif cfg.wpp and (nrs % wc) == 0:
+                        boundary = "row"
+                sw.write_ctb(cx, cy, emitter, last_ctb,
+                             end_substream=boundary is not None)
+                if cfg.wpp and (cx == 1 or (wc == 1 and cx == 0)):
+                    wpp_saved[cy] = sw.snapshot_ctx()
+                if boundary == "tile":
+                    sw.start_substream(reinit=True)
+                elif boundary == "row":
+                    ncy = addrs[i + 1] // wc
+                    sw.start_substream(restore_ctx=wpp_saved.get(ncy - 1))
+            blobs = sw.finish()
+            stuffed = [add_emulation_prevention(b) for b in blobs]
+            entry_points = [len(b) for b in stuffed[:-1]]
+            hw2 = write_slice_header(cfg, nal_type, slice_type, poc_out,
+                                     first_ctb=seg_addr,
+                                     num_neg_refs=n_refs or 1,
+                                     num_active=n_refs or 1,
+                                     entry_points=entry_points)
+            payload = add_emulation_prevention(bytes(hw2.bytes)) + b"".join(stuffed)
+            nals.append(payload)
+        nal = None
 
+        out_nals = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
         # in-loop filters on the reference reconstruction
         if not cfg.disable_deblocking:
             from ..ops.deblock_ref import deblock_frame
@@ -234,7 +285,7 @@ class Encoder:
         pic.planes = self.recon
         pic.plan = frame
         pic.needed_for_output = False
-        return b"\x00\x00\x00\x01" + nal
+        return out_nals
 
     def _decide_sao(self, frame):
         """Deterministic per-CTB SAO parameters for stream generation."""

@@ -112,8 +112,14 @@ def write_pps(cfg):
     w.put_bit(1 if cfg.weighted_pred else 0)
     w.put_bit(0)       # weighted_bipred
     w.put_bit(0)       # transquant_bypass_enable
-    w.put_bit(0)       # tiles_enabled
-    w.put_bit(0)       # entropy_coding_sync
+    w.put_bit(1 if cfg.tiles else 0)       # tiles_enabled
+    w.put_bit(1 if cfg.wpp else 0)         # entropy_coding_sync
+    if cfg.tiles:
+        cols, rows = cfg.tiles
+        w.put_uvlc(cols - 1)
+        w.put_uvlc(rows - 1)
+        w.put_bit(1)   # uniform_spacing
+        w.put_bit(1 if cfg.lf_across_tiles else 0)
     w.put_bit(1)       # loop_filter_across_slices
     w.put_bit(1)       # deblocking_filter_control_present
     w.put_bit(0)       # deblocking_filter_override_enabled
@@ -131,7 +137,7 @@ def write_pps(cfg):
 
 
 def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
-                       num_neg_refs=1, num_active=None):
+                       num_neg_refs=1, num_active=None, entry_points=None):
     """Returns the BitWriter (caller appends CABAC data after alignment).
     slice_type: 0=B, 1=P, 2=I."""
     w = BitWriter()
@@ -182,7 +188,15 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
     # deblocking_filter_control_present=1, override_enabled=0 -> nothing
     if cfg.sao or not cfg.disable_deblocking:
         w.put_bit(1)  # slice_loop_filter_across_slices_enabled
-    # no tiles/wpp -> no entry points
+    if cfg.tiles or cfg.wpp:
+        eps = entry_points or []
+        w.put_uvlc(len(eps))
+        if eps:
+            maxlen = max(e.bit_length() for e in eps)
+            olen = max(1, maxlen)
+            w.put_uvlc(olen - 1)
+            for e in eps:
+                w.put_bits(e - 1, olen)
     w.put_bit(1)      # alignment bit
     w.byte_align_zero()
     return w

@@ -42,10 +42,11 @@ class SliceWriter:
         return self._avail.available(x_curr, y_curr, x_nb, y_nb)
 
     # ------------------------------------------------------------------
-    def write_ctb(self, cx, cy, cu_emitter, last_ctb, sao_params=None):
+    def write_ctb(self, cx, cy, cu_emitter, last_ctb, sao_params=None,
+                  end_substream=False):
         """cu_emitter(writer, x0, y0, log2, depth) emits each leaf CU.
-        sao_params: None (SAO off) or per-CTB dict already stored in
-        frame.sao by the encoder (written as never-merged)."""
+        end_substream: emit end_of_subset_one_bit + flush after this CTB
+        (tiles/WPP substream boundary)."""
         frame = self.frame
         frame.ctb_slice_seg[cy, cx] = self.sh.slice_segment_address
         frame.slice_addr_rs[cy, cx] = self.sh.SliceAddrRS
@@ -54,6 +55,36 @@ class SliceWriter:
             self._write_sao(cx, cy, xCtb, yCtb)
         self._quadtree(xCtb, yCtb, self.ctb_log2, 0, cu_emitter)
         self.cabac.encode_terminate(1 if last_ctb else 0)
+        if not last_ctb and end_substream:
+            self.cabac.encode_terminate(1)  # end_of_subset_one_bit + flush
+
+    def start_substream(self, reinit=False, restore_ctx=None):
+        """Collect the finished substream blob and restart the CABAC engine.
+        reinit: re-initialize contexts (tiles); restore_ctx: table copy to
+        restore (WPP row inheritance)."""
+        from .cabac_enc import CabacEncoder
+        if not hasattr(self, "blobs"):
+            self.blobs = []
+        if self.cabac.writer.bytes or not self.cabac.first_bit:
+            self.blobs.append(self.cabac.data())
+        self.cabac = CabacEncoder()
+        if reinit:
+            self.ctx.init_states(self.sh.initType,
+                                 clip3(0, 51, self.sh.SliceQPY))
+        elif restore_ctx is not None:
+            self.ctx = restore_ctx
+
+    def snapshot_ctx(self):
+        import copy
+        t = ContextModelTable.__new__(ContextModelTable)
+        t.models = [m[:] for m in self.ctx.models]
+        return t
+
+    def finish(self):
+        if not hasattr(self, "blobs"):
+            self.blobs = []
+        self.blobs.append(self.cabac.data())
+        return self.blobs
 
     def _write_sao(self, cx, cy, xCtb, yCtb):
         """Mirror of SliceReader._read_sao; writes merge flags as 0 and the

@@ -1371,6 +1371,8 @@ struct SliceReader {
       bool tile_start = ctb_ts == 0 ||
           pps.tile_id[rs] != pps.tile_id[pps.ts_to_rs[ctb_ts - 1]];
       bool row_start = cx == 0;
+      f.ctb_slice_seg[rs] = sh.seg_addr;     // record before availability use
+      f.slice_addr[rs] = sh.slice_addr_rs;
       if (!first) {
         if (pps.tiles && tile_start) {
           substream++;
@@ -1381,13 +1383,19 @@ struct SliceReader {
           substream++;
           cabac = Cabac(data, dlen, offs[substream]);
           auto it = ctx.wpp_ctx.find(cy - 1);
-          if (it != ctx.wpp_ctx.end()) ct = it->second;
+          bool ar_ok = wctbs == 1
+              ? avail(xctb, yctb, xctb, yctb - ctb_size)
+              : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
+          if (it != ctx.wpp_ctx.end() && ar_ok) ct = it->second;
           else ct.init(sh.init_type, clip3(0, 51, sh.qp));
           qp_prev = sh.qp; last_cu_qp = sh.qp;
         }
       } else if (pps.wpp && row_start && cy > 0 && !sh.dependent) {
         auto it = ctx.wpp_ctx.find(cy - 1);
-        if (it != ctx.wpp_ctx.end()) ct = it->second;
+        bool ar_ok = wctbs == 1
+            ? avail(xctb, yctb, xctb, yctb - ctb_size)
+            : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
+        if (it != ctx.wpp_ctx.end() && ar_ok) ct = it->second;
       }
       f.ctb_slice_seg[rs] = sh.seg_addr;
       f.slice_addr[rs] = sh.slice_addr_rs;

@@ -63,6 +63,19 @@ CASES = [
                                      temporal_mvp=True)),
     ("i_deblk_sao", 64, 64, 2, dict(intra_period=1, disable_deblocking=False,
                                     sao=True)),
+    # parallelism structures (WPP / tiles / multi-slice)
+    ("p_wppx", 96, 96, 3, dict(wpp=True, inter_mode="mixed", inter_residual=True)),
+    ("p_tiles22", 128, 96, 3, dict(tiles=(2, 2), inter_mode="mixed",
+                                   inter_residual=True)),
+    ("p_slices2", 96, 96, 3, dict(num_slices=2, inter_mode="mixed",
+                                  inter_residual=True)),
+    ("p_slices2wpp", 96, 96, 3, dict(num_slices=2, wpp=True, inter_mode="mixed",
+                                     inter_residual=True)),
+    ("p_tiles_nolf", 128, 64, 2, dict(tiles=(2, 1), lf_across_tiles=False,
+                                      disable_deblocking=False,
+                                      inter_mode="mixed", inter_residual=True)),
+    ("p_hash_sei", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
+                                   write_hash_sei=True)),
 ]
 
 
