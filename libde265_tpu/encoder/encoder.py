@@ -62,6 +62,7 @@ class EncoderConfig:
     lf_across_tiles: bool = True
     wpp: bool = False                 # entropy_coding_sync (one substream/row)
     num_slices: int = 1               # independent slices per frame (CTB rows)
+    scaling_lists: bool = False       # enable SPS default scaling lists
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -366,18 +367,26 @@ class Encoder:
         return chroma_qp_from_luma(qpi, self.sps.ChromaArrayType)
 
     # basis-projection quantization ------------------------------------
-    def _basis(self, log2, qp, is_dst):
-        key = (log2, qp, is_dst)
+    def _smat(self, log2, cidx, is_intra):
+        if not self.cfg.scaling_lists:
+            return None, None
+        from ..reconstruct import _scaling_matrix
+        return _scaling_matrix(self.sps.scaling_list, log2, cidx, is_intra)
+
+    def _basis(self, log2, qp, is_dst, cidx=0, is_intra=True):
+        key = (log2, qp, is_dst, cidx if self.cfg.scaling_lists else 0,
+               is_intra if self.cfg.scaling_lists else True)
         if key in self._basis_cache:
             return self._basis_cache[key]
         n = 1 << log2
+        smat, sdc = self._smat(log2, cidx, is_intra)
         eye = np.zeros((n * n, n, n), np.int32)
         for k in range(n * n):
             eye[k, k // n, k % n] = 1
         # decoder impulse response of a unit level at each coeff position
         resp = np.stack([
             transform_ref.scale_and_inv_transform(
-                eye[k], qp, log2, is_dst, False, False)
+                eye[k], qp, log2, is_dst, False, False, 8, smat, sdc)
             for k in range(n * n)])
         flat = resp.reshape(n * n, n * n).astype(np.float64)
         norms = (flat * flat).sum(1)
@@ -385,10 +394,10 @@ class Encoder:
         self._basis_cache[key] = (flat, norms)
         return flat, norms
 
-    def _quantize(self, residual, log2, qp, is_dst):
+    def _quantize(self, residual, log2, qp, is_dst, cidx=0, is_intra=True):
         """Project residual onto decoder impulse-response basis -> levels."""
         n = 1 << log2
-        flat, norms = self._basis(log2, qp, is_dst)
+        flat, norms = self._basis(log2, qp, is_dst, cidx, is_intra)
         proj = flat @ residual.astype(np.float64).ravel() / norms
         levels = np.round(proj).astype(np.int32).reshape(n, n)
         return np.clip(levels, -32767, 32767)
@@ -401,7 +410,7 @@ class Encoder:
         src = self.src[cidx][y:y + n, x:x + n].astype(np.int32)
         residual = src - pred
         is_dst = (cidx == 0 and log2 == 2)
-        q = self._quantize(residual, log2, self._qp_for(cidx), is_dst)
+        q = self._quantize(residual, log2, self._qp_for(cidx), is_dst, cidx, True)
         if not q.any():
             return None
         return q
@@ -420,8 +429,10 @@ class Encoder:
         n = 1 << log2
         if coeffs is not None:
             is_dst = (cidx == 0 and log2 == 2)
+            smat, sdc = self._smat(log2, cidx, True)
             res = transform_ref.scale_and_inv_transform(
-                coeffs, self._qp_for(cidx), log2, is_dst, False, False)
+                coeffs, self._qp_for(cidx), log2, is_dst, False, False, 8,
+                smat, sdc)
             out = np.clip(pred + res, 0, 255)
         else:
             out = np.clip(pred, 0, 255)
@@ -463,7 +474,7 @@ class Encoder:
         if with_residual:
             src = self.src[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
             residual = src - pred[0]
-            coeffs = self._quantize(residual, log2_size, self.cfg.qp, False)
+            coeffs = self._quantize(residual, log2_size, self.cfg.qp, False, 0, False)
             if not coeffs.any():
                 coeffs = None
         # rqt_root_cbf (merge==0 -> always present)
@@ -474,8 +485,10 @@ class Encoder:
             sw.write_cbf_chroma(0, False)
             sw.write_cbf_chroma(0, False)
             sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG)
+            smat, sdc = self._smat(log2_size, 0, False)
             res = transform_ref.scale_and_inv_transform(
-                coeffs, self.cfg.qp, log2_size, False, False, False)
+                coeffs, self.cfg.qp, log2_size, False, False, False, 8,
+                smat, sdc)
             out = np.clip(pred[0] + res, 0, 255)
             self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(np.uint8)
             self.recon[1][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \

@@ -74,7 +74,11 @@ def write_sps(cfg):
     w.put_uvlc(cfg.log2_max_tb - cfg.log2_min_tb)
     w.put_uvlc(cfg.max_transform_hierarchy_depth_inter)
     w.put_uvlc(cfg.max_transform_hierarchy_depth_intra)
-    w.put_bit(0)       # scaling_list_enable
+    if getattr(cfg, "scaling_lists", False):
+        w.put_bit(1)   # scaling_list_enable
+        w.put_bit(0)   # sps_scaling_list_data_present -> default lists
+    else:
+        w.put_bit(0)   # scaling_list_enable
     w.put_bit(1 if cfg.amp else 0)
     w.put_bit(1 if cfg.sao else 0)
     w.put_bit(0)       # pcm_enabled

@@ -167,40 +167,7 @@ class NativeFrontend:
                 s.pred_weight = None
             plan.slice_headers.append(s)
 
-        # TU records
-        pcm_off = 0
-        for i in range(n_tus):
-            (cidx, x, y, log2, imode, qp, tskip, tqb, pm, coff) = \
-                [int(v) for v in tu_meta[i]]
-            n = 1 << log2
-            if cidx == -1:
-                tu = TURecord(cidx=-1, x=x, y=y, log2=log2, intra_mode=-1,
-                              qp=0, transform_skip=False, tq_bypass=False,
-                              pred_mode=MODE_INTRA, coeffs=None)
-                ysz = n * n
-                csz = (n // 2) * (n // 2)
-                tu.pcm_y = pcm[coff:coff + ysz].reshape(n, n).astype(np.uint16)
-                tu.pcm_c = pcm[coff + ysz:coff + ysz + 2 * csz].reshape(
-                    2, n // 2, n // 2).astype(np.uint16)
-                plan.tus.append(tu)
-                continue
-            cf = None
-            if coff >= 0:
-                cf = coeffs[coff:coff + n * n].reshape(n, n).astype(np.int32)
-            plan.tus.append(TURecord(
-                cidx=cidx, x=x, y=y, log2=log2, intra_mode=imode, qp=qp,
-                transform_skip=bool(tskip), tq_bypass=bool(tqb),
-                pred_mode=pm, coeffs=cf))
-        # PU records
-        for i in range(n_pus):
-            m = [int(v) for v in pu_meta[i]]
-            pu = PURecord(
-                x=m[0], y=m[1], w=m[2], h=m[3],
-                pred_flag=(m[4], m[5]),
-                mv=((m[6], m[7]), (m[8], m[9])),
-                ref_idx=(m[10], m[11]),
-                ref_poc=(m[12], m[13]),
-                ref_dpb=(m[14], m[15]))   # decode-order frame ids
-            pu.slice_header = plan.slice_headers[m[16]]
-            plan.pus.append(pu)
+        # lazy record lists: raw arrays attached, materialized on access
+        plan._tu_arrays = (tu_meta[:n_tus], coeffs, pcm)
+        plan._pu_arrays = (pu_meta[:n_pus], plan.slice_headers)
         return plan

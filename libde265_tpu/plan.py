@@ -115,9 +115,12 @@ class FramePlan:
             band_pos=np.zeros((nctby, nctbx, 3), np.uint8),
             offsets=np.zeros((nctby, nctbx, 3, 4), np.int16),
         )
-        # work lists in decode order
-        self.tus: List[TURecord] = []
-        self.pus: List[PURecord] = []
+        # work lists in decode order (lazily materialized when the native
+        # front-end supplies raw arrays instead)
+        self._tus: List[TURecord] = []
+        self._pus: List[PURecord] = []
+        self._tu_arrays = None   # (tu_meta, coeff_pool, pcm_pool)
+        self._pu_arrays = None   # (pu_meta, slice_headers)
         # per-slice info for loop filters / reconstruction
         self.slice_headers = []
         # reconstructed planes (filled by backend)
@@ -130,6 +133,73 @@ class FramePlan:
         self.cref_poc = np.zeros((mh, mw, 2), np.int32)
         self.cis_long_term = np.zeros((mh, mw, 2), np.uint8)
         self.cintra = np.ones((mh, mw), np.uint8)
+
+    @property
+    def tus(self):
+        if self._tu_arrays is not None:
+            self._materialize_tus()
+        return self._tus
+
+    @tus.setter
+    def tus(self, v):
+        self._tus = v
+        self._tu_arrays = None
+
+    @property
+    def pus(self):
+        if self._pu_arrays is not None:
+            self._materialize_pus()
+        return self._pus
+
+    @pus.setter
+    def pus(self, v):
+        self._pus = v
+        self._pu_arrays = None
+
+    def _materialize_tus(self):
+        tu_meta, coeffs, pcm = self._tu_arrays
+        self._tu_arrays = None
+        out = []
+        for i in range(tu_meta.shape[0]):
+            (cidx, x, y, log2, imode, qp, tskip, tqb, pm, coff) = \
+                (int(v) for v in tu_meta[i])
+            n = 1 << log2
+            if cidx == -1:
+                tu = TURecord(cidx=-1, x=x, y=y, log2=log2, intra_mode=-1,
+                              qp=0, transform_skip=False, tq_bypass=False,
+                              pred_mode=MODE_INTRA, coeffs=None)
+                ysz = n * n
+                csz = (n // 2) * (n // 2)
+                tu.pcm_y = pcm[coff:coff + ysz].reshape(n, n).astype(np.uint16)
+                tu.pcm_c = pcm[coff + ysz:coff + ysz + 2 * csz].reshape(
+                    2, n // 2, n // 2).astype(np.uint16)
+                out.append(tu)
+                continue
+            cf = None
+            if coff >= 0:
+                cf = coeffs[coff:coff + n * n].reshape(n, n).astype(np.int32)
+            out.append(TURecord(
+                cidx=cidx, x=x, y=y, log2=log2, intra_mode=imode, qp=qp,
+                transform_skip=bool(tskip), tq_bypass=bool(tqb),
+                pred_mode=pm, coeffs=cf))
+        self._tus = out
+
+    def _materialize_pus(self):
+        pu_meta, shs = self._pu_arrays
+        self._pu_arrays = None
+        out = []
+        for i in range(pu_meta.shape[0]):
+            m = [int(v) for v in pu_meta[i]]
+            pu = PURecord(
+                x=m[0], y=m[1], w=m[2], h=m[3],
+                pred_flag=(m[4], m[5]),
+                mv=((m[6], m[7]), (m[8], m[9])),
+                ref_idx=(m[10], m[11]),
+                ref_poc=(m[12], m[13]),
+                ref_dpb=(m[14], m[15]))
+            pu.slice_header = shs[m[16]]
+            out.append(pu)
+        self._pus = out
 
     def compress_motion(self):
         """Subsample the 4x4 motion field to 16x16 (spec: TMVP uses the

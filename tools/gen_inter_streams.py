@@ -76,6 +76,8 @@ CASES = [
                                       inter_mode="mixed", inter_residual=True)),
     ("p_hash_sei", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
                                    write_hash_sei=True)),
+    ("p_scaling", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
+                                  scaling_lists=True)),
 ]
 
 
