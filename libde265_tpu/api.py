@@ -101,14 +101,18 @@ class _RefShim:
         self.pics[fid] = p
 
 
-def decode_stream_native(data: bytes, **kw):
+def decode_stream_native(data: bytes, backend="numpy", **kw):
     """Decode a whole Annex-B stream using the C++ front-end
-    (native/libhevc_frontend.so) + the Python/JAX reconstruction backend.
-    Returns pictures in output order, same results as decode_stream()."""
+    (native/libhevc_frontend.so) + the selected reconstruction backend
+    ("numpy" reference or "device" = batched JAX/TPU pipeline).
+    Returns pictures in output order, same results either way."""
     from .native_frontend import NativeFrontend
     from .bitstream.nal import split_annexb
     from .bitstream.paramsets import read_sps, read_pps
-    from .reconstruct import reconstruct_frame
+    if backend == "device":
+        from .device_decode import reconstruct_frame_device as reconstruct_frame
+    else:
+        from .reconstruct import reconstruct_frame
     import numpy as np
 
     spss, ppss = {}, {}

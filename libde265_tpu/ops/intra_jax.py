@@ -264,15 +264,21 @@ def intra_reconstruct_device(plan, planes, bitdepth=8, strong=False):
                 has = np.zeros(Np, bool)
                 coeffs_std = []
                 std_idx = []
+                use_sl = bool(plan.sps.scaling_list_enable_flag)
                 for i, tu in enumerate(tus):
                     if tu.coeffs is None:
                         continue
                     has[i] = True
-                    if tu.tq_bypass or tu.transform_skip:
+                    if tu.tq_bypass or tu.transform_skip or use_sl:
+                        smat = sdc = None
+                        if use_sl and not tu.tq_bypass:
+                            from ..reconstruct import _scaling_matrix
+                            smat, sdc = _scaling_matrix(
+                                plan.sps.scaling_list, log2, cidx, True)
                         res[i] = scale_and_inv_transform(
                             tu.coeffs, tu.qp, log2,
                             cidx == 0 and log2 == 2, tu.transform_skip,
-                            tu.tq_bypass, bitdepth)
+                            tu.tq_bypass, bitdepth, smat, sdc)
                     else:
                         std_idx.append(i)
                         coeffs_std.append(tu.coeffs)

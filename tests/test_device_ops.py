@@ -61,3 +61,20 @@ def test_device_mc_match(name):
         for a, b in zip(planes_ref, planes_dev):
             assert np.array_equal(a, b)
         refs.add(plan.frame_id, plan, planes_ref)
+
+
+@pytest.mark.parametrize("name", ["p_filters"])
+def test_full_device_pipeline(name):
+    """decode_stream_native(backend='device') must be bit-exact."""
+    import json
+    from libde265_tpu.api import decode_stream_native
+    m = json.load(open(os.path.join(os.path.dirname(__file__), "data",
+                                    "manifest_inter.json")))[name]
+    pics = decode_stream_native(
+        open(os.path.join(os.path.dirname(__file__), "data", name + ".bin"),
+             "rb").read(), backend="device")
+    assert len(pics) == m["frames"]
+    for i, pic in enumerate(pics):
+        got = [pic.plane_md5(c) for c in range(3)]
+        want = [m["md5"][i][k] for k in ("y", "u", "v")]
+        assert got == want
