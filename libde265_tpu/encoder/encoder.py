@@ -63,6 +63,7 @@ class EncoderConfig:
     wpp: bool = False                 # entropy_coding_sync (one substream/row)
     num_slices: int = 1               # independent slices per frame (CTB rows)
     scaling_lists: bool = False       # enable SPS default scaling lists
+    tq_bypass: bool = False           # every 3rd CU coded lossless
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -98,6 +99,10 @@ class _CUEmitter:
         enc = self.enc
         idx = self.cu_count
         self.cu_count += 1
+        enc._cur_bypass = False
+        if enc.cfg.tq_bypass:
+            enc._cur_bypass = (idx % 3 == 0)
+            sw.write_tq_bypass(x0, y0, 1 << log2_size, enc._cur_bypass)
         if self.slice_type == SLICE_TYPE_I:
             enc._emit_intra_cu(sw, x0, y0, log2_size, depth, idx)
         else:
@@ -409,6 +414,9 @@ class Encoder:
         n = 1 << log2
         src = self.src[cidx][y:y + n, x:x + n].astype(np.int32)
         residual = src - pred
+        if getattr(self, "_cur_bypass", False):
+            q = np.clip(residual, -32767, 32767).astype(np.int32)
+            return q if q.any() else None
         is_dst = (cidx == 0 and log2 == 2)
         q = self._quantize(residual, log2, self._qp_for(cidx), is_dst, cidx, True)
         if not q.any():
@@ -430,8 +438,11 @@ class Encoder:
         if coeffs is not None:
             is_dst = (cidx == 0 and log2 == 2)
             smat, sdc = self._smat(log2, cidx, True)
+            if getattr(self, "_cur_bypass", False):
+                smat = sdc = None
             res = transform_ref.scale_and_inv_transform(
-                coeffs, self._qp_for(cidx), log2, is_dst, False, False, 8,
+                coeffs, self._qp_for(cidx), log2, is_dst, False,
+                getattr(self, "_cur_bypass", False) and True, 8,
                 smat, sdc)
             out = np.clip(pred + res, 0, 255)
         else:
@@ -474,7 +485,11 @@ class Encoder:
         if with_residual:
             src = self.src[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
             residual = src - pred[0]
-            coeffs = self._quantize(residual, log2_size, self.cfg.qp, False, 0, False)
+            if getattr(self, "_cur_bypass", False):
+                coeffs = np.clip(residual, -32767, 32767).astype(np.int32)
+            else:
+                coeffs = self._quantize(residual, log2_size, self.cfg.qp,
+                                        False, 0, False)
             if not coeffs.any():
                 coeffs = None
         # rqt_root_cbf (merge==0 -> always present)
@@ -486,8 +501,11 @@ class Encoder:
             sw.write_cbf_chroma(0, False)
             sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG)
             smat, sdc = self._smat(log2_size, 0, False)
+            byp = getattr(self, "_cur_bypass", False)
+            if byp:
+                smat = sdc = None
             res = transform_ref.scale_and_inv_transform(
-                coeffs, self.cfg.qp, log2_size, False, False, False, 8,
+                coeffs, self.cfg.qp, log2_size, False, False, byp, 8,
                 smat, sdc)
             out = np.clip(pred[0] + res, 0, 255)
             self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(np.uint8)

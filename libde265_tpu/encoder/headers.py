@@ -115,7 +115,7 @@ def write_pps(cfg):
     w.put_bit(0)       # slice_chroma_qp_offsets_present
     w.put_bit(1 if cfg.weighted_pred else 0)
     w.put_bit(0)       # weighted_bipred
-    w.put_bit(0)       # transquant_bypass_enable
+    w.put_bit(1 if getattr(cfg, 'tq_bypass', False) else 0)  # transquant_bypass_enable
     w.put_bit(1 if cfg.tiles else 0)       # tiles_enabled
     w.put_bit(1 if cfg.wpp else 0)         # entropy_coding_sync
     if cfg.tiles:

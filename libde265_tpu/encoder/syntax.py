@@ -167,6 +167,13 @@ class SliceWriter:
         f.skip_flag[gy:gy + gs, gx:gx + gs] = 1 if skip else 0
         f.qp_y[gy:gy + gs, gx:gx + gs] = self.sh.SliceQPY
 
+    def write_tq_bypass(self, x0, y0, size, flag):
+        self.cabac.encode_bin(self.ctx.at("cu_transquant_bypass_flag"),
+                              1 if flag else 0)
+        f = self.frame
+        gx, gy, gs = x0 >> 2, y0 >> 2, size >> 2
+        f.tq_bypass[gy:gy + gs, gx:gx + gs] = 1 if flag else 0
+
     def write_skip_flag(self, x0, y0, skip):
         f = self.frame
         gx, gy = x0 >> 2, y0 >> 2

@@ -78,6 +78,8 @@ CASES = [
                                    write_hash_sei=True)),
     ("p_scaling", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
                                   scaling_lists=True)),
+    ("p_tqbypass", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
+                                   tq_bypass=True)),
 ]
 
 
