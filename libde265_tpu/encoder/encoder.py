@@ -64,6 +64,7 @@ class EncoderConfig:
     num_slices: int = 1               # independent slices per frame (CTB rows)
     scaling_lists: bool = False       # enable SPS default scaling lists
     tq_bypass: bool = False           # every 3rd CU coded lossless
+    dependent_slices: bool = False    # slices 2..n emitted as dependent segs
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -227,17 +228,20 @@ class Encoder:
         nal = b""
         nals = []
         ts_to_rs = self.pps.CtbAddrTStoRS
+        prev_ctx = None
         for si, r0 in enumerate(slice_row0):
             r1 = min(r0 + rows_per, hc)
             seg_addr = r0 * wc
+            dependent = cfg.dependent_slices and si > 0
             ssh = type(sh)()
             ssh.__dict__.update(sh.__dict__)
             ssh.slice_segment_address = seg_addr
-            ssh.SliceAddrRS = seg_addr
+            ssh.SliceAddrRS = 0 if dependent else seg_addr
             frame.slice_headers.append(ssh)
             if self.motion is not None:
                 self.motion.sh = ssh
-            sw = SliceWriter(frame, ssh)
+            sw = SliceWriter(frame, ssh,
+                             init_ctx=prev_ctx if dependent else None)
             # CTBs of this slice in tile-scan order
             addrs = [rs for rs in (ts_to_rs[t] for t in range(wc * hc))
                      if r0 <= rs // wc < r1]
@@ -266,11 +270,13 @@ class Encoder:
             blobs = sw.finish()
             stuffed = [add_emulation_prevention(b) for b in blobs]
             entry_points = [len(b) for b in stuffed[:-1]]
+            prev_ctx = sw.snapshot_ctx()
             hw2 = write_slice_header(cfg, nal_type, slice_type, poc_out,
                                      first_ctb=seg_addr,
                                      num_neg_refs=n_refs or 1,
                                      num_active=n_refs or 1,
-                                     entry_points=entry_points)
+                                     entry_points=entry_points,
+                                     dependent=dependent)
             payload = add_emulation_prevention(bytes(hw2.bytes)) + b"".join(stuffed)
             nals.append(payload)
         nal = None

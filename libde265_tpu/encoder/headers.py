@@ -97,7 +97,7 @@ def write_pps(cfg):
     nal_header(w, NAL_PPS_NUT)
     w.put_uvlc(0)      # pps id
     w.put_uvlc(0)      # sps id
-    w.put_bit(0)       # dependent_slice_segments_enabled
+    w.put_bit(1 if getattr(cfg, 'dependent_slices', False) else 0)  # dependent_slice_segments_enabled
     w.put_bit(0)       # output_flag_present
     w.put_bits(0, 3)   # num_extra_slice_header_bits
     w.put_bit(1 if cfg.sign_data_hiding else 0)
@@ -141,20 +141,36 @@ def write_pps(cfg):
 
 
 def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
-                       num_neg_refs=1, num_active=None, entry_points=None):
+                       num_neg_refs=1, num_active=None, entry_points=None,
+                       dependent=False):
+    kwargs_dependent = [dependent]
     """Returns the BitWriter (caller appends CABAC data after alignment).
     slice_type: 0=B, 1=P, 2=I."""
     w = BitWriter()
     nal_header(w, nal_type)
     first = first_ctb == 0
+    dependent = kwargs_dependent[0]
     w.put_bit(1 if first else 0)  # first_slice_segment_in_pic_flag
     if nal_type >= 16 and nal_type <= 23:
         w.put_bit(0)  # no_output_of_prior_pics
     w.put_uvlc(0)     # pps id
     if not first:
-        import math
+        if getattr(cfg, 'dependent_slices', False):
+            w.put_bit(1 if dependent else 0)
         n = max(1, (cfg.pic_size_in_ctbs - 1).bit_length())
         w.put_bits(first_ctb, n)
+    if dependent:
+        if cfg.tiles or cfg.wpp:
+            eps = entry_points or []
+            w.put_uvlc(len(eps))
+            if eps:
+                olen = max(1, max(e.bit_length() for e in eps))
+                w.put_uvlc(olen - 1)
+                for e in eps:
+                    w.put_bits(e - 1, olen)
+        w.put_bit(1)
+        w.byte_align_zero()
+        return w
     w.put_uvlc(slice_type)
     if not (16 <= nal_type <= 20 and nal_type in (19, 20)):
         pass

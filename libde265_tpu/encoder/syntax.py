@@ -19,13 +19,16 @@ from ..plan import FramePlan, MODE_INTRA, MODE_INTER, PART_2Nx2N, PART_NxN
 class SliceWriter:
     """Writes one slice's CTU data; mirrors SliceReader's state machine."""
 
-    def __init__(self, frame: FramePlan, sh):
+    def __init__(self, frame: FramePlan, sh, init_ctx=None):
         self.frame = frame
         self.sps = frame.sps
         self.pps = frame.pps
         self.sh = sh
-        self.ctx = ContextModelTable()
-        self.ctx.init_states(sh.initType, clip3(0, 51, sh.SliceQPY))
+        if init_ctx is not None:
+            self.ctx = init_ctx
+        else:
+            self.ctx = ContextModelTable()
+            self.ctx.init_states(sh.initType, clip3(0, 51, sh.SliceQPY))
         self.cabac = CabacEncoder()
         self.ctb_log2 = self.sps.Log2CtbSizeY
         self.ctb_size = self.sps.CtbSizeY

@@ -80,6 +80,8 @@ CASES = [
                                   scaling_lists=True)),
     ("p_tqbypass", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
                                    tq_bypass=True)),
+    ("p_depslices", 96, 96, 3, dict(inter_mode="mixed", inter_residual=True,
+                                    num_slices=3, dependent_slices=True)),
 ]
 
 
