@@ -65,6 +65,7 @@ class EncoderConfig:
     scaling_lists: bool = False       # enable SPS default scaling lists
     tq_bypass: bool = False           # every 3rd CU coded lossless
     dependent_slices: bool = False    # slices 2..n emitted as dependent segs
+    b_frames: bool = False            # code inter frames as (generalized) B
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -155,7 +156,13 @@ class Encoder:
 
     def _encode_frame(self, src_planes, poc, intra):
         cfg = self.cfg
-        slice_type = SLICE_TYPE_I if intra else SLICE_TYPE_P
+        from ..bitstream.sliceheader import SLICE_TYPE_B
+        if intra:
+            slice_type = SLICE_TYPE_I
+        elif cfg.b_frames:
+            slice_type = SLICE_TYPE_B
+        else:
+            slice_type = SLICE_TYPE_P
         nal_type = 19 if intra else 1    # IDR_W_RADL / TRAIL_R
         if intra:
             self.dpb.clear_references()
@@ -175,12 +182,12 @@ class Encoder:
         sh = SliceHeader()
         sh.slice_type = slice_type
         sh.SliceQPY = cfg.qp
-        sh.initType = 0 if intra else 1
+        sh.initType = 0 if intra else (2 if cfg.b_frames else 1)
         sh.slice_segment_address = 0
         sh.SliceAddrRS = 0
         sh.MaxNumMergeCand = cfg.max_merge_cand
         sh.num_ref_idx_l0_active = n_refs or 1
-        sh.num_ref_idx_l1_active = 0
+        sh.num_ref_idx_l1_active = (n_refs or 1) if (cfg.b_frames and not intra) else 0
         sh.slice_temporal_mvp_enabled_flag = 1 if (cfg.temporal_mvp and not intra) else 0
         sh.collocated_from_l0_flag = 1
         sh.collocated_ref_idx = 0
@@ -205,9 +212,15 @@ class Encoder:
         refs = sorted([i for i, p in enumerate(self.dpb.pics)
                        if p.state == SHORT_TERM and p.poc < poc_out],
                       key=lambda i: -self.dpb.pics[i].poc)[:max(1, n_refs)]
-        sh.RefPicList = [refs, []]
-        sh.RefPOC = [[self.dpb.pics[i].poc for i in refs], []]
-        sh.RefIsLongTerm = [[False] * len(refs), []]
+        if cfg.b_frames and not intra:
+            # generalized B: L1 = after(empty)+before = same past refs
+            sh.RefPicList = [refs, list(refs)]
+            sh.RefPOC = [[self.dpb.pics[i].poc for i in refs]] * 2
+            sh.RefIsLongTerm = [[False] * len(refs)] * 2
+        else:
+            sh.RefPicList = [refs, []]
+            sh.RefPOC = [[self.dpb.pics[i].poc for i in refs], []]
+            sh.RefIsLongTerm = [[False] * len(refs), []]
 
         self.frame = frame
         self.src = src_planes
@@ -470,21 +483,36 @@ class Encoder:
 
     def _emit_mv_cu(self, sw, x0, y0, log2_size, depth, idx, with_residual):
         cfg = self.cfg
+        from ..bitstream.sliceheader import SLICE_TYPE_B
         sw.write_skip_flag(x0, y0, False)
         sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTER, False)
         sw.write_pred_mode(False)
         sw.write_part_mode_inter_2nx2n(log2_size)
         # prediction unit: explicit MV (no merge)
         sw.write_merge_flag(False)
-        n_act = sw.sh.num_ref_idx_l0_active
-        ref_idx = idx % n_act
-        sw.write_ref_idx(ref_idx, n_act)
-        mvd = cfg.mv_patterns[idx % len(cfg.mv_patterns)]
-        sw.write_mvd(mvd)
-        sw.write_mvp_flag(0)
         size = 1 << log2_size
+        is_b = sw.sh.slice_type == SLICE_TYPE_B
+        inter_dir = (0, 2, 1, 2)[idx % 4] if is_b else 0  # L0/BI/L1/BI cycle
+        if is_b:
+            sw.write_inter_pred_idc(inter_dir, size, size, depth)
+        n_act0 = sw.sh.num_ref_idx_l0_active
+        n_act1 = sw.sh.num_ref_idx_l1_active
+        mvd0 = cfg.mv_patterns[idx % len(cfg.mv_patterns)]
+        mvd1 = cfg.mv_patterns[(idx + 3) % len(cfg.mv_patterns)]
+        ref_idx = idx % n_act0
+        ref1 = idx % n_act1 if n_act1 else 0
+        if inter_dir != 1:
+            sw.write_ref_idx(ref_idx, n_act0)
+            sw.write_mvd(mvd0)
+            sw.write_mvp_flag(0)
+        if inter_dir != 0:
+            sw.write_ref_idx(ref1, n_act1)
+            sw.write_mvd(mvd1)
+            sw.write_mvp_flag(0)
         self.motion.decode_amvp(sw, x0, y0, x0, y0, size, size, 0, PART_2Nx2N,
-                                depth, 0, [ref_idx, 0], [mvd, (0, 0)], [0, 0])
+                                depth, inter_dir, [ref_idx, ref1],
+                                [mvd0 if inter_dir != 1 else (0, 0),
+                                 mvd1 if inter_dir != 0 else (0, 0)], [0, 0])
         pu = self.frame.pus[-1]
         pred = self._recon_inter_pu(pu, write=False)
         coeffs = None

@@ -103,7 +103,8 @@ def write_pps(cfg):
     w.put_bit(1 if cfg.sign_data_hiding else 0)
     w.put_bit(0)       # cabac_init_present
     w.put_uvlc(cfg.num_ref_l0 - 1)
-    w.put_uvlc(0)      # num_ref_idx_l1_default_minus1
+    # l1 default mirrors l0 for generalized-B configurations
+    w.put_uvlc((cfg.num_ref_l0 - 1) if getattr(cfg, 'b_frames', False) else 0)
     w.put_svlc(cfg.qp - 26)
     w.put_bit(0)       # constrained_intra_pred
     w.put_bit(1 if cfg.transform_skip else 0)
@@ -192,11 +193,16 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
         if num_active is not None and num_active != cfg.num_ref_l0:
             w.put_bit(1)  # num_ref_idx_active_override
             w.put_uvlc(num_active - 1)
+            if slice_type == 0:
+                w.put_uvlc(num_active - 1)  # l1
         else:
             w.put_bit(0)  # num_ref_idx_active_override
+        if slice_type == 0:
+            w.put_bit(0)  # mvd_l1_zero_flag
         if cfg.temporal_mvp:
-            # collocated_from_l0 defaults 1 for P; collocated_ref_idx: only
-            # read when num_ref_active>1
+            # collocated_from_l0 defaults 1 for P; explicit for B
+            if slice_type == 0:
+                w.put_bit(1)   # collocated_from_l0_flag
             na = num_active if num_active is not None else cfg.num_ref_l0
             if na > 1:
                 w.put_uvlc(0)  # collocated_ref_idx

@@ -237,6 +237,15 @@ class SliceWriter:
                         c.encode_bypass(0)
                         break
 
+    def write_inter_pred_idc(self, idc, w, h, ct_depth):
+        # 0=L0, 1=L1, 2=BI (spec 9.3.3.7 binarization)
+        c = self.cabac
+        if w + h != 12:
+            c.encode_bin(self.ctx.at("inter_pred_idc", ct_depth), 1 if idc == 2 else 0)
+            if idc == 2:
+                return
+        c.encode_bin(self.ctx.at("inter_pred_idc", 4), 1 if idc == 1 else 0)
+
     def write_mvp_flag(self, flag):
         self.cabac.encode_bin(self.ctx.at("mvp_flag"), flag)
 

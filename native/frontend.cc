@@ -218,19 +218,45 @@ static void trace_open() {
 }
 struct Cabac {
   const uint8_t* data; size_t len;
-  size_t bytepos; int bitcnt;
+  size_t bytepos;        // next byte to load into the cache
+  uint64_t cache;        // MSB-first bit cache
+  int cache_bits;        // valid bits in cache
   uint32_t range, offset;
   Cabac(const uint8_t* d, size_t l, size_t start) : data(d), len(l),
-      bytepos(start), bitcnt(0) { init_engine(); }
+      bytepos(start), cache(0), cache_bits(0) { init_engine(); }
   void init_engine() {
     range = 510; offset = 0;
     for (int i = 0; i < 9; i++) offset = (offset << 1) | read_bit();
   }
-  int read_bit() {
-    int b = 0;
-    if (bytepos < len) b = (data[bytepos] >> (7 - bitcnt)) & 1;
-    if (++bitcnt == 8) { bitcnt = 0; bytepos++; }
+  inline void refill() {
+    while (cache_bits <= 56) {
+      uint64_t b = bytepos < len ? data[bytepos] : 0;
+      bytepos++;
+      cache |= b << (56 - cache_bits);
+      cache_bits += 8;
+    }
+  }
+  inline int read_bit() {
+    if (cache_bits == 0) refill();
+    int b = (int)(cache >> 63);
+    cache <<= 1;
+    cache_bits--;
     return b;
+  }
+  inline uint32_t read_bits(int n) {
+    if (cache_bits < n) refill();
+    uint32_t v = (uint32_t)(cache >> (64 - n));
+    cache <<= n;
+    cache_bits -= n;
+    return v;
+  }
+  // total bits consumed from the stream so far
+  size_t bit_pos() const { return bytepos * 8 - cache_bits; }
+  void seek_bits(size_t bitpos) {
+    bytepos = bitpos >> 3;
+    cache = 0; cache_bits = 0;
+    int skip = (int)(bitpos & 7);
+    for (int i = 0; i < skip; i++) read_bit();
   }
   int bin(CtxModel& c) {
     int st_before = c.state, mps_before = c.mps;
@@ -275,7 +301,7 @@ struct Cabac {
     uint32_t v = (1u << nz) - 1;
     return (v << k) + bypass_bits(nz + k);
   }
-  size_t byte_offset() const { return bytepos + (bitcnt ? 1 : 0); }
+  size_t byte_offset() const { return (bit_pos() + 7) >> 3; }
 };
 
 // ============================ parameter sets ==============================
@@ -1673,12 +1699,14 @@ struct SliceReader {
   }
 
   void read_pcm(int x0, int y0, int log2) {
-    // flush CABAC to byte boundary, read raw samples, restart engine
-    if (cb->bitcnt) { cb->bitcnt = 0; cb->bytepos++; }
+    // flush CABAC to byte boundary, read raw samples, restart engine.
+    // The spec engine has consumed bit_pos() bits but holds 9 look-ahead
+    // offset bits; raw PCM data begins at the aligned position of the
+    // engine's *consumed* stream position.
+    size_t pos = (cb->bit_pos() + 7) & ~(size_t)7;
     int size = 1 << log2;
     int nbits_y = sps.pcm_bd_luma, nbits_c = sps.pcm_bd_chroma;
     int shift_y = sps.bd_luma - nbits_y, shift_c = sps.bd_chroma - nbits_c;
-    size_t pos = cb->bytepos * 8;
     auto rb = [&](int n) {
       uint32_t v = 0;
       for (int i = 0; i < n; i++) {
@@ -1700,8 +1728,7 @@ struct SliceReader {
           f.pcm_pool.push_back((int16_t)(rb(nbits_c) << shift_c));
     }
     f.tus.push_back(tu);
-    cb->bytepos = (pos + 7) >> 3;
-    cb->bitcnt = 0;
+    cb->seek_bits((pos + 7) & ~(size_t)7);
     cb->init_engine();
   }
 

@@ -82,6 +82,9 @@ CASES = [
                                    tq_bypass=True)),
     ("p_depslices", 96, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                     num_slices=3, dependent_slices=True)),
+    ("b_mixed", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
+                                b_frames=True, num_ref_l0=2, temporal_mvp=True)),
+    ("b_mv", 64, 64, 4, dict(inter_mode="mv", b_frames=True, num_ref_l0=2)),
 ]
 
 
