@@ -781,7 +781,7 @@ class SliceReader:
             if pps.cu_qp_delta_enabled_flag and not self.is_cu_qp_delta_coded:
                 self._decode_cu_qp_delta()
 
-        qp = self.cur_cu_qp + sps.QpBdOffsetY  # QP' luma
+        qp_prime = self.cur_cu_qp + sps.QpBdOffsetY  # QP' luma (spec 8.6.1)
 
         # luma TU record (prediction always needed for intra; residual if cbf)
         coeffs = None
@@ -792,7 +792,7 @@ class SliceReader:
         ts_flag = getattr(self, "_last_ts_flag", False)
         frame.tus.append(TURecord(
             cidx=0, x=x0, y=y0, log2=log2_size, intra_mode=intra_mode,
-            qp=self.cur_cu_qp, transform_skip=(coeffs is not None and ts_flag),
+            qp=qp_prime, transform_skip=(coeffs is not None and ts_flag),
             tq_bypass=self.cur_tq_bypass, pred_mode=self.cur_pred_mode,
             coeffs=coeffs))
 

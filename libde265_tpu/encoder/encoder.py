@@ -66,6 +66,16 @@ class EncoderConfig:
     tq_bypass: bool = False           # every 3rd CU coded lossless
     dependent_slices: bool = False    # slices 2..n emitted as dependent segs
     b_frames: bool = False            # code inter frames as (generalized) B
+    bit_depth: int = 8                # 8 or 10 (Main / Main-10 style)
+
+    @property
+    def maxval(self):
+        return (1 << self.bit_depth) - 1
+
+    @property
+    def pix_dtype(self):
+        import numpy as _np
+        return _np.uint8 if self.bit_depth == 8 else _np.uint16
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
     inter_mode: str = "skip"          # skip | mv | mixed
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
@@ -151,7 +161,8 @@ class Encoder:
             out += self._encode_frame(planes, i, intra)
             if self.cfg.write_hash_sei:
                 from ..bitstream.sei import write_picture_hash_sei
-                out += b"\x00\x00\x00\x01" + write_picture_hash_sei(self.recon)
+                out += b"\x00\x00\x00\x01" + write_picture_hash_sei(
+                    self.recon, bitdepth=self.cfg.bit_depth)
         return bytes(out)
 
     def _encode_frame(self, src_planes, poc, intra):
@@ -224,7 +235,7 @@ class Encoder:
 
         self.frame = frame
         self.src = src_planes
-        self.recon = [p.astype(np.uint8).copy() * 0 for p in src_planes]
+        self.recon = [np.zeros(p.shape, cfg.pix_dtype) for p in src_planes]
         self.avail = Availability(frame)
         self.motion = None if intra else MotionDeriver(
             _FakeDecoderCtx(self.dpb), frame, sh)
@@ -384,11 +395,12 @@ class Encoder:
 
     def _qp_for(self, cidx):
         from ..bitstream.ctu import chroma_qp_from_luma
+        bd_off = 6 * (self.cfg.bit_depth - 8)
         if cidx == 0:
-            return self.cfg.qp
+            return self.cfg.qp + bd_off
         off = self.cfg.cb_qp_offset if cidx == 1 else self.cfg.cr_qp_offset
-        qpi = max(0, min(57, self.cfg.qp + off))
-        return chroma_qp_from_luma(qpi, self.sps.ChromaArrayType)
+        qpi = max(-bd_off, min(57, self.cfg.qp + off))
+        return chroma_qp_from_luma(qpi, self.sps.ChromaArrayType) + bd_off
 
     # basis-projection quantization ------------------------------------
     def _smat(self, log2, cidx, is_intra):
@@ -399,7 +411,7 @@ class Encoder:
 
     def _basis(self, log2, qp, is_dst, cidx=0, is_intra=True):
         key = (log2, qp, is_dst, cidx if self.cfg.scaling_lists else 0,
-               is_intra if self.cfg.scaling_lists else True)
+               is_intra if self.cfg.scaling_lists else True, self.cfg.bit_depth)
         if key in self._basis_cache:
             return self._basis_cache[key]
         n = 1 << log2
@@ -410,7 +422,8 @@ class Encoder:
         # decoder impulse response of a unit level at each coeff position
         resp = np.stack([
             transform_ref.scale_and_inv_transform(
-                eye[k], qp, log2, is_dst, False, False, 8, smat, sdc)
+                eye[k], qp, log2, is_dst, False, False, self.cfg.bit_depth,
+                smat, sdc)
             for k in range(n * n)])
         flat = resp.reshape(n * n, n * n).astype(np.float64)
         norms = (flat * flat).sum(1)
@@ -444,7 +457,7 @@ class Encoder:
 
     def _intra_pred(self, cidx, x, y, log2, mode):
         n = 1 << log2
-        bd = 8
+        bd = self.cfg.bit_depth
         ref = gather_border(self.frame, self.recon, self.avail, x, y, log2,
                             cidx, bd)
         fref = intra_ref.filter_border(ref, n, mode, cidx, bd,
@@ -461,12 +474,12 @@ class Encoder:
                 smat = sdc = None
             res = transform_ref.scale_and_inv_transform(
                 coeffs, self._qp_for(cidx), log2, is_dst, False,
-                getattr(self, "_cur_bypass", False) and True, 8,
-                smat, sdc)
-            out = np.clip(pred + res, 0, 255)
+                getattr(self, "_cur_bypass", False) and True,
+                self.cfg.bit_depth, smat, sdc)
+            out = np.clip(pred + res, 0, self.cfg.maxval)
         else:
-            out = np.clip(pred, 0, 255)
-        self.recon[cidx][y:y + n, x:x + n] = out.astype(np.uint8)
+            out = np.clip(pred, 0, self.cfg.maxval)
+        self.recon[cidx][y:y + n, x:x + n] = out.astype(self.cfg.pix_dtype)
 
     # ----------------------------------------------------------- inter CUs
     def _emit_skip_cu(self, sw, x0, y0, log2_size, depth, idx):
@@ -522,7 +535,7 @@ class Encoder:
             if getattr(self, "_cur_bypass", False):
                 coeffs = np.clip(residual, -32767, 32767).astype(np.int32)
             else:
-                coeffs = self._quantize(residual, log2_size, self.cfg.qp,
+                coeffs = self._quantize(residual, log2_size, self._qp_for(0),
                                         False, 0, False)
             if not coeffs.any():
                 coeffs = None
@@ -539,19 +552,21 @@ class Encoder:
             if byp:
                 smat = sdc = None
             res = transform_ref.scale_and_inv_transform(
-                coeffs, self.cfg.qp, log2_size, False, False, byp, 8,
-                smat, sdc)
-            out = np.clip(pred[0] + res, 0, 255)
-            self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(np.uint8)
+                coeffs, self._qp_for(0), log2_size, False, False, byp,
+                self.cfg.bit_depth, smat, sdc)
+            out = np.clip(pred[0] + res, 0, self.cfg.maxval)
+            dt = self.cfg.pix_dtype
+            self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(dt)
             self.recon[1][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \
-                pred[1].astype(np.uint8)
+                pred[1].astype(dt)
             self.recon[2][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \
-                pred[2].astype(np.uint8)
+                pred[2].astype(dt)
         else:
-            self.recon[0][y0:y0 + size, x0:x0 + size] = pred[0].astype(np.uint8)
+            dt = self.cfg.pix_dtype
+            self.recon[0][y0:y0 + size, x0:x0 + size] = pred[0].astype(dt)
             for ci in (1, 2):
                 self.recon[ci][y0 >> 1:(y0 + size) >> 1,
-                               x0 >> 1:(x0 + size) >> 1] = pred[ci].astype(np.uint8)
+                               x0 >> 1:(x0 + size) >> 1] = pred[ci].astype(dt)
 
     def _recon_inter_pu(self, pu, write=True):
         """MC with the decoder's exact ops; returns [Y,Cb,Cr] predictions."""
@@ -564,17 +579,19 @@ class Encoder:
                 continue
             refpic = self.dpb.pics[pu.ref_dpb[l]]
             preds[l] = inter_ref.mc_luma(refpic.planes[0], pu.x, pu.y,
-                                         pu.w, pu.h, pu.mv[l], 8)
+                                         pu.w, pu.h, pu.mv[l], self.cfg.bit_depth)
             for ci in (1, 2):
                 preds_c[ci][l] = inter_ref.mc_chroma(
                     refpic.planes[ci], pu.x >> 1, pu.y >> 1,
-                    pu.w >> 1, pu.h >> 1, pu.mv[l], 8)
-        out_y = inter_ref.weighted_combine(preds, pu, sh, 0, 8)
-        out_c = [inter_ref.weighted_combine(preds_c[ci], pu, sh, ci, 8)
+                    pu.w >> 1, pu.h >> 1, pu.mv[l], self.cfg.bit_depth)
+        bd = self.cfg.bit_depth
+        out_y = inter_ref.weighted_combine(preds, pu, sh, 0, bd)
+        out_c = [inter_ref.weighted_combine(preds_c[ci], pu, sh, ci, bd)
                  for ci in (1, 2)]
         if write:
-            self.recon[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = out_y.astype(np.uint8)
+            dt = self.cfg.pix_dtype
+            self.recon[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = out_y.astype(dt)
             for k, ci in enumerate((1, 2)):
                 self.recon[ci][pu.y >> 1:(pu.y + pu.h) >> 1,
-                               pu.x >> 1:(pu.x + pu.w) >> 1] = out_c[k].astype(np.uint8)
+                               pu.x >> 1:(pu.x + pu.w) >> 1] = out_c[k].astype(dt)
         return [out_y, out_c[0], out_c[1]]

@@ -15,10 +15,10 @@ def nal_header(w: BitWriter, nal_type: int, tid: int = 0):
     w.put_bits(tid + 1, 3)    # nuh_temporal_id_plus1
 
 
-def write_ptl(w: BitWriter, max_sub_layers: int = 1):
+def write_ptl(w: BitWriter, max_sub_layers: int = 1, profile_idc: int = 1):
     w.put_bits(0, 2)     # profile_space
     w.put_bit(0)         # tier
-    w.put_bits(1, 5)     # profile_idc = Main
+    w.put_bits(profile_idc, 5)   # 1 = Main, 2 = Main-10
     w.put_bits(0b01100000000000000000000000000000, 32)  # compat: Main(+10?) bits 1,2
     w.put_bits(0, 32)    # constraint flags (44 bits total -> 32+12)
     w.put_bits(0, 12)
@@ -55,14 +55,15 @@ def write_sps(cfg):
     w.put_bits(0, 4)   # vps id
     w.put_bits(0, 3)   # max_sub_layers_minus1
     w.put_bit(1)       # temporal_id_nesting
-    write_ptl(w)
+    write_ptl(w, profile_idc=2 if getattr(cfg, 'bit_depth', 8) > 8 else 1)
     w.put_uvlc(0)      # sps id
     w.put_uvlc(1)      # chroma_format_idc 4:2:0
     w.put_uvlc(cfg.width)
     w.put_uvlc(cfg.height)
     w.put_bit(0)       # conformance window
-    w.put_uvlc(0)      # bit_depth_luma_minus8
-    w.put_uvlc(0)      # bit_depth_chroma_minus8
+    bd = getattr(cfg, 'bit_depth', 8)
+    w.put_uvlc(bd - 8)  # bit_depth_luma_minus8
+    w.put_uvlc(bd - 8)  # bit_depth_chroma_minus8
     w.put_uvlc(cfg.log2_max_poc_lsb - 4)
     w.put_bit(0)       # sub_layer_ordering_info_present
     w.put_uvlc(3)      # max_dec_pic_buffering_minus1

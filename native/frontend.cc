@@ -1768,13 +1768,14 @@ struct SliceReader {
   int chroma_qp(int cidx) {
     int off = cidx == 1 ? pps.cb_qp_offset + sh.cb_qp_off
                         : pps.cr_qp_offset + sh.cr_qp_off;
-    int qpi = clip3(0, 57, cur_cu_qp + off);
+    int qpi = clip3(-6 * (sps.bd_chroma - 8), 57, cur_cu_qp + off);
+    int qpc;
     if (sps.chroma_array_type == 1) {
-      if (qpi < 30) return qpi;
-      if (qpi > 43) return qpi - 6;
-      return CHROMA_QP_TAB[qpi - 30];
-    }
-    return std::min(qpi, 51);
+      if (qpi < 30) qpc = qpi;
+      else if (qpi > 43) qpc = qpi - 6;
+      else qpc = CHROMA_QP_TAB[qpi - 30];
+    } else qpc = std::min(qpi, 51);
+    return qpc + 6 * (sps.bd_chroma - 8);
   }
 
   void decode_cu_qp_delta() {
@@ -1807,7 +1808,7 @@ struct SliceReader {
     TU tu{};
     tu.cidx = 0; tu.x = x0; tu.y = y0; tu.log2 = (uint8_t)log2;
     tu.intra_mode = cur_pred_mode == 1 ? f.intra_y[G(gx, gy)] : -1;
-    tu.qp = (int16_t)cur_cu_qp;
+    tu.qp = (int16_t)(cur_cu_qp + 6 * (sps.bd_luma - 8));  // QP' luma
     tu.tq_bypass = cur_tq_bypass; tu.pred_mode = (uint8_t)cur_pred_mode;
     tu.coeff_off = -1;
     if (cbf_l) {

@@ -24,6 +24,22 @@ DATA = os.path.join(REPO, "tests", "data")
 from libde265_tpu.encoder import Encoder, EncoderConfig  # noqa: E402
 
 
+def make_frames10(n, w, h, seed=5):
+    rng = np.random.RandomState(seed)
+    gy, gx = np.mgrid[0:h, 0:w]
+    base = np.clip(400 + 250 * np.sin(gx / 7.0) * np.cos(gy / 9.0)
+                   + rng.randint(0, 120, (h, w)), 0, 1023).astype(np.uint16)
+    out = []
+    for t in range(n):
+        y = np.roll(base, (t * 2, t * 3), (0, 1))
+        u = np.clip(512 + 200 * np.sin(np.mgrid[0:h//2, 0:w//2][1] / 5.0 + t),
+                    0, 1023).astype(np.uint16)
+        v = np.clip(512 + 200 * np.cos(np.mgrid[0:h//2, 0:w//2][0] / 6.0),
+                    0, 1023).astype(np.uint16)
+        out.append([y, u, v])
+    return out
+
+
 def make_frames(n, w, h, seed=3):
     rng = np.random.RandomState(seed)
     gy, gx = np.mgrid[0:h, 0:w]
@@ -85,20 +101,23 @@ CASES = [
     ("b_mixed", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
                                 b_frames=True, num_ref_l0=2, temporal_mvp=True)),
     ("b_mv", 64, 64, 4, dict(inter_mode="mv", b_frames=True, num_ref_l0=2)),
+    ("p_10bit", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
+                                bit_depth=10)),
 ]
 
 
-def plane_md5s(yuv_path, w, h, frames):
+def plane_md5s(yuv_path, w, h, frames, bytes_per_sample=1):
     out = []
-    fsz = w * h + 2 * (w // 2) * (h // 2)
+    fsz = (w * h + 2 * (w // 2) * (h // 2)) * bytes_per_sample
     data = open(yuv_path, "rb").read()
     assert len(data) == fsz * frames
+    bps = bytes_per_sample
     for t in range(frames):
         b = t * fsz
         out.append({
-            "y": hashlib.md5(data[b:b + w * h]).hexdigest(),
-            "u": hashlib.md5(data[b + w*h:b + w*h + (w//2)*(h//2)]).hexdigest(),
-            "v": hashlib.md5(data[b + w*h + (w//2)*(h//2):b + fsz]).hexdigest(),
+            "y": hashlib.md5(data[b:b + w*h*bps]).hexdigest(),
+            "u": hashlib.md5(data[b + w*h*bps:b + w*h*bps + (w//2)*(h//2)*bps]).hexdigest(),
+            "v": hashlib.md5(data[b + w*h*bps + (w//2)*(h//2)*bps:b + fsz]).hexdigest(),
         })
     return out
 
@@ -109,15 +128,18 @@ def main():
     for name, w, h, nf, kw in CASES:
         cfg = EncoderConfig(width=w, height=h, qp=30, **kw)
         enc = Encoder(cfg)
-        stream = enc.encode(make_frames(nf, w, h))
+        gen = make_frames10 if kw.get("bit_depth", 8) > 8 else make_frames
+        stream = enc.encode(gen(nf, w, h))
         bit = os.path.join(DATA, f"{name}.bin")
         gold = os.path.join(DATA, f"{name}_gold.yuv")
         open(bit, "wb").write(stream)
         r = subprocess.run([DEC, "-q", "-o", gold, bit], capture_output=True,
                            text=True, timeout=300)
         assert r.returncode == 0, (name, r.stderr)
+        bps = 2 if kw.get("bit_depth", 8) > 8 else 1
         manifest[name] = {"w": w, "h": h, "frames": nf,
-                          "md5": plane_md5s(gold, w, h, nf),
+                          "md5": plane_md5s(gold, w, h, nf, bps),
+                          "bit_depth": kw.get("bit_depth", 8),
                           "size_bytes": len(stream)}
         print(f"{name}: {len(stream)} bytes")
     with open(os.path.join(DATA, "manifest_inter.json"), "w") as f:
