@@ -151,6 +151,13 @@ class CabacEncoder:
         else:
             self._renorm()
 
+    def reset_engine(self):
+        """Restart arithmetic coding after a raw-bits section (PCM)."""
+        self.low = 0
+        self.range = 510
+        self.bits_outstanding = 0
+        self.first_bit = True
+
     # --- binarizations ----------------------------------------------------
     def encode_tu_bypass(self, v, c_max):
         for i in range(v):

@@ -67,6 +67,8 @@ class EncoderConfig:
     dependent_slices: bool = False    # slices 2..n emitted as dependent segs
     b_frames: bool = False            # code inter frames as (generalized) B
     bit_depth: int = 8                # 8 or 10 (Main / Main-10 style)
+    pcm: bool = False                 # every 5th intra CU coded as raw PCM
+    pcm_loop_filter_disable: bool = False
 
     @property
     def maxval(self):
@@ -353,8 +355,28 @@ class Encoder:
                 sw.write_pred_mode(True)
             else:
                 sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
+        if cfg.pcm and idx % 5 == 0 and 3 <= log2_size <= 5:
+            sw.write_part_mode_intra(log2_size, PART_2Nx2N)
+            n = 1 << log2_size
+            ys = self.src[0][y0:y0 + n, x0:x0 + n]
+            cb = self.src[1][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2]
+            cr = self.src[2][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2]
+            sw.write_pcm(x0, y0, log2_size, ys, cb, cr, cfg.bit_depth)
+            # recon = raw samples (lossless)
+            self.recon[0][y0:y0 + n, x0:x0 + n] = ys
+            self.recon[1][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2] = cb
+            self.recon[2][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2] = cr
+            # intra-mode grids: PCM blocks expose DC for MPM purposes
+            gs = n >> 2
+            self.frame.intra_mode_y[y0 >> 2:(y0 >> 2) + gs,
+                                    x0 >> 2:(x0 >> 2) + gs] = 1
+            self.frame.intra_mode_c[y0 >> 2:(y0 >> 2) + gs,
+                                    x0 >> 2:(x0 >> 2) + gs] = 1
+            return
         mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
         sw.write_part_mode_intra(log2_size, PART_2Nx2N)
+        if cfg.pcm and 3 <= log2_size <= 5:
+            sw.cabac.encode_terminate(0)   # pcm_flag = 0
         sw.write_intra_modes(x0, y0, log2_size, [mode])
 
         # predict + residual on luma and both chroma planes

@@ -82,7 +82,15 @@ def write_sps(cfg):
         w.put_bit(0)   # scaling_list_enable
     w.put_bit(1 if cfg.amp else 0)
     w.put_bit(1 if cfg.sao else 0)
-    w.put_bit(0)       # pcm_enabled
+    if getattr(cfg, 'pcm', False):
+        w.put_bit(1)   # pcm_enabled
+        w.put_bits(getattr(cfg, 'bit_depth', 8) - 1, 4)  # pcm bd luma -1
+        w.put_bits(getattr(cfg, 'bit_depth', 8) - 1, 4)  # pcm bd chroma -1
+        w.put_uvlc(0)  # log2_min_pcm_cb - 3  (8x8)
+        w.put_uvlc(2)  # log2_diff_max_min (up to 32)
+        w.put_bit(1 if getattr(cfg, 'pcm_loop_filter_disable', False) else 0)
+    else:
+        w.put_bit(0)   # pcm_enabled
     w.put_uvlc(0)      # num_short_term_ref_pic_sets
     w.put_bit(0)       # long_term_ref_pics_present
     w.put_bit(1 if cfg.temporal_mvp else 0)

@@ -260,6 +260,29 @@ class SliceWriter:
     def write_rqt_root_cbf(self, cbf):
         self.cabac.encode_bin(self.ctx.at("rqt_root_cbf"), 1 if cbf else 0)
 
+    def write_pcm(self, x0, y0, log2_size, ysamples, cbsamples, crsamples,
+                  bit_depth=8):
+        """pcm_flag=1 (terminate+flush), aligned raw samples, engine restart
+        (spec 7.3.8.7 / 9.3.4.3.5). Caller wrote the CU header up to
+        part_mode."""
+        c = self.cabac
+        c.encode_terminate(1)          # pcm_flag; flush + byte align
+        w = c.writer
+        n = 1 << log2_size
+        for row in ysamples:
+            for v in row:
+                w.put_bits(int(v), bit_depth)
+        for plane in (cbsamples, crsamples):
+            for row in plane:
+                for v in row:
+                    w.put_bits(int(v), bit_depth)
+        c.reset_engine()
+        f = self.frame
+        gx, gy, gs = x0 >> 2, y0 >> 2, n >> 2
+        f.pcm_flag[gy:gy + gs, gx:gx + gs] = 1
+        # PCM CUs count as intra with mode INTRA_DC for neighbors (spec treats
+        # them as unavailable for MPM via the pcm flag; grids already mark it)
+
     # ------------------------------------------------------------- intra
     def derive_mpm(self, x, y):
         """Same MPM derivation as the reader (spec 8.4.2)."""

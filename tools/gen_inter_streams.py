@@ -103,6 +103,11 @@ CASES = [
     ("b_mv", 64, 64, 4, dict(inter_mode="mv", b_frames=True, num_ref_l0=2)),
     ("p_10bit", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
                                 bit_depth=10)),
+    ("p_pcm", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
+                              pcm=True)),
+    ("p_pcm_nolf", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
+                                   pcm=True, pcm_loop_filter_disable=True,
+                                   disable_deblocking=False, sao=True)),
 ]
 
 
