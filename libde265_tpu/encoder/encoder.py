@@ -69,6 +69,8 @@ class EncoderConfig:
     bit_depth: int = 8                # 8 or 10 (Main / Main-10 style)
     pcm: bool = False                 # every 5th intra CU coded as raw PCM
     pcm_loop_filter_disable: bool = False
+    use_cra: bool = False             # non-first intra pictures as CRA (21)
+    temporal_layers: bool = False     # odd frames at temporal id 1 (TSA_R)
 
     @property
     def maxval(self):
@@ -176,21 +178,34 @@ class Encoder:
             slice_type = SLICE_TYPE_B
         else:
             slice_type = SLICE_TYPE_P
-        nal_type = 19 if intra else 1    # IDR_W_RADL / TRAIL_R
         if intra:
+            nal_type = 21 if (cfg.use_cra and poc > 0) else 19  # CRA / IDR
+        else:
+            nal_type = 3 if (cfg.temporal_layers and (poc & 1)) else 1  # TSA_R / TRAIL_R
+        tid = 1 if (cfg.temporal_layers and not intra and (poc & 1)) else 0
+        if intra and nal_type == 19:
             self.dpb.clear_references()
             poc_out = 0
             self._poc_base = poc
+        elif intra and nal_type == 21:
+            # CRA: POC continues; past refs dropped from RPS (clean break)
+            self.dpb.clear_references()
         poc_out = poc - getattr(self, "_poc_base", 0)
 
         frame = FramePlan(self.sps, self.pps, poc=poc_out)
-        n_refs_avail = sum(1 for p in self.dpb.pics
-                           if p.state == SHORT_TERM and p.poc < poc_out)
+        if cfg.temporal_layers and tid == 0:
+            n_refs_avail = sum(1 for p in self.dpb.pics
+                               if p.state == SHORT_TERM and p.poc < poc_out
+                               and (p.poc & 1) == 0)
+        else:
+            n_refs_avail = sum(1 for p in self.dpb.pics
+                               if p.state == SHORT_TERM and p.poc < poc_out)
         n_refs = max(1, min(cfg.num_ref_l0, n_refs_avail)) if not intra else 0
         # slice header object for writer-side derivations
         hw = write_slice_header(cfg, nal_type, slice_type, poc_out,
                                 num_neg_refs=n_refs or 1,
                                 num_active=n_refs or 1)
+        del hw  # per-slice headers are written in the slice loop
         from ..bitstream.sliceheader import SliceHeader
         sh = SliceHeader()
         sh.slice_type = slice_type
@@ -222,9 +237,12 @@ class Encoder:
             sh.pred_weight = pw
 
         # reference lists from DPB (most recent first, like our RPS writes)
-        refs = sorted([i for i, p in enumerate(self.dpb.pics)
-                       if p.state == SHORT_TERM and p.poc < poc_out],
-                      key=lambda i: -self.dpb.pics[i].poc)[:max(1, n_refs)]
+        cand = [i for i, p in enumerate(self.dpb.pics)
+                if p.state == SHORT_TERM and p.poc < poc_out]
+        if cfg.temporal_layers and tid == 0:
+            cand = [i for i in cand if (self.dpb.pics[i].poc & 1) == 0]
+        refs = sorted(cand, key=lambda i: -self.dpb.pics[i].poc)[:max(1, n_refs)]
+        ref_deltas = sorted(poc_out - self.dpb.pics[i].poc for i in refs) or None
         if cfg.b_frames and not intra:
             # generalized B: L1 = after(empty)+before = same past refs
             sh.RefPicList = [refs, list(refs)]
@@ -302,7 +320,8 @@ class Encoder:
                                      num_neg_refs=n_refs or 1,
                                      num_active=n_refs or 1,
                                      entry_points=entry_points,
-                                     dependent=dependent)
+                                     dependent=dependent, tid=tid,
+                                     ref_deltas=None if intra else ref_deltas)
             payload = add_emulation_prevention(bytes(hw2.bytes)) + b"".join(stuffed)
             nals.append(payload)
         nal = None

@@ -24,7 +24,12 @@ def write_ptl(w: BitWriter, max_sub_layers: int = 1, profile_idc: int = 1):
     w.put_bits(0, 12)
     w.put_bits(0, 4)     # reserved (to total 48 after compat)
     w.put_bits(120, 8)   # level_idc 4.0
-    # no sub layers
+    if max_sub_layers > 1:
+        for _ in range(max_sub_layers - 1):
+            w.put_bit(0)  # sub_layer_profile_present
+            w.put_bit(0)  # sub_layer_level_present
+        for _ in range(max_sub_layers - 1, 8):
+            w.put_bits(0, 2)  # reserved
 
 
 def write_vps(width=0, height=0):
@@ -53,9 +58,10 @@ def write_sps(cfg):
     w = BitWriter()
     nal_header(w, NAL_SPS_NUT)
     w.put_bits(0, 4)   # vps id
-    w.put_bits(0, 3)   # max_sub_layers_minus1
+    msl = 2 if getattr(cfg, 'temporal_layers', False) else 1
+    w.put_bits(msl - 1, 3)   # max_sub_layers_minus1
     w.put_bit(1)       # temporal_id_nesting
-    write_ptl(w, profile_idc=2 if getattr(cfg, 'bit_depth', 8) > 8 else 1)
+    write_ptl(w, msl, profile_idc=2 if getattr(cfg, 'bit_depth', 8) > 8 else 1)
     w.put_uvlc(0)      # sps id
     w.put_uvlc(1)      # chroma_format_idc 4:2:0
     w.put_uvlc(cfg.width)
@@ -152,12 +158,12 @@ def write_pps(cfg):
 
 def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                        num_neg_refs=1, num_active=None, entry_points=None,
-                       dependent=False):
+                       dependent=False, tid=0, ref_deltas=None):
     kwargs_dependent = [dependent]
     """Returns the BitWriter (caller appends CABAC data after alignment).
     slice_type: 0=B, 1=P, 2=I."""
     w = BitWriter()
-    nal_header(w, nal_type)
+    nal_header(w, nal_type, tid=tid)
     first = first_ctb == 0
     dependent = kwargs_dependent[0]
     w.put_bit(1 if first else 0)  # first_slice_segment_in_pic_flag
@@ -188,11 +194,14 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
         w.put_bits(poc % (1 << cfg.log2_max_poc_lsb), cfg.log2_max_poc_lsb)
         w.put_bit(0)   # short_term_ref_pic_set_sps_flag=0 -> explicit RPS
         # st_ref_pic_set(num_sets=0 -> idx 0, no inter_rps prediction)
-        w.put_uvlc(num_neg_refs)   # num_negative_pics
+        deltas = ref_deltas or [i + 1 for i in range(num_neg_refs)]
+        w.put_uvlc(len(deltas))    # num_negative_pics
         w.put_uvlc(0)              # num_positive_pics
-        for i in range(num_neg_refs):
-            w.put_uvlc(0)          # delta_poc_s0_minus1 = 0 (prev pic)
+        prev = 0
+        for d in deltas:           # d = distance to ref (increasing)
+            w.put_uvlc(d - prev - 1)   # delta_poc_s0_minus1
             w.put_bit(1)           # used_by_curr_pic_s0
+            prev = d
         if cfg.temporal_mvp:
             w.put_bit(1)           # slice_temporal_mvp_enabled
     if cfg.sao:

@@ -108,6 +108,10 @@ CASES = [
     ("p_pcm_nolf", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True,
                                    pcm=True, pcm_loop_filter_disable=True,
                                    disable_deblocking=False, sao=True)),
+    ("p_cra", 64, 64, 6, dict(inter_mode="mixed", inter_residual=True,
+                              intra_period=3, use_cra=True)),
+    ("p_temporal", 64, 64, 6, dict(inter_mode="mixed", inter_residual=True,
+                                   temporal_layers=True)),
 ]
 
 
