@@ -70,6 +70,7 @@ class EncoderConfig:
     pcm: bool = False                 # every 5th intra CU coded as raw PCM
     pcm_loop_filter_disable: bool = False
     use_cra: bool = False             # non-first intra pictures as CRA (21)
+    use_ltr: bool = False             # keep the IDR as a long-term reference
     temporal_layers: bool = False     # odd frames at temporal id 1 (TSA_R)
 
     @property
@@ -201,6 +202,7 @@ class Encoder:
             n_refs_avail = sum(1 for p in self.dpb.pics
                                if p.state == SHORT_TERM and p.poc < poc_out)
         n_refs = max(1, min(cfg.num_ref_l0, n_refs_avail)) if not intra else 0
+        # long-term addition may raise the active count (set after ref calc)
         # slice header object for writer-side derivations
         hw = write_slice_header(cfg, nal_type, slice_type, poc_out,
                                 num_neg_refs=n_refs or 1,
@@ -214,7 +216,7 @@ class Encoder:
         sh.slice_segment_address = 0
         sh.SliceAddrRS = 0
         sh.MaxNumMergeCand = cfg.max_merge_cand
-        sh.num_ref_idx_l0_active = n_refs or 1
+        sh.num_ref_idx_l0_active = n_refs or 1  # adjusted below if LTR
         sh.num_ref_idx_l1_active = (n_refs or 1) if (cfg.b_frames and not intra) else 0
         sh.slice_temporal_mvp_enabled_flag = 1 if (cfg.temporal_mvp and not intra) else 0
         sh.collocated_from_l0_flag = 1
@@ -241,17 +243,33 @@ class Encoder:
                 if p.state == SHORT_TERM and p.poc < poc_out]
         if cfg.temporal_layers and tid == 0:
             cand = [i for i in cand if (self.dpb.pics[i].poc & 1) == 0]
+        lt_refs = []
+        lt_pocs = []
+        if cfg.use_ltr and not intra and poc_out >= 2:
+            # IDR (poc 0) kept as long-term; ST refs exclude it
+            lt0 = [i for i in cand if self.dpb.pics[i].poc == 0]
+            if lt0:
+                lt_refs = lt0[:1]
+                lt_pocs = [0]
+                cand = [i for i in cand if self.dpb.pics[i].poc != 0]
         refs = sorted(cand, key=lambda i: -self.dpb.pics[i].poc)[:max(1, n_refs)]
         ref_deltas = sorted(poc_out - self.dpb.pics[i].poc for i in refs) or None
+        n_total = len(refs) + len(lt_refs)
+        all_refs = refs + lt_refs
+        lt_flags = [False] * len(refs) + [True] * len(lt_refs)
+        if not intra and len(all_refs) > (n_refs or 1):
+            sh.num_ref_idx_l0_active = len(all_refs)
+            if cfg.b_frames:
+                sh.num_ref_idx_l1_active = len(all_refs)
         if cfg.b_frames and not intra:
             # generalized B: L1 = after(empty)+before = same past refs
-            sh.RefPicList = [refs, list(refs)]
-            sh.RefPOC = [[self.dpb.pics[i].poc for i in refs]] * 2
-            sh.RefIsLongTerm = [[False] * len(refs)] * 2
+            sh.RefPicList = [all_refs, list(all_refs)]
+            sh.RefPOC = [[self.dpb.pics[i].poc for i in all_refs]] * 2
+            sh.RefIsLongTerm = [list(lt_flags)] * 2
         else:
-            sh.RefPicList = [refs, []]
-            sh.RefPOC = [[self.dpb.pics[i].poc for i in refs], []]
-            sh.RefIsLongTerm = [[False] * len(refs), []]
+            sh.RefPicList = [all_refs, []]
+            sh.RefPOC = [[self.dpb.pics[i].poc for i in all_refs], []]
+            sh.RefIsLongTerm = [lt_flags, []]
 
         self.frame = frame
         self.src = src_planes
@@ -318,10 +336,12 @@ class Encoder:
             hw2 = write_slice_header(cfg, nal_type, slice_type, poc_out,
                                      first_ctb=seg_addr,
                                      num_neg_refs=n_refs or 1,
-                                     num_active=n_refs or 1,
+                                     num_active=(n_total if not intra and n_total
+                                                 else (n_refs or 1)),
                                      entry_points=entry_points,
                                      dependent=dependent, tid=tid,
-                                     ref_deltas=None if intra else ref_deltas)
+                                     ref_deltas=None if intra else ref_deltas,
+                                     lt_pocs=lt_pocs if not intra else None)
             payload = add_emulation_prevention(bytes(hw2.bytes)) + b"".join(stuffed)
             nals.append(payload)
         nal = None

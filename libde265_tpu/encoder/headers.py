@@ -98,7 +98,11 @@ def write_sps(cfg):
     else:
         w.put_bit(0)   # pcm_enabled
     w.put_uvlc(0)      # num_short_term_ref_pic_sets
-    w.put_bit(0)       # long_term_ref_pics_present
+    if getattr(cfg, 'use_ltr', False):
+        w.put_bit(1)   # long_term_ref_pics_present
+        w.put_uvlc(0)  # num_long_term_ref_pics_sps
+    else:
+        w.put_bit(0)   # long_term_ref_pics_present
     w.put_bit(1 if cfg.temporal_mvp else 0)
     w.put_bit(1 if cfg.strong_intra_smoothing else 0)
     w.put_bit(0)       # vui_present
@@ -158,8 +162,10 @@ def write_pps(cfg):
 
 def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                        num_neg_refs=1, num_active=None, entry_points=None,
-                       dependent=False, tid=0, ref_deltas=None):
+                       dependent=False, tid=0, ref_deltas=None,
+                       lt_pocs=None):
     kwargs_dependent = [dependent]
+    kwargs_lt = [lt_pocs or []]
     """Returns the BitWriter (caller appends CABAC data after alignment).
     slice_type: 0=B, 1=P, 2=I."""
     w = BitWriter()
@@ -202,6 +208,13 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
             w.put_uvlc(d - prev - 1)   # delta_poc_s0_minus1
             w.put_bit(1)           # used_by_curr_pic_s0
             prev = d
+        if getattr(cfg, 'use_ltr', False):
+            lt = kwargs_lt[0]
+            w.put_uvlc(len(lt))    # num_long_term_pics
+            for poc_lsb in lt:
+                w.put_bits(poc_lsb, cfg.log2_max_poc_lsb)  # poc_lsb_lt
+                w.put_bit(1)       # used_by_curr_pic_lt
+                w.put_bit(0)       # delta_poc_msb_present
         if cfg.temporal_mvp:
             w.put_bit(1)           # slice_temporal_mvp_enabled
     if cfg.sao:

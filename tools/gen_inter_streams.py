@@ -110,6 +110,8 @@ CASES = [
                                    disable_deblocking=False, sao=True)),
     ("p_cra", 64, 64, 6, dict(inter_mode="mixed", inter_residual=True,
                               intra_period=3, use_cra=True)),
+    ("p_ltr", 64, 64, 6, dict(inter_mode="mixed", inter_residual=True,
+                              use_ltr=True, num_ref_l0=1)),
     ("p_temporal", 64, 64, 6, dict(inter_mode="mixed", inter_residual=True,
                                    temporal_layers=True)),
 ]
