@@ -17,8 +17,9 @@ _LIB = None
 def _lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "native", "libhevc_frontend.so")
+        path = os.environ.get("HEVC_FRONTEND_SO") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "native", "libhevc_frontend.so")
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"{path} not built — run `make -C native`")

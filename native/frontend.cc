@@ -18,6 +18,9 @@
 #include <map>
 #include <algorithm>
 #include <string>
+#include <memory>
+#include <atomic>
+#include <thread>
 
 namespace {
 
@@ -258,7 +261,7 @@ struct Cabac {
     int skip = (int)(bitpos & 7);
     for (int i = 0; i < skip; i++) read_bit();
   }
-  int bin(CtxModel& c) {
+  inline int bin(CtxModel& c) {
     int st_before = c.state, mps_before = c.mps;
     uint32_t lps = LPS_TABLE[c.state][(range >> 6) & 3];
     range -= lps;
@@ -268,11 +271,16 @@ struct Cabac {
       offset -= range; range = lps;
       if (c.state == 0) c.mps = 1 - c.mps;
       c.state = TRANS_LPS[c.state];
+      // LPS renorm: range=lps in [2,240] -> 1..7 shifts, done in one step
+      int sh = __builtin_clz(range) - 23;
+      range <<= sh;
+      offset = (offset << sh) | read_bits(sh);
     } else {
       b = c.mps;
       if (c.state < 62) c.state++;
+      // MPS renorm: range >= 128 always, at most one shift
+      if (range < 256) { range <<= 1; offset = (offset << 1) | read_bit(); }
     }
-    while (range < 256) { range <<= 1; offset = (offset << 1) | read_bit(); }
     if (g_trace) fprintf(g_trace, "b%d.%u.%d.%d\n", b, range, st_before, mps_before);
     return b;
   }
@@ -283,7 +291,17 @@ struct Cabac {
     if (g_trace) fprintf(g_trace, "y%d.%u\n", b, range);
     return b;
   }
-  uint32_t bypass_bits(int n) { uint32_t v = 0; while (n--) v = (v << 1) | bypass(); return v; }
+  uint32_t bypass_bits(int n) {
+    // n iterations of binary restoring division == one 64-bit div/mod:
+    //   offset0*2^n + inbits = v*range + offset_n  (offset_n < range, v < 2^n)
+    if (n <= 1 || n > 32 || g_trace) {
+      uint32_t v = 0; while (n--) v = (v << 1) | bypass(); return v;
+    }
+    uint64_t acc = ((uint64_t)offset << n) | read_bits(n);
+    uint32_t v = (uint32_t)(acc / range);
+    offset = (uint32_t)(acc % range);
+    return v;
+  }
   int term() {
     range -= 2;
     if (offset >= range) { if (g_trace) fprintf(g_trace, "t1.%u\n", range); return 1; }
@@ -396,6 +414,8 @@ struct PredWeight {
   int lw[2][16], lo[2][16], cw[2][16][2], co[2][16][2];
 };
 
+struct Frame;
+
 struct SliceHeader {
   int nal_type = 0, tid = 0;
   int first_slice = 1, dependent = 0;
@@ -426,6 +446,22 @@ struct SliceHeader {
   int init_type = 0;
   // ref lists (decode-order frame ids + poc + lt)
   int ref_frame[2][16]; int ref_poc[2][16]; uint8_t ref_lt[2][16];
+  // colocated picture for TMVP, resolved at header-process time so motion
+  // derivation can run after (possibly parallel) syntax parse
+  Frame* col_frame = nullptr;
+};
+
+// Raw inter-PU syntax captured during CABAC parse. Motion derivation
+// (merge/AMVP/TMVP) is replayed later from these records: no CABAC bin
+// depends on derived motion values, which makes the per-frame syntax parse
+// side-effect-free across frames and therefore frame-parallel.
+struct RawPU {
+  int16_t xc, yc, x0, y0, w, h;
+  int16_t slice_idx;
+  int8_t pidx, part_mode;
+  uint8_t merge; int8_t merge_idx;
+  int8_t inter_dir; int8_t ref_idx[2]; int8_t mvp[2];
+  int16_t mvd[2][2];
 };
 
 // ============================ frame plan ==================================
@@ -466,6 +502,7 @@ struct Frame {
   std::vector<int16_t> coeff_pool;
   std::vector<int16_t> pcm_pool;    // raw pcm samples y then cb,cr per pcm TU
   std::vector<SliceHeader> slices;
+  std::vector<RawPU> raw_pus;       // inter-PU syntax awaiting derivation
   // compressed motion (16x16) for TMVP by later frames
   int mw = 0, mh = 0;
   std::vector<int16_t> cmv; std::vector<uint8_t> cpf; std::vector<int32_t> cpoc;
@@ -1041,8 +1078,16 @@ struct RefPic {        // decode-order frame bookkeeping for RPS/TMVP
 struct Context;
 
 // forward decl of slice reader entry
-static bool decode_slice_data(Context& ctx, Frame& f, SliceHeader& sh,
-                              const uint8_t* data, size_t dlen);
+// per-picture CABAC context inheritance state (WPP row snapshots +
+// dependent-slice continuation) — local to one picture's parse, so
+// pictures can parse concurrently
+struct PicState {
+  std::map<int, ContextTable> wpp_ctx;
+  ContextTable dep_ctx; bool has_dep_ctx = false;
+};
+
+static bool decode_slice_data(PicState& ps, Frame& f, SliceHeader& sh,
+                              const uint8_t* data, size_t dlen, int sidx);
 
 struct Context {
   std::map<int, SPS> spss;
@@ -1056,10 +1101,22 @@ struct Context {
   int next_frame_id = 0;
   // current-picture RPS result (dpb slot lists)
   std::vector<int> st_before, st_after, lt_curr;
-  // WPP saved contexts (per ctb row) + dependent-slice context
-  std::map<int, ContextTable> wpp_ctx;
-  ContextTable dep_ctx; bool has_dep_ctx = false;
   std::string error;
+  // parse jobs: one per picture; syntax parse is frame-parallel, motion
+  // derivation + TMVP compression replay serially in decode order
+  struct PicJob {
+    Frame* f = nullptr;
+    struct SD { int slice_idx; std::vector<uint8_t> payload; };
+    std::vector<SD> slices;
+    bool failed = false;
+  };
+  std::vector<std::unique_ptr<PicJob>> jobs;
+  size_t jobs_done = 0;
+  PicJob* cur_job = nullptr;
+  int num_threads = 0;  // 0 = auto
+
+  void derive_motion(Frame& f);  // defined after SliceReader
+  bool flush_jobs();
 
   ~Context() { for (auto* f : frames) delete f; }
 
@@ -1214,13 +1271,19 @@ struct Context {
     int tid = (data[1] & 7) - 1;
     int layer = ((data[0] & 1) << 5) | (data[1] >> 3);
     if (layer) return true;
-    if (nal_type == 33) { SPS s; if (!parse_sps(data, len, s)) return false; spss[s.sps_id] = s; return true; }
+    if (nal_type == 33) {
+      SPS s; if (!parse_sps(data, len, s)) return false;
+      // queued parse jobs hold SPS/PPS pointers: drain before mutating
+      if (spss.count(s.sps_id)) { finish_picture(); if (!flush_jobs()) return false; }
+      spss[s.sps_id] = s; return true;
+    }
     if (nal_type == 34) {
       PPS p2;
       // need sps id first: peek
       { Bitreader br(data + 2, len - 2); br.uvlc(); int sid = br.uvlc();
         if (!spss.count(sid)) return false;
         if (!parse_pps(data, len, p2, spss[sid])) return false; }
+      if (ppss.count(p2.pps_id)) { finish_picture(); if (!flush_jobs()) return false; }
       ppss[p2.pps_id] = p2;
       return true;
     }
@@ -1271,12 +1334,9 @@ struct Context {
       sh.entry_points = fixed;
     }
     cur->slices.push_back(sh);
-    SliceHeader& ssh = cur->slices.back();
-    if (!decode_slice_data(*this, *cur, ssh, data + sh.header_bytes,
-                           len - sh.header_bytes)) {
-      error = "slice data decode failed";
-      return false;
-    }
+    int sidx = (int)cur->slices.size() - 1;
+    cur_job->slices.push_back(
+        {sidx, std::vector<uint8_t>(data + sh.header_bytes, data + len)});
     return true;
   }
 
@@ -1284,6 +1344,7 @@ struct Context {
 
   void process_lists_for_slice(SliceHeader& sh, const SPS& sps) {
     build_ref_lists(sh);
+    sh.col_frame = col_plan(sh);
   }
 
   void start_picture(const SliceHeader& sh, SPS& sps, PPS& pps) {
@@ -1302,15 +1363,16 @@ struct Context {
     cur = f;
     dpb[cur_slot] = RefPic{poc, 1, f->frame_id, f};
     if (!is_idr(sh.nal_type)) process_rps(sh, sps);
-    wpp_ctx.clear();
-    has_dep_ctx = false;
+    jobs.emplace_back(new PicJob());
+    cur_job = jobs.back().get();
+    cur_job->f = f;
   }
 
   void finish_picture() {
     if (!cur) return;
-    cur->compress_motion();
     cur = nullptr;
     cur_slot = -1;
+    cur_job = nullptr;
   }
 };
 
@@ -1320,7 +1382,7 @@ namespace {
 
 // ============================ slice reader ================================
 struct SliceReader {
-  Context& ctx;
+  PicState* ps;       // null in motion-derivation (replay) mode
   Frame& f;
   SliceHeader& sh;
   const SPS& sps;
@@ -1340,14 +1402,15 @@ struct SliceReader {
   int ctb_log2, ctb_size, min_cb_log2, W, H, wctbs;
   int slice_idx;
 
-  SliceReader(Context& c, Frame& fr, SliceHeader& s, const uint8_t* d, size_t l)
-      : ctx(c), f(fr), sh(s), sps(*fr.sps), pps(*fr.pps), data(d), dlen(l) {
+  SliceReader(PicState* p, Frame& fr, SliceHeader& s, const uint8_t* d,
+              size_t l, int sidx)
+      : ps(p), f(fr), sh(s), sps(*fr.sps), pps(*fr.pps), data(d), dlen(l) {
     qp_prev = sh.qp; last_cu_qp = sh.qp; cur_cu_qp = sh.qp;
     ctb_log2 = sps.log2_ctb; ctb_size = sps.ctb_size;
     min_cb_log2 = sps.log2_min_cb;
     W = f.W; H = f.H; wctbs = sps.pic_w_ctbs;
-    col = c.col_plan(s);
-    slice_idx = (int)fr.slices.size() - 1;
+    col = s.col_frame;
+    slice_idx = sidx;
   }
 
   // ---- availability (spec 6.4.1) ----
@@ -1380,7 +1443,7 @@ struct SliceReader {
 
   // =============== top-level substream loop ===============
   bool run() {
-    if (sh.dependent && ctx.has_dep_ctx) ct = ctx.dep_ctx;
+    if (sh.dependent && ps->has_dep_ctx) ct = ps->dep_ctx;
     else ct.init(sh.init_type, clip3(0, 51, sh.qp));
     int ctb_ts = pps.rs_to_ts[sh.seg_addr];
     std::vector<size_t> offs; offs.push_back(0);
@@ -1408,27 +1471,27 @@ struct SliceReader {
         } else if (pps.wpp && row_start) {
           substream++;
           cabac = Cabac(data, dlen, offs[substream]);
-          auto it = ctx.wpp_ctx.find(cy - 1);
+          auto it = ps->wpp_ctx.find(cy - 1);
           bool ar_ok = wctbs == 1
               ? avail(xctb, yctb, xctb, yctb - ctb_size)
               : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
-          if (it != ctx.wpp_ctx.end() && ar_ok) ct = it->second;
+          if (it != ps->wpp_ctx.end() && ar_ok) ct = it->second;
           else ct.init(sh.init_type, clip3(0, 51, sh.qp));
           qp_prev = sh.qp; last_cu_qp = sh.qp;
         }
       } else if (pps.wpp && row_start && cy > 0 && !sh.dependent) {
-        auto it = ctx.wpp_ctx.find(cy - 1);
+        auto it = ps->wpp_ctx.find(cy - 1);
         bool ar_ok = wctbs == 1
             ? avail(xctb, yctb, xctb, yctb - ctb_size)
             : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
-        if (it != ctx.wpp_ctx.end() && ar_ok) ct = it->second;
+        if (it != ps->wpp_ctx.end() && ar_ok) ct = it->second;
       }
       f.ctb_slice_seg[rs] = sh.seg_addr;
       f.slice_addr[rs] = sh.slice_addr_rs;
       if (sh.sao_luma || sh.sao_chroma) read_sao(cx, cy, xctb, yctb);
       if (!coding_quadtree(xctb, yctb, ctb_log2, 0)) return false;
       if (pps.wpp && (cx == 1 || (wctbs == 1 && cx == 0)))
-        ctx.wpp_ctx[cy] = ct;
+        ps->wpp_ctx[cy] = ct;
       int end = cb->term();
       first = false;
       ctb_ts++;
@@ -1439,7 +1502,7 @@ struct SliceReader {
       bool nrow = (nrs % wctbs) == 0;
       if ((pps.tiles && ntile) || (pps.wpp && nrow)) cb->term();
     }
-    ctx.dep_ctx = ct; ctx.has_dep_ctx = true;
+    ps->dep_ctx = ct; ps->has_dep_ctx = true;
     return true;
   }
 
@@ -1971,10 +2034,12 @@ struct SliceReader {
       int last_sig_scan = sig_pos[0], first_sig_scan = sig_pos[nsig - 1];
       bool hidden = sign_hiding && (last_sig_scan - first_sig_scan > 3);
       int signs[16];
-      for (int k = 0; k < nsig; k++) {
-        if (hidden && sig_pos[k] == first_sig_scan) signs[k] = 0;
-        else signs[k] = cb->bypass();
-      }
+      // the hidden sign is always the last in k-order (sig_pos[nsig-1]);
+      // all coded signs are contiguous -> batch into one bypass read
+      int m = hidden ? nsig - 1 : nsig;
+      uint32_t sv = m ? cb->bypass_bits(m) : 0;
+      for (int k = 0; k < m; k++) signs[k] = (sv >> (m - 1 - k)) & 1;
+      if (hidden) signs[nsig - 1] = 0;
       int rice = 0;
       long sum_abs = 0;
       int vals[16];
@@ -2007,6 +2072,7 @@ struct SliceReader {
   void inter_pred_info(int x0, int y0, int log2, int part_mode, int depth);
   void prediction_unit(int xc, int yc, int x0, int y0, int w, int h, bool skip,
                        int pidx, int nparts, int depth, int part_mode);
+  void derive_pu(const RawPU& r);
   int decode_merge_idx() {
     if (sh.max_merge <= 1) return 0;
     if (!cb->bin(ct.m[CTX_MERGEIDX])) return 0;
@@ -2126,7 +2192,17 @@ void SliceReader::prediction_unit(int xc, int yc, int x0, int y0, int w, int h,
       merge_idx = decode_merge_idx();
     }
   }
-  if (merge) { decode_merge(xc, yc, x0, y0, w, h, pidx, part_mode, merge_idx); return; }
+  RawPU r{};
+  r.xc = (int16_t)xc; r.yc = (int16_t)yc;
+  r.x0 = (int16_t)x0; r.y0 = (int16_t)y0;
+  r.w = (int16_t)w; r.h = (int16_t)h;
+  r.slice_idx = (int16_t)slice_idx;
+  r.pidx = (int8_t)pidx; r.part_mode = (int8_t)part_mode;
+  if (merge) {
+    r.merge = 1; r.merge_idx = (int8_t)merge_idx;
+    f.raw_pus.push_back(r);
+    return;
+  }
   int inter_dir = 0;  // PRED_L0
   if (sh.type == 0) {
     if (w + h != 12) {
@@ -2148,7 +2224,24 @@ void SliceReader::prediction_unit(int xc, int yc, int x0, int y0, int w, int h,
     else decode_mvd(mvd[1]);
     mvp[1] = cb->bin(ct.m[CTX_MVP]);
   }
-  decode_amvp(x0, y0, w, h, inter_dir, ref_idx, mvd, mvp);
+  r.inter_dir = (int8_t)inter_dir;
+  r.ref_idx[0] = (int8_t)ref_idx[0]; r.ref_idx[1] = (int8_t)ref_idx[1];
+  r.mvp[0] = (int8_t)mvp[0]; r.mvp[1] = (int8_t)mvp[1];
+  for (int l = 0; l < 2; l++)
+    for (int i = 0; i < 2; i++) r.mvd[l][i] = (int16_t)mvd[l][i];
+  f.raw_pus.push_back(r);
+}
+
+void SliceReader::derive_pu(const RawPU& r) {
+  if (r.merge) {
+    decode_merge(r.xc, r.yc, r.x0, r.y0, r.w, r.h, r.pidx, r.part_mode,
+                 r.merge_idx);
+    return;
+  }
+  int ref_idx[2] = {r.ref_idx[0], r.ref_idx[1]};
+  int mvp[2] = {r.mvp[0], r.mvp[1]};
+  int mvd[2][2] = {{r.mvd[0][0], r.mvd[0][1]}, {r.mvd[1][0], r.mvd[1][1]}};
+  decode_amvp(r.x0, r.y0, r.w, r.h, r.inter_dir, ref_idx, mvd, mvp);
 }
 
 bool SliceReader::col_mv(int xc, int yc, int X, int ref_idx, int16_t* out) {
@@ -2428,10 +2521,79 @@ void SliceReader::store_pu(int x0, int y0, int w, int h, const uint8_t* pf,
   f.pus.push_back(pu);
 }
 
-static bool decode_slice_data(Context& ctx, Frame& f, SliceHeader& sh,
-                              const uint8_t* data, size_t dlen) {
-  SliceReader sr(ctx, f, sh, data, dlen);
+static bool decode_slice_data(PicState& ps, Frame& f, SliceHeader& sh,
+                              const uint8_t* data, size_t dlen, int sidx) {
+  SliceReader sr(&ps, f, sh, data, dlen, sidx);
   return sr.run();
+}
+
+void Context::derive_motion(Frame& fr) {
+  if (fr.raw_pus.empty()) return;
+  int cur_slice = -1;
+  std::unique_ptr<SliceReader> sr;
+  for (const RawPU& r : fr.raw_pus) {
+    if (r.slice_idx != cur_slice) {
+      cur_slice = r.slice_idx;
+      sr.reset(new SliceReader(nullptr, fr, fr.slices[cur_slice],
+                               nullptr, 0, cur_slice));
+    }
+    sr->derive_pu(r);
+  }
+  fr.raw_pus.clear();
+  fr.raw_pus.shrink_to_fit();
+}
+
+bool Context::flush_jobs() {
+  size_t begin = jobs_done, end = jobs.size();
+  if (cur_job && end > begin && jobs[end - 1].get() == cur_job) end--;
+  if (begin >= end) return true;
+  int nt = num_threads;
+  if (nt <= 0) {
+    const char* e = getenv("FE_THREADS");
+    nt = e ? atoi(e) : (int)std::thread::hardware_concurrency();
+    if (nt <= 0) nt = 1;
+  }
+  if (g_trace) nt = 1;  // keep trace output in decode order
+  nt = std::min<int>(nt, (int)(end - begin));
+  auto run_job = [](PicJob& j, Frame* f, std::vector<SliceHeader>& slices) {
+    PicState ps;
+    for (auto& sd : j.slices) {
+      if (!decode_slice_data(ps, *f, slices[sd.slice_idx],
+                             sd.payload.data(), sd.payload.size(),
+                             sd.slice_idx)) {
+        j.failed = true;
+        break;
+      }
+    }
+    j.slices.clear();
+    j.slices.shrink_to_fit();
+  };
+  if (nt <= 1) {
+    for (size_t i = begin; i < end; i++)
+      run_job(*jobs[i], jobs[i]->f, jobs[i]->f->slices);
+  } else {
+    std::atomic<size_t> next{begin};
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= end) break;
+        run_job(*jobs[i], jobs[i]->f, jobs[i]->f->slices);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt - 1; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  }
+  // motion derivation + TMVP motion compression replay serially in decode
+  // order (frame N's TMVP reads its ref frames' compressed motion)
+  for (size_t i = begin; i < end; i++) {
+    if (jobs[i]->failed) { error = "slice data decode failed"; return false; }
+    derive_motion(*jobs[i]->f);
+    jobs[i]->f->compress_motion();
+  }
+  jobs_done = end;
+  return true;
 }
 
 }  // namespace
@@ -2445,7 +2607,7 @@ struct FEHandle {
   std::vector<int> skip_buf;
 };
 
-FEHandle* fe_new() { trace_open(); return new FEHandle(); }
+FEHandle* fe_new() { trace_open(); init_scans(); return new FEHandle(); }
 void fe_free(FEHandle* h) { delete h; }
 
 // Push a whole Annex-B stream; returns number of frames decoded, or -1.
@@ -2468,6 +2630,7 @@ int fe_push_stream(FEHandle* h, const uint8_t* data, int64_t len) {
       return -1;
   }
   h->ctx.finish_picture();
+  if (!h->ctx.flush_jobs()) return -1;
   return (int)h->ctx.frames.size();
 }
 
