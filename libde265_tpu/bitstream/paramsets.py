@@ -287,6 +287,7 @@ def read_short_term_rps(br: Bitreader, rps_list: List[ShortTermRPS], idx: int,
 @dataclass
 class SPS:
     video_parameter_set_id: int = 0
+    vui: object = None                  # VUI if vui_parameters_present
     max_sub_layers: int = 1
     temporal_id_nesting_flag: int = 0
     profile_tier_level: Optional[ProfileTierLevel] = None
@@ -465,35 +466,83 @@ def read_sps(data: bytes) -> SPS:
     return s
 
 
+class VUI:
+    """Parsed VUI parameters (spec E.2.1); capability counterpart of
+    reference vui.h/vui.cc (video_usability_information)."""
+    def __init__(self):
+        self.sar_width = 0
+        self.sar_height = 0
+        self.video_full_range_flag = 0
+        self.colour_primaries = 2          # unspecified
+        self.transfer_characteristics = 2
+        self.matrix_coeffs = 2
+        self.chroma_sample_loc_type_top_field = 0
+        self.chroma_sample_loc_type_bottom_field = 0
+        self.default_display_window = None   # (l, r, t, b) or None
+        self.timing_info_present = 0
+        self.num_units_in_tick = 0
+        self.time_scale = 0
+        self.min_spatial_segmentation_idc = 0
+        self.max_bytes_per_pic_denom = 0
+        self.max_bits_per_min_cu_denom = 0
+        self.log2_max_mv_length_horizontal = 0
+        self.log2_max_mv_length_vertical = 0
+
+    @property
+    def frame_rate(self):
+        """Frames per second from timing info, or None."""
+        if self.timing_info_present and self.num_units_in_tick:
+            return self.time_scale / self.num_units_in_tick
+        return None
+
+
+# sample aspect ratios for aspect_ratio_idc 1..16 (spec table E.1)
+SAR_TABLE = [(1, 1), (12, 11), (10, 11), (16, 11), (40, 33), (24, 11),
+             (20, 11), (32, 11), (80, 33), (18, 11), (15, 11), (64, 33),
+             (160, 99), (4, 3), (3, 2), (2, 1)]
+
+
 def read_vui(br: Bitreader, sps: SPS):
-    """spec E.2.1; values parsed but only what decode needs is kept."""
+    """spec E.2.1; full parse retained on sps.vui."""
+    v = VUI()
+    sps.vui = v
     if br.get_bits(1):  # aspect_ratio_info_present
         idc = br.get_bits(8)
-        if idc == 255:
-            br.skip_bits(32)
+        if idc == 255:  # EXTENDED_SAR
+            v.sar_width = br.get_bits(16)
+            v.sar_height = br.get_bits(16)
+        elif 1 <= idc <= 16:
+            v.sar_width, v.sar_height = SAR_TABLE[idc - 1]
     if br.get_bits(1):  # overscan_info_present
         br.skip_bits(1)
     if br.get_bits(1):  # video_signal_type_present
-        br.skip_bits(4)
+        br.skip_bits(3)  # video_format
+        v.video_full_range_flag = br.get_bits(1)
         if br.get_bits(1):  # colour_description_present
-            br.skip_bits(24)
+            v.colour_primaries = br.get_bits(8)
+            v.transfer_characteristics = br.get_bits(8)
+            v.matrix_coeffs = br.get_bits(8)
     if br.get_bits(1):  # chroma_loc_info_present
-        br.get_uvlc()
-        br.get_uvlc()
+        v.chroma_sample_loc_type_top_field = br.get_uvlc()
+        v.chroma_sample_loc_type_bottom_field = br.get_uvlc()
     br.skip_bits(3)  # neutral_chroma, field_seq, frame_field_info
     if br.get_bits(1):  # default_display_window
-        for _ in range(4):
-            br.get_uvlc()
-    if br.get_bits(1):  # vui_timing_info_present
-        br.skip_bits(64)
+        v.default_display_window = tuple(br.get_uvlc() for _ in range(4))
+    v.timing_info_present = br.get_bits(1)
+    if v.timing_info_present:
+        v.num_units_in_tick = br.get_bits(32)
+        v.time_scale = br.get_bits(32)
         if br.get_bits(1):  # poc_proportional_to_timing
             br.get_uvlc()
         if br.get_bits(1):  # hrd_parameters_present
             _skip_hrd(br, sps.max_sub_layers)
     if br.get_bits(1):  # bitstream_restriction
         br.skip_bits(3)
-        for _ in range(5):
-            br.get_uvlc()
+        v.min_spatial_segmentation_idc = br.get_uvlc()
+        v.max_bytes_per_pic_denom = br.get_uvlc()
+        v.max_bits_per_min_cu_denom = br.get_uvlc()
+        v.log2_max_mv_length_horizontal = br.get_uvlc()
+        v.log2_max_mv_length_vertical = br.get_uvlc()
 
 
 def _skip_hrd(br: Bitreader, max_sub_layers: int):

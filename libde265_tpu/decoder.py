@@ -45,6 +45,8 @@ class Decoder:
         self.ref_pic_lists = None     # per-slice [l][i] -> dpb idx
         self.warnings: List[str] = []
         self.limit_tid = 100
+        self.framerate_ratio = 100    # de265_set_framerate_ratio percent
+        self._framedrop_tab = None    # percent -> (tid, in-layer ratio)
         self.wpp_contexts = {}
         self.dep_slice_ctx = None
         self.width = 0
@@ -80,12 +82,74 @@ class Decoder:
         p = self.dpb.pop_output()
         return p
 
+    # -------------------------------------------- temporal scalability
+    # mirrors reference decctx.cc:2132-2223 (get_highest_TID /
+    # set_framerate_ratio / compute_framedrop_table / change_framerate):
+    # a percent in [0,100] maps onto the temporal layers, dropping the
+    # highest layers first.
+    def get_highest_tid(self) -> int:
+        for s in self.sps.values():
+            return s.max_sub_layers - 1
+        for v in self.vps.values():
+            return getattr(v, "max_sub_layers", 7) - 1
+        return 6
+
+    def _compute_framedrop_table(self):
+        highest = self.get_highest_tid()
+        tab = [(0, 100)] * 101
+        tid_index = {}
+        for tid in range(highest, -1, -1):
+            lower = 100 * tid // (highest + 1)
+            higher = 100 * (tid + 1) // (highest + 1)
+            for l in range(lower, higher + 1):
+                ratio = 100 * (l - lower) // max(1, higher - lower)
+                t = tid
+                if t > self.limit_tid:
+                    t, ratio = self.limit_tid, 100
+                tab[l] = (t, ratio)
+            tid_index[tid] = higher
+        self._framedrop_tab = tab
+        self._framedrop_tid_index = tid_index
+
+    def _calc_tid(self):
+        highest = self.get_highest_tid()
+        if self._framedrop_tab is None or self._framedrop_tab[100][0] != highest:
+            self._compute_framedrop_table()
+        tid, _layer_ratio = self._framedrop_tab[self.framerate_ratio]
+        self._current_highest_tid = tid
+
+    def set_framerate_ratio(self, percent: int):
+        """Decode only `percent` of the frame rate by dropping the
+        highest temporal sub-layers (de265_set_framerate_ratio)."""
+        self.framerate_ratio = max(0, min(100, percent))
+        self._calc_tid()
+
+    def set_limit_tid(self, max_tid: int):
+        self.limit_tid = max_tid
+        self._framedrop_tab = None
+        self._calc_tid()
+
+    def change_framerate(self, more: int) -> int:
+        """Step one temporal layer up (+1) or down (-1); returns the new
+        framerate ratio percent (de265_change_framerate)."""
+        if not self.sps:
+            return self.framerate_ratio
+        highest = self.get_highest_tid()
+        self._calc_tid()
+        goal = max(0, min(self._current_highest_tid + more, highest))
+        self.framerate_ratio = self._framedrop_tid_index.get(goal, 100)
+        self._calc_tid()
+        return self.framerate_ratio
+
     # ------------------------------------------------------------------ NAL
     def _decode_nal(self, nal):
         t = nal.header.nal_unit_type
         if nal.header.nuh_layer_id != 0:
             return
-        if t <= 31 and nal.header.nuh_temporal_id > self.limit_tid:
+        gate_tid = getattr(self, "_current_highest_tid", None)
+        if gate_tid is None:
+            gate_tid = self.limit_tid
+        if t <= 31 and nal.header.nuh_temporal_id > gate_tid:
             return
         if t == nal_mod.NAL_VPS_NUT:
             v = read_vps(nal.data)
@@ -93,6 +157,9 @@ class Decoder:
         elif t == nal_mod.NAL_SPS_NUT:
             s = read_sps(nal.data)
             self.sps[s.seq_parameter_set_id] = s
+            # number of temporal layers is now known: recompute the
+            # framedrop table (reference decctx.cc:1979)
+            self._calc_tid()
         elif t == nal_mod.NAL_PPS_NUT:
             p = read_pps(nal.data, self.sps)
             self.pps[p.pic_parameter_set_id] = p

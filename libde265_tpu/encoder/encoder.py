@@ -71,6 +71,7 @@ class EncoderConfig:
     pcm_loop_filter_disable: bool = False
     use_cra: bool = False             # non-first intra pictures as CRA (21)
     use_ltr: bool = False             # keep the IDR as a long-term reference
+    fps: float = 0.0                  # write VUI timing info when set
     temporal_layers: bool = False     # odd frames at temporal id 1 (TSA_R)
 
     @property

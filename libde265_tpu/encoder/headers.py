@@ -105,7 +105,23 @@ def write_sps(cfg):
         w.put_bit(0)   # long_term_ref_pics_present
     w.put_bit(1 if cfg.temporal_mvp else 0)
     w.put_bit(1 if cfg.strong_intra_smoothing else 0)
-    w.put_bit(0)       # vui_present
+    fps = getattr(cfg, 'fps', 0)
+    if fps:
+        w.put_bit(1)   # vui_present (timing info only, spec E.2.1)
+        w.put_bit(0)   # aspect_ratio_info_present
+        w.put_bit(0)   # overscan_info_present
+        w.put_bit(0)   # video_signal_type_present
+        w.put_bit(0)   # chroma_loc_info_present
+        w.put_bits(0, 3)  # neutral_chroma, field_seq, frame_field_info
+        w.put_bit(0)   # default_display_window
+        w.put_bit(1)   # vui_timing_info_present
+        w.put_bits(1000, 32)              # num_units_in_tick
+        w.put_bits(int(fps * 1000), 32)   # time_scale
+        w.put_bit(0)   # poc_proportional_to_timing
+        w.put_bit(0)   # hrd_parameters_present
+        w.put_bit(0)   # bitstream_restriction
+    else:
+        w.put_bit(0)   # vui_present
     w.put_bit(0)       # extension
     w.rbsp_trailing()
     return add_emulation_prevention(w.data())
