@@ -10,16 +10,17 @@ import numpy as np
 from .plan import MODE_INTRA, MODE_INTER
 
 
-def reconstruct_frame_device(plan, dpb_images=None, bitdepth=8):
-    """Returns [Y,Cb,Cr] uint8 planes; same contract as
-    reconstruct.reconstruct_frame."""
+def reconstruct_frame_device(plan, dpb_images=None, bitdepth=None):
+    """Returns [Y,Cb,Cr] uint8/uint16 planes; same contract as
+    reconstruct.reconstruct_frame. bitdepth defaults to the SPS luma depth."""
+    if bitdepth is None:
+        bitdepth = plan.sps.BitDepthY
     import jax.numpy as jnp
-    from .ops.inter_jax import motion_compensate_frame_device
+    from .ops.inter_dense_jax import motion_compensate_frame_dense
     from .backend import pack_tu_batches, residual_batch_device, scatter_residuals
     from .ops.intra_jax import intra_reconstruct_device
     from .ops.transform_ref import scale_and_inv_transform
-    from .ops.deblock_jax import deblock_frame_jax
-    from .ops.sao_jax import sao_frame_jax
+    from .ops.filters_fused_jax import apply_filters_fused
 
     sps = plan.sps
     H, W = plan.H, plan.W
@@ -27,9 +28,9 @@ def reconstruct_frame_device(plan, dpb_images=None, bitdepth=8):
     planes = [np.zeros((H, W), dt),
               np.zeros((H // 2, W // 2), dt),
               np.zeros((H // 2, W // 2), dt)]
-    # 1) inter prediction
+    # 1) inter prediction (dense per-4x4-block, one program per resolution)
     if plan.pus:
-        motion_compensate_frame_device(plan, planes, dpb_images, bitdepth)
+        motion_compensate_frame_dense(plan, planes, dpb_images, bitdepth)
     # 2) inter TU residuals (batched by size class) + PCM paste
     maxv = (1 << bitdepth) - 1
     batches = {}
@@ -79,12 +80,8 @@ def reconstruct_frame_device(plan, dpb_images=None, bitdepth=8):
     # 3) intra wavefront
     if any(tu.cidx >= 0 and tu.pred_mode == MODE_INTRA for tu in plan.tus):
         intra_reconstruct_device(plan, planes, bitdepth)
-    # 4) loop filters
+    # 4) loop filters: deblock V+H + SAO fused into one program
     plan.planes = planes
-    sh0 = plan.slice_headers[0] if plan.slice_headers else None
-    if sh0 is not None and not sh0.slice_deblocking_filter_disabled_flag:
-        deblock_frame_jax(plan, planes)
-    if sh0 is not None and (sh0.slice_sao_luma_flag or sh0.slice_sao_chroma_flag):
-        planes = sao_frame_jax(plan, planes)
-        plan.planes = planes
+    planes = apply_filters_fused(plan, planes)
+    plan.planes = planes
     return planes

@@ -63,7 +63,8 @@ def test_device_mc_match(name):
         refs.add(plan.frame_id, plan, planes_ref)
 
 
-@pytest.mark.parametrize("name", ["p_filters"])
+@pytest.mark.parametrize("name", ["p_filters", "p_10bit", "p_wp", "b_mixed",
+                                  "p_tiles22", "p_ltr"])
 def test_full_device_pipeline(name):
     """decode_stream_native(backend='device') must be bit-exact."""
     import json
