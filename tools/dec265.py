@@ -28,7 +28,14 @@ def main():
     ap.add_argument("-n", "--native", action="store_true", default=None)
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("-T", "--highest-tid", type=int, default=None,
+                    help="decode only temporal sub-layers <= TID")
+    ap.add_argument("-F", "--framerate-ratio", type=int, default=None,
+                    help="decode only this percent of the frame rate "
+                         "(drops highest temporal layers)")
     args = ap.parse_args()
+    if (args.highest_tid is not None or args.framerate_ratio is not None):
+        args.native = False  # temporal gating runs in the Python decoder
 
     data = open(args.stream, "rb").read()
     t0 = time.time()
@@ -59,6 +66,10 @@ def main():
         from libde265_tpu.decoder import Decoder
         from libde265_tpu.api import get_next_picture
         dec = Decoder()
+        if args.highest_tid is not None:
+            dec.set_limit_tid(args.highest_tid)
+        if args.framerate_ratio is not None:
+            dec.set_framerate_ratio(args.framerate_ratio)
         dec.push_data(data)
         dec.flush()
         pics = []
