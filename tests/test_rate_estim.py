@@ -36,3 +36,36 @@ def test_estimator_tracks_real_bits():
     assert abs(est.bits - real) / real < 0.01
     # context states stayed in lockstep
     assert ctxs_e == ctxs_s
+
+
+def test_hdrcopy_tool(tmp_path, capsys):
+    """hdrcopy dump + parameter-set copy round-trips (counterpart of
+    reference dec265/hdrcopy.cc)."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "tests", "data", "p_temporal.bin")
+    out = str(tmp_path / "ps.bin")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "hdrcopy.py"),
+         src, "--slices", "--copy", out],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "SPS" in r.stdout and "PPS" in r.stdout and "slice" in r.stdout
+    assert "max_sub_layers" in r.stdout
+    data = open(out, "rb").read()
+    # the copied parameter sets must parse again
+    from libde265_tpu.bitstream.nal import split_annexb
+    from libde265_tpu.bitstream.paramsets import read_sps, read_pps
+    spss = {}
+    types = []
+    for u in split_annexb(data):
+        t = u.header.nal_unit_type
+        types.append(t)
+        if t == 33:
+            s = read_sps(u.data)
+            spss[s.seq_parameter_set_id] = s
+        elif t == 34:
+            read_pps(u.data, spss)
+    assert 33 in types and 34 in types

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--deblock", action="store_true")
     ap.add_argument("--hash-sei", action="store_true")
     ap.add_argument("--num-refs", type=int, default=1)
+    ap.add_argument("--fps", type=float, default=0.0,
+                    help="write VUI timing info with this frame rate")
     args = ap.parse_args()
 
     from libde265_tpu.encoder import Encoder, EncoderConfig
@@ -54,7 +56,8 @@ def main():
         inter_mode=args.inter_mode, inter_residual=True,
         cu_log2={8: 3, 16: 4, 32: 5}[args.cu_size],
         sao=args.sao, disable_deblocking=not args.deblock,
-        write_hash_sei=args.hash_sei, num_ref_l0=args.num_refs)
+        write_hash_sei=args.hash_sei, num_ref_l0=args.num_refs,
+        fps=args.fps)
     enc = Encoder(cfg)
     stream = enc.encode(frames)
     open(args.output, "wb").write(stream)
