@@ -99,10 +99,10 @@ def reconstruct_frame_device(plan, dpb=None):
     from .ops.deblock_jax import deblock_frame_jax
     from .ops.sao_jax import sao_frame_jax
     planes = plan.planes
-    sh0 = plan.slice_headers[0] if plan.slice_headers else None
-    if sh0 is not None and not sh0.slice_deblocking_filter_disabled_flag:
+    shs = plan.slice_headers or []
+    if any(not sh.slice_deblocking_filter_disabled_flag for sh in shs):
         deblock_frame_jax(plan, planes)
-    if sh0 is not None and (sh0.slice_sao_luma_flag or sh0.slice_sao_chroma_flag):
+    if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag for sh in shs):
         planes = sao_frame_jax(plan, planes)
         plan.planes = planes
     return planes

@@ -278,7 +278,11 @@ class Decoder:
             # remove from reorder, never output
             self.dpb.reorder.remove(self.img_dpb_idx)
             pic.needed_for_output = False
-        max_reorder = sps.max_num_reorder_pics[-1]
+        # index by the operating temporal layer, not the highest coded one
+        # (reference: layer-indexed sps_max_num_reorder_pics, decctx.cc:1914)
+        tid = getattr(self, "_current_highest_tid", self.limit_tid)
+        max_reorder = sps.max_num_reorder_pics[
+            min(tid, len(sps.max_num_reorder_pics) - 1)]
         while self.dpb.num_pictures_in_reorder() > max_reorder:
             self.dpb.output_next()
         self.img = None

@@ -73,6 +73,7 @@ class EncoderConfig:
     use_ltr: bool = False             # keep the IDR as a long-term reference
     fps: float = 0.0                  # write VUI timing info when set
     temporal_layers: bool = False     # odd frames at temporal id 1 (TSA_R)
+    mixed_filter_slices: bool = False  # per-slice deblock/SAO flag variation
 
     @property
     def maxval(self):
@@ -300,6 +301,18 @@ class Encoder:
             ssh.__dict__.update(sh.__dict__)
             ssh.slice_segment_address = seg_addr
             ssh.SliceAddrRS = 0 if dependent else seg_addr
+            if cfg.mixed_filter_slices:
+                # alternate per slice: even slices SAO-only (deblock off),
+                # odd slices deblock-only (SAO off) — exercises the per-CTB
+                # slice-header gating in the decoder's filters
+                if si % 2 == 0:
+                    ssh.slice_deblocking_filter_disabled_flag = 1
+                    ssh.slice_sao_luma_flag = 1 if cfg.sao else 0
+                    ssh.slice_sao_chroma_flag = 1 if cfg.sao else 0
+                else:
+                    ssh.slice_deblocking_filter_disabled_flag = 0
+                    ssh.slice_sao_luma_flag = 0
+                    ssh.slice_sao_chroma_flag = 0
             frame.slice_headers.append(ssh)
             if self.motion is not None:
                 self.motion.sh = ssh
@@ -342,7 +355,13 @@ class Encoder:
                                      entry_points=entry_points,
                                      dependent=dependent, tid=tid,
                                      ref_deltas=None if intra else ref_deltas,
-                                     lt_pocs=lt_pocs if not intra else None)
+                                     lt_pocs=lt_pocs if not intra else None,
+                                     sao_flags=((ssh.slice_sao_luma_flag,
+                                                 ssh.slice_sao_chroma_flag)
+                                                if cfg.mixed_filter_slices else None),
+                                     deblock_disabled=(
+                                         ssh.slice_deblocking_filter_disabled_flag
+                                         if cfg.mixed_filter_slices else None))
             payload = add_emulation_prevention(bytes(hw2.bytes)) + b"".join(stuffed)
             nals.append(payload)
         nal = None

@@ -162,7 +162,8 @@ def write_pps(cfg):
         w.put_bit(1 if cfg.lf_across_tiles else 0)
     w.put_bit(1)       # loop_filter_across_slices
     w.put_bit(1)       # deblocking_filter_control_present
-    w.put_bit(0)       # deblocking_filter_override_enabled
+    mixed = getattr(cfg, 'mixed_filter_slices', False)
+    w.put_bit(1 if mixed else 0)   # deblocking_filter_override_enabled
     w.put_bit(1 if cfg.disable_deblocking else 0)
     if not cfg.disable_deblocking:
         w.put_svlc(0)  # beta offset /2
@@ -179,7 +180,7 @@ def write_pps(cfg):
 def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                        num_neg_refs=1, num_active=None, entry_points=None,
                        dependent=False, tid=0, ref_deltas=None,
-                       lt_pocs=None):
+                       lt_pocs=None, sao_flags=None, deblock_disabled=None):
     kwargs_dependent = [dependent]
     kwargs_lt = [lt_pocs or []]
     """Returns the BitWriter (caller appends CABAC data after alignment).
@@ -233,9 +234,10 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                 w.put_bit(0)       # delta_poc_msb_present
         if cfg.temporal_mvp:
             w.put_bit(1)           # slice_temporal_mvp_enabled
+    sao_l, sao_c = sao_flags if sao_flags is not None else (1, 1)
     if cfg.sao:
-        w.put_bit(1)  # slice_sao_luma
-        w.put_bit(1)  # slice_sao_chroma
+        w.put_bit(sao_l)  # slice_sao_luma
+        w.put_bit(sao_c)  # slice_sao_chroma
     if slice_type != 2:
         if num_active is not None and num_active != cfg.num_ref_l0:
             w.put_bit(1)  # num_ref_idx_active_override
@@ -258,8 +260,16 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                 num_active if num_active is not None else cfg.num_ref_l0)
         w.put_uvlc(5 - cfg.max_merge_cand)
     w.put_svlc(0)     # slice_qp_delta
-    # deblocking_filter_control_present=1, override_enabled=0 -> nothing
-    if cfg.sao or not cfg.disable_deblocking:
+    dbd = cfg.disable_deblocking
+    if getattr(cfg, 'mixed_filter_slices', False) and deblock_disabled is not None:
+        # deblocking_filter_override_enabled=1: per-slice override
+        w.put_bit(1)               # deblocking_filter_override_flag
+        w.put_bit(deblock_disabled)
+        if not deblock_disabled:
+            w.put_svlc(0)          # slice_beta_offset /2
+            w.put_svlc(0)          # slice_tc_offset /2
+        dbd = deblock_disabled
+    if (cfg.sao and (sao_l or sao_c)) or not dbd:
         w.put_bit(1)  # slice_loop_filter_across_slices_enabled
     if cfg.tiles or cfg.wpp:
         eps = entry_points or []

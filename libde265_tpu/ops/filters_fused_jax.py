@@ -54,11 +54,13 @@ def _filters_fused(Y, Cb, Cr, lm, cm, sao, bd_y=8, bd_c=8):
 def apply_filters_fused(plan, planes):
     """Host wrapper: plans metadata, runs the single fused program,
     writes planes back in place. Returns the (possibly new) plane list."""
-    sh0 = plan.slice_headers[0] if plan.slice_headers else None
-    if sh0 is None:
+    shs = plan.slice_headers or []
+    if not shs:
         return planes
-    do_deblock = not sh0.slice_deblocking_filter_disabled_flag
-    do_sao = sh0.slice_sao_luma_flag or sh0.slice_sao_chroma_flag
+    # any-slice gate; per-CTB slice flags are honored inside the planners
+    do_deblock = any(not sh.slice_deblocking_filter_disabled_flag for sh in shs)
+    do_sao = any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
+                 for sh in shs)
     if not do_deblock and not do_sao:
         return planes
     bd_y, bd_c = plan.sps.BitDepthY, plan.sps.BitDepthC

@@ -38,7 +38,6 @@ def split_gops(stream: bytes):
         if t in (32, 33, 34):
             continue
         if is_vcl(t) and (is_idr(t) or is_bla(t) or is_cra(t)):
-            first_slice = True  # IRAPs we emit always start a picture
             if cur:
                 gops.append(bytes(cur))
             cur = bytearray()

@@ -195,12 +195,14 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
         planes[tu.cidx][tu.y:tu.y + n, tu.x:tu.x + n] = out.astype(dt)
 
     plan.planes = planes
-    # Loop filters
-    sh0 = plan.slice_headers[0] if plan.slice_headers else None
-    if sh0 is not None and not sh0.slice_deblocking_filter_disabled_flag:
+    # Loop filters: gate per-frame on *any* slice enabling the filter; the
+    # per-CTB slice-header lookup inside the filters handles mixed flags
+    # (reference: per-CTB lookup, deblock.cc:1020-1058)
+    shs = plan.slice_headers or []
+    if any(not sh.slice_deblocking_filter_disabled_flag for sh in shs):
         from .ops.deblock_ref import deblock_frame
         deblock_frame(plan, planes)
-    if sh0 is not None and (sh0.slice_sao_luma_flag or sh0.slice_sao_chroma_flag):
+    if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag for sh in shs):
         from .ops.sao_ref import sao_frame
         planes = sao_frame(plan, planes)
         plan.planes = planes

@@ -114,6 +114,10 @@ CASES = [
                               use_ltr=True, num_ref_l0=1)),
     ("p_temporal", 64, 64, 6, dict(inter_mode="mixed", inter_residual=True,
                                    temporal_layers=True)),
+    # per-slice filter-flag variation: slice 0 SAO-only, slice 1 deblock-only
+    ("p_mixedlf", 96, 96, 3, dict(inter_mode="mixed", inter_residual=True,
+                                  num_slices=2, mixed_filter_slices=True,
+                                  sao=True, disable_deblocking=False)),
 ]
 
 
