@@ -57,6 +57,16 @@ def decode(dec: Decoder) -> bool:
     return dec.decode()
 
 
+def reset(dec: Decoder):
+    """Reset decoder state for seeking (de265_reset)."""
+    dec.reset()
+
+
+def get_warning(dec: Decoder):
+    """Pop the oldest typed warning code or None (de265_get_warning)."""
+    return dec.get_warning()
+
+
 def get_next_picture(dec: Decoder):
     p = dec.get_next_picture()
     if p is None:

@@ -18,6 +18,7 @@ from .bitstream.sliceheader import read_slice_header, SLICE_TYPE_I
 from .bitstream.ctu import SliceReader
 from .plan import FramePlan
 from .dpb import DPB, SHORT_TERM, LONG_TERM, UNUSED
+from .errors import Warning as W, WarningQueue
 from .reconstruct import reconstruct_frame
 
 
@@ -43,7 +44,7 @@ class Decoder:
         self.last_rap_poc = 0
         self.curr_rps = None          # marked reference sets for current pic
         self.ref_pic_lists = None     # per-slice [l][i] -> dpb idx
-        self.warnings: List[str] = []
+        self.warning_queue = WarningQueue()
         self.limit_tid = 100
         self.framerate_ratio = 100    # de265_set_framerate_ratio percent
         self._framedrop_tab = None    # percent -> (tid, in-layer ratio)
@@ -51,6 +52,23 @@ class Decoder:
         self.dep_slice_ctx = None
         self.width = 0
         self.height = 0
+        self._cur_independent_sh = None
+        self._pending_hash = None
+        from .errors import DecodeError
+        self.status = DecodeError.OK
+
+    # ----------------------------------------------------------- warnings
+    @property
+    def warnings(self) -> List[str]:
+        """Readable warning log (strings); typed codes via get_warning()."""
+        return self.warning_queue.messages
+
+    def _warn(self, code, detail=""):
+        self.warning_queue.add(code, detail)
+
+    def get_warning(self):
+        """Pop the oldest typed warning code (de265_get_warning)."""
+        return self.warning_queue.get()
 
     # ------------------------------------------------------------------ API
     def push_data(self, data: bytes, pts=None):
@@ -63,16 +81,42 @@ class Decoder:
         self.nal_parser.flush()
 
     def decode(self) -> bool:
-        """Decode one NAL; returns True if more work may remain."""
+        """Decode one NAL; returns True if more work may remain.
+        Sets self.status (DecodeError.OK / WAITING_FOR_INPUT /
+        IMAGE_BUFFER_FULL) mirroring the reference stall states
+        (decctx.cc:1271-1304)."""
+        from .errors import DecodeError
+        self.status = DecodeError.OK
         nal = self.nal_parser.pop()
         if nal is None:
             if self.nal_parser.end_of_stream:
                 self._finish_picture()
                 self.dpb.flush_reorder()
                 return False
+            self.status = DecodeError.WAITING_FOR_INPUT
             return False
         self._decode_nal(nal)
         return True
+
+    def reset(self):
+        """Reset for seeking: drop queued NALs, the picture under decode and
+        all DPB state; keep parameter sets (de265_reset, decctx.cc:360-428).
+        The next pushed data should start at a RAP."""
+        self.nal_parser = NALParser()
+        self.dpb.reset()
+        self.img = None
+        self.img_dpb_idx = -1
+        self.prev_tid0_poc = 0
+        self.poc = 0
+        self.first_decoded_picture = True
+        self.no_rasl_output_flag = False
+        self.last_rap_poc = 0
+        self.curr_rps = None
+        self.ref_pic_lists = None
+        self.wpp_contexts = {}
+        self.dep_slice_ctx = None
+        self._cur_independent_sh = None
+        self._pending_hash = None
 
     def decode_all(self):
         while self.decode():
@@ -152,22 +196,37 @@ class Decoder:
         if t <= 31 and nal.header.nuh_temporal_id > gate_tid:
             return
         if t == nal_mod.NAL_VPS_NUT:
-            v = read_vps(nal.data)
+            try:
+                v = read_vps(nal.data)
+            except Exception as e:
+                self._warn(W.VPS_HEADER_INVALID, str(e))
+                return
             self.vps[v.video_parameter_set_id] = v
         elif t == nal_mod.NAL_SPS_NUT:
-            s = read_sps(nal.data)
+            try:
+                s = read_sps(nal.data)
+            except Exception as e:
+                self._warn(W.SPS_HEADER_INVALID, str(e))
+                return
             self.sps[s.seq_parameter_set_id] = s
             # number of temporal layers is now known: recompute the
             # framedrop table (reference decctx.cc:1979)
             self._calc_tid()
         elif t == nal_mod.NAL_PPS_NUT:
-            p = read_pps(nal.data, self.sps)
+            try:
+                p = read_pps(nal.data, self.sps)
+            except Exception as e:
+                self._warn(W.PPS_HEADER_INVALID, str(e))
+                return
             self.pps[p.pic_parameter_set_id] = p
         elif t in (nal_mod.NAL_PREFIX_SEI, nal_mod.NAL_SUFFIX_SEI):
             from .bitstream.sei import parse_sei
-            for msg in parse_sei(nal.data):
-                if msg.picture_hash is not None:
-                    self._pending_hash = msg.picture_hash
+            try:
+                for msg in parse_sei(nal.data):
+                    if msg.picture_hash is not None:
+                        self._pending_hash = msg.picture_hash
+            except Exception as e:
+                self._warn(W.SPS_MISSING_CANNOT_DECODE_SEI, str(e))
         elif t in (nal_mod.NAL_EOS_NUT, nal_mod.NAL_EOB_NUT, nal_mod.NAL_AUD_NUT,
                    nal_mod.NAL_FD_NUT):
             pass
@@ -176,21 +235,53 @@ class Decoder:
 
     # ---------------------------------------------------------------- slice
     def _decode_slice_nal(self, nal):
-        sh = read_slice_header(nal.data, nal.header, self.pps, self.sps)
+        t = nal.header.nal_unit_type
+        # RASL pictures after a BLA / stream-initial CRA reference pictures
+        # from before the random-access point: skip them
+        # (reference: NoRaslOutputFlag handling, decctx.cc:2038-2048)
+        if nal_mod.is_rasl(t) and self.no_rasl_output_flag:
+            self._warn(W.RASL_PICTURE_SKIPPED,
+                       "RASL picture after random access skipped")
+            return
+        try:
+            sh = read_slice_header(nal.data, nal.header, self.pps, self.sps)
+        except KeyError:
+            self._warn(W.NONEXISTING_PPS_REFERENCED)
+            return
+        except Exception as e:
+            self._warn(W.SLICEHEADER_INVALID, str(e))
+            return
+        if sh.pic_parameter_set_id not in self.pps:
+            self._warn(W.NONEXISTING_PPS_REFERENCED)
+            return
         pps = self.pps[sh.pic_parameter_set_id]
         sps = pps.sps
+        if sh.slice_segment_address >= sps.PicSizeInCtbsY or \
+                sh.slice_segment_address < 0:
+            self._warn(W.SLICE_SEGMENT_ADDRESS_INVALID,
+                       str(sh.slice_segment_address))
+            return
 
         if sh.first_slice_segment_in_pic_flag:
             self._finish_picture()
             self._start_picture(sh, sps, pps, nal)
         if self.img is None:
-            return  # cannot decode (e.g. broken stream start)
+            # non-first slice segment without a started picture
+            self._warn(W.SLICEHEADER_INVALID,
+                       "slice segment before first slice of picture")
+            return
 
         if not sh.dependent_slice_segment_flag:
             sh.SliceAddrRS = sh.slice_segment_address
             self._cur_independent_sh = sh
         else:
-            parent = self._cur_independent_sh
+            parent = getattr(self, "_cur_independent_sh", None)
+            if parent is None:
+                # dependent segment with no preceding independent slice
+                # (reference guard: slice.cc first-slice checks)
+                self._warn(W.DEPENDENT_SLICE_WITH_ADDRESS_ZERO,
+                           "dependent slice without independent predecessor")
+                return
             sh.SliceAddrRS = parent.SliceAddrRS
             # dependent segments inherit everything not re-sent
             for attr in ("slice_type", "slice_qp_delta", "SliceQPY", "initType",
@@ -229,19 +320,53 @@ class Decoder:
         reader = SliceReader(self.img, sh, slice_data, motion=motion,
                              wpp_contexts=self.wpp_contexts,
                              dep_slice_ctx=self.dep_slice_ctx)
-        reader.decode()
+        try:
+            reader.decode()
+        except Exception as e:
+            # corrupted slice data: keep whatever was decoded, mark the
+            # picture, continue with the next NAL (reference: mark rows
+            # complete + integrity DECODING_ERRORS, slice.cc:4988-5001)
+            self._warn(W.SLICE_DATA_CORRUPTED,
+                       f"POC {self.img.poc}: {type(e).__name__}: {e}")
+            if 0 <= self.img_dpb_idx < len(self.dpb.pics):
+                self.dpb.pics[self.img_dpb_idx].integrity = 1
+            return
         self.dep_slice_ctx = reader.saved_ctx_for_dep
 
     # ------------------------------------------------------------- pictures
     def _start_picture(self, sh, sps, pps, nal):
         t = sh.nal_unit_type
+        if nal_mod.is_rap(t):
+            # NoRaslOutputFlag (spec 8.1): RASL pics after this IRAP must be
+            # dropped when decoding (re)starts here
+            self.no_rasl_output_flag = bool(
+                nal_mod.is_idr(t) or nal_mod.is_bla(t) or
+                self.first_decoded_picture or
+                (nal_mod.is_cra(t) and self.handle_cra_as_bla))
         self._compute_poc(sh, sps)
         if not nal_mod.is_idr(t):
+            if nal_mod.is_rap(t) and self.no_rasl_output_flag:
+                # IRAP with NoRaslOutputFlag: all refs become unused before
+                # RPS derivation (spec 8.3.2; reference decctx.cc:1441)
+                self.dpb.clear_references()
             self._process_rps(sh, sps)
         else:
             self.dpb.clear_references()
             self.curr_rps = {"st_curr_before": [], "st_curr_after": [],
                              "lt_curr": [], "st_follow": []}
+        if not self.dpb.has_free():
+            # DPB full (reference stall state IMAGE_BUFFER_FULL,
+            # decctx.cc:1271-1304). Our output queue is pull-based and
+            # unbounded, so flush the reorder buffer to free slots instead of
+            # stalling; if the stream itself over-references, drop the oldest
+            # reference with a warning rather than deadlock.
+            from .errors import DecodeError
+            self.status = DecodeError.IMAGE_BUFFER_FULL
+            while self.dpb.reorder and not self.dpb.has_free():
+                self.dpb.output_next()
+            if not self.dpb.has_free():
+                self._warn(W.DPB_FULL_PICTURE_DROPPED)
+                self.dpb.drop_oldest_reference()
         idx = self.dpb.new_picture(self.poc)
         self.img_dpb_idx = idx
         self.img = FramePlan(sps, pps, poc=self.poc)
@@ -257,13 +382,26 @@ class Decoder:
         if self.img is None:
             return
         img = self.img
-        planes = reconstruct_frame(img, dpb_images=self.dpb)
+        try:
+            planes = reconstruct_frame(img, dpb_images=self.dpb)
+        except Exception as e:
+            # reconstruction of a corrupted plan failed: conceal with grey
+            self._warn(W.SLICE_DATA_CORRUPTED,
+                       f"POC {img.poc} reconstruction failed: {e}")
+            sps = img.sps
+            grey = 1 << (sps.BitDepthY - 1)
+            dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
+            planes = [np.full((img.H, img.W), grey, dt),
+                      np.full((img.H // 2, img.W // 2), grey, dt),
+                      np.full((img.H // 2, img.W // 2), grey, dt)]
+            if 0 <= self.img_dpb_idx < len(self.dpb.pics):
+                self.dpb.pics[self.img_dpb_idx].integrity = 1
         ph = getattr(self, "_pending_hash", None)
         if ph is not None:
             from .bitstream.sei import verify_picture_hash
             if not verify_picture_hash(planes, ph, img.sps.BitDepthY):
-                self.warnings.append(
-                    f"decoded-picture-hash MISMATCH for POC {img.poc}")
+                self._warn(W.CHECKSUM_MISMATCH,
+                           f"decoded-picture-hash MISMATCH for POC {img.poc}")
             else:
                 self.hash_checks_passed = getattr(self, "hash_checks_passed", 0) + 1
             self._pending_hash = None
@@ -370,7 +508,8 @@ class Decoder:
             for poc in pocs:
                 i = dpb.index_with_poc(poc)
                 if i < 0:
-                    self.warnings.append(f"missing short-term reference POC {poc}")
+                    self._warn(W.NONEXISTING_REFERENCE_PICTURE_ACCESSED,
+                               f"missing short-term reference POC {poc}")
                     i = self._generate_missing_reference(poc, sps)
                 dpb.pics[i].state = SHORT_TERM
                 curr[name].append(i)
@@ -388,7 +527,8 @@ class Decoder:
             else:
                 i = dpb.index_with_poc_lsb(poc_lt, max_lsb)
             if i < 0:
-                self.warnings.append(f"missing long-term reference POC {poc_lt}")
+                self._warn(W.NONEXISTING_REFERENCE_PICTURE_ACCESSED,
+                           f"missing long-term reference POC {poc_lt}")
                 i = self._generate_missing_reference(poc_lt, sps)
             dpb.pics[i].state = LONG_TERM
             curr["lt_curr"].append(i)

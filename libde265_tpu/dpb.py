@@ -83,6 +83,25 @@ class DPB:
         for p in self.pics:
             p.state = UNUSED
 
+    def drop_oldest_reference(self):
+        """Last-resort slot recovery for over-referencing (corrupt) streams:
+        unmark the lowest-POC reference so decode can continue."""
+        cands = [i for i, p in enumerate(self.pics) if p.state != UNUSED]
+        if not cands:
+            return
+        i = min(cands, key=lambda j: self.pics[j].poc)
+        self.pics[i].state = UNUSED
+        self.pics[i].needed_for_output = False
+        if i in self.reorder:
+            self.reorder.remove(i)
+
+    def reset(self):
+        """Drop all pictures and queues (de265_reset, decctx.cc:360-428)."""
+        for i in range(len(self.pics)):
+            self.pics[i] = DPBPicture()
+        self.reorder.clear()
+        self.output_queue.clear()
+
     def insert_reorder(self, idx):
         self.reorder.append(idx)
         self.reorder.sort(key=lambda i: self.pics[i].poc)
