@@ -197,5 +197,82 @@ def main():
             print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
 
 
+
+
+def probe_tile256():
+    import jax, jax.numpy as jnp
+    # 16x16 overlapping tiles anchored per 4x4 block: 1 gather of (N,256)
+    T = R * (H // 4) * (W // 4)
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randint(0, 1 << 14, (T, 256)).astype(np.int32))
+    base = jnp.asarray(rng.randint(0, T - 2, (N,)).astype(np.int32))
+
+    @jax.jit
+    def run(table, base):
+        def body(i, acc):
+            g = table[base + (i & 1)]
+            return acc + jnp.sum(g, dtype=jnp.int32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+    return timed(run, table, base)
+
+
+def probe_tile256_local():
+    import jax, jax.numpy as jnp
+    # same but spatially-local (mostly ascending) indices, like real MVs
+    T = R * (H // 4) * (W // 4)
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randint(0, 1 << 14, (T, 256)).astype(np.int32))
+    idx = np.arange(N) % (T - 64) + rng.randint(0, 63, N)
+    base = jnp.asarray(idx.astype(np.int32))
+
+    @jax.jit
+    def run(table, base):
+        def body(i, acc):
+            g = table[base + (i & 1)]
+            return acc + jnp.sum(g, dtype=jnp.int32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+    return timed(run, table, base)
+
+
+def probe_tile1024():
+    import jax, jax.numpy as jnp
+    # 32x32 tiles anchored per 16x16 block: 1 gather of (N/16,1024)
+    T = R * (H // 16) * (W // 16)
+    N16 = N // 16
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randint(0, 1 << 14, (T, 1024)).astype(np.int32))
+    base = jnp.asarray(rng.randint(0, T - 2, (N16,)).astype(np.int32))
+
+    @jax.jit
+    def run(table, base):
+        def body(i, acc):
+            g = table[base + (i & 1)]
+            return acc + jnp.sum(g, dtype=jnp.int32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+    return timed(run, table, base)
+
+
+def probe_tile256_i16():
+    import jax, jax.numpy as jnp
+    T = R * (H // 4) * (W // 4)
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randint(0, 1 << 14, (T, 256)).astype(np.int16))
+    base = jnp.asarray(rng.randint(0, T - 2, (N,)).astype(np.int32))
+
+    @jax.jit
+    def run(table, base):
+        def body(i, acc):
+            g = table[base + (i & 1)].astype(jnp.int32)
+            return acc + jnp.sum(g, dtype=jnp.int32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+    return timed(run, table, base)
+
+
+VARIANTS.update({
+    "tile256": probe_tile256,
+    "tile256_local": probe_tile256_local,
+    "tile1024": probe_tile1024,
+    "tile256_i16": probe_tile256_i16,
+})
 if __name__ == "__main__":
     main()
