@@ -1,0 +1,263 @@
+"""On-device derivation of loop-filter metadata from decode-plan grids.
+
+The round-1 planners (deblock_jax.plan_luma_metadata etc.) walk every edge
+in Python — fine for CIF test vectors, hopeless at 4K (260k edges/frame).
+This module derives the same dense metadata tensors *on device* from the
+front-end's 4x4/CTB grids, so the whole filter chain (plan + deblock V/H +
+SAO) lives inside the one compiled frame program.
+
+Reference semantics: boundary strength /root/reference/libde265/deblock.cc:241-377,
+edge flags deblock.cc:130-239, slice/tile gating deblock.cc:1020-1058 and
+sao.cc:140-200. Bit-exactness is established differentially against the
+host planners (tests/test_filter_plan.py) which are themselves golden-MD5
+verified.
+
+Host-side inputs prepared once per frame (all tiny or already needed by MC):
+  grids4: pm, cbf, tucb, edgeall (tucb|pb), qp, off (tq/pcm), pf, mv, poc
+  ctb:    sidx (CTB -> slice-table row), allow_v/allow_h (CTB-pair edge
+          permission incl. tiles), per-slice param table
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .deblock_ref import BETA_TABLE, TC_TABLE, CHROMA_QP_TABLE
+
+TC_ARR = np.asarray(TC_TABLE, np.int32)
+CHROMA_QP_ARR = np.asarray(CHROMA_QP_TABLE, np.int32)
+
+
+def _far(mva, mvb):
+    """|mv delta| >= 4 in either component. mva/mvb: (..., 2)."""
+    return (jnp.abs(mva[..., 0] - mvb[..., 0]) >= 4) | \
+           (jnp.abs(mva[..., 1] - mvb[..., 1]) >= 4)
+
+
+def _bs_motion(pf_p, mv_p, poc_p, pf_q, mv_q, poc_q):
+    """Vectorized spec 8.7.2.4 motion-difference test -> bs (0 or 1).
+    pf_*: (..., 2) int; mv_*: (..., 2, 2); poc_*: (..., 2)."""
+    np_ = pf_p[..., 0] + pf_p[..., 1]
+    nq_ = pf_q[..., 0] + pf_q[..., 1]
+
+    # --- single prediction each side: compare the one active lane
+    lane_p = jnp.where(pf_p[..., 0] > 0, 0, 1)
+    lane_q = jnp.where(pf_q[..., 0] > 0, 0, 1)
+    pocp1 = jnp.take_along_axis(poc_p, lane_p[..., None], -1)[..., 0]
+    pocq1 = jnp.take_along_axis(poc_q, lane_q[..., None], -1)[..., 0]
+    mvp1 = jnp.take_along_axis(mv_p, lane_p[..., None, None], -2)[..., 0, :]
+    mvq1 = jnp.take_along_axis(mv_q, lane_q[..., None, None], -2)[..., 0, :]
+    single = (pocp1 != pocq1) | _far(mvp1, mvq1)
+
+    # --- two predictions each side
+    pp0, pp1 = poc_p[..., 0], poc_p[..., 1]
+    qq0, qq1 = poc_q[..., 0], poc_q[..., 1]
+    set_neq = (jnp.minimum(pp0, pp1) != jnp.minimum(qq0, qq1)) | \
+              (jnp.maximum(pp0, pp1) != jnp.maximum(qq0, qq1))
+    p0, p1 = mv_p[..., 0, :], mv_p[..., 1, :]
+    q0, q1 = mv_q[..., 0, :], mv_q[..., 1, :]
+    same_ref = pp0 == pp1
+    both_same = (_far(p0, q0) | _far(p1, q1)) & (_far(p0, q1) | _far(p1, q0))
+    # distinct pictures: align q to p by POC
+    swap = pp0 != qq0
+    q0a = jnp.where(swap[..., None], q1, q0)
+    q1a = jnp.where(swap[..., None], q0, q1)
+    aligned = _far(p0, q0a) | _far(p1, q1a)
+    double = set_neq | jnp.where(same_ref, both_same, aligned)
+
+    return jnp.where(np_ != nq_, 1,
+                     jnp.where(np_ == 1, single.astype(jnp.int32),
+                               jnp.where(np_ == 2,
+                                         double.astype(jnp.int32), 0)))
+
+
+def _expand_edge_ctb(arr_ctb, si_luma_y, e_luma_x, log2ctb):
+    """Gather a CTB-grid array to the (n_s, n_e) edge grid."""
+    cy = si_luma_y >> log2ctb                    # (n_s,)
+    cx = e_luma_x >> log2ctb                     # (n_e,)
+    return arr_ctb[cy][:, cx]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def plan_deblock_device(grids, cfg):
+    """grids: dict of device arrays (see module docstring).
+    cfg: hashable static config tuple
+         (log2ctb, pcm_lf_disable, chroma_fmt, bd_y, bd_c, cb_qpoff,
+          cr_qpoff, H, W).
+    Returns (lm, cm): luma (v, h) tuples matching deblock_jax
+    plan_luma_metadata order (bs, qp, beta_off, tc_off, p_off, q_off) and
+    chroma (act, tc, p_off, q_off)."""
+    (log2ctb, pcm_lfd, chroma_fmt, bd_y, bd_c, cb_qpoff, cr_qpoff,
+     H, W) = cfg
+
+    pm = grids["pm"].astype(jnp.int32)
+    cbf = grids["cbf"].astype(jnp.int32)
+    tucb = grids["tucb"].astype(jnp.int32)
+    edgeall = grids["edgeall"].astype(jnp.int32)
+    qp = grids["qp"].astype(jnp.int32)
+    off = grids["off"].astype(jnp.int32)
+    pf = grids["pf"].astype(jnp.int32)
+    mv = grids["mv"].astype(jnp.int32)
+    poc = grids["poc"].astype(jnp.int32)
+    sidx = grids["sidx"].astype(jnp.int32)
+    allow_v = grids["allow_v"].astype(jnp.int32)
+    allow_h = grids["allow_h"].astype(jnp.int32)
+    dis_tab = grids["sh_disable"].astype(jnp.int32)
+    beta_tab = grids["sh_beta"].astype(jnp.int32)
+    tc_tab = grids["sh_tc"].astype(jnp.int32)
+
+    def luma_dir(vertical):
+        if vertical:
+            (pm_, cbf_, tucb_, edge_, qp_, off_, pf_, mv_, poc_) = (
+                pm, cbf, tucb, edgeall, qp, off, pf, mv, poc)
+            allow, sidx_, bit, He, We = allow_v, sidx, 1, H, W
+        else:
+            tr = lambda a: jnp.swapaxes(a, 0, 1)
+            (pm_, cbf_, tucb_, edge_, qp_, off_, pf_, mv_, poc_) = (
+                tr(pm), tr(cbf), tr(tucb), tr(edgeall), tr(qp), tr(off),
+                tr(pf), tr(mv), tr(poc))
+            allow, sidx_, bit, He, We = (jnp.swapaxes(allow_h, 0, 1),
+                                         jnp.swapaxes(sidx, 0, 1), 2, W, H)
+        n_e = We // 8 - 1
+        gq = 2 * (jnp.arange(n_e, dtype=jnp.int32) + 1)      # q-block col
+        si = jnp.arange(He // 4, dtype=jnp.int32)
+        e_x = (gq * 4)                                       # luma x of edge
+        s_y = si * 4
+
+        def at(a, g):
+            return a[:, g]
+        edge_exists = (at(edge_, gq) & bit) != 0
+        # CTB-boundary permission (tiles/slices); interior edges always ok
+        is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
+        allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
+        allowed = jnp.where(is_ctb[None, :], allow_e, True)
+        # q-side slice header params
+        se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
+        disabled = dis_tab[se] != 0
+        beta_off = beta_tab[se]
+        tc_off = tc_tab[se]
+
+        pm_q, pm_p = at(pm_, gq), at(pm_, gq - 1)
+        intra2 = (pm_q == 1) | (pm_p == 1)
+        tu_edge = (at(tucb_, gq) & bit) != 0
+        b1 = tu_edge & ((at(cbf_, gq) > 0) | (at(cbf_, gq - 1) > 0))
+        mvbs = _bs_motion(pf_[:, gq - 1], mv_[:, gq - 1], poc_[:, gq - 1],
+                          pf_[:, gq], mv_[:, gq], poc_[:, gq])
+        bs = jnp.where(intra2, 2, jnp.where(b1, 1, mvbs))
+        valid = edge_exists & allowed & ~disabled
+        bs = jnp.where(valid, bs, 0)
+        qp_avg = (at(qp_, gq - 1) + at(qp_, gq) + 1) >> 1
+        p_off = at(off_, gq - 1) != 0
+        q_off = at(off_, gq) != 0
+        return (bs, qp_avg, beta_off, tc_off, p_off, q_off)
+
+    lm = (luma_dir(True), luma_dir(False))
+
+    if not chroma_fmt:
+        return lm, None
+
+    def chroma_dir(vertical):
+        if vertical:
+            pm_, qp_, tucb_, off_ = pm, qp, tucb, off
+            allow, sidx_, bit, He, We = allow_v, sidx, 1, H, W
+        else:
+            tr = lambda a: jnp.swapaxes(a, 0, 1)
+            pm_, qp_, tucb_, off_ = tr(pm), tr(qp), tr(tucb), tr(off)
+            allow, sidx_, bit, He, We = (jnp.swapaxes(allow_h, 0, 1),
+                                         jnp.swapaxes(sidx, 0, 1), 2, W, H)
+        n_e = We // 16 - (1 if We % 16 == 0 else 0)
+        gq = 4 * (jnp.arange(n_e, dtype=jnp.int32) + 1)
+        si = jnp.arange(He // 4, dtype=jnp.int32)
+        e_x = gq * 4
+        s_y = si * 4
+        edge_exists = (tucb_[:, gq] & bit) != 0
+        is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
+        allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
+        allowed = jnp.where(is_ctb[None, :], allow_e, True)
+        se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
+        disabled = dis_tab[se] != 0
+        tc_off = tc_tab[se]
+        intra2 = (pm_[:, gq] == 1) | (pm_[:, gq - 1] == 1)
+        valid = edge_exists & allowed & ~disabled & intra2
+        qp_avg = (qp_[:, gq - 1] + qp_[:, gq] + 1) >> 1
+        acts, tcs = [], []
+        for qoff in (cb_qpoff, cr_qpoff):
+            qpi = jnp.clip(qp_avg + qoff, 0, 57)
+            if chroma_fmt == 1:
+                qpc = jnp.where(
+                    qpi < 30, qpi,
+                    jnp.where(qpi > 43, qpi - 6,
+                              jnp.asarray(CHROMA_QP_ARR)[
+                                  jnp.clip(qpi - 30, 0, 13)]))
+            else:
+                qpc = jnp.minimum(qpi, 51)
+            Qt = jnp.clip(qpc + 2 + tc_off, 0, 53)
+            tcv = jnp.asarray(TC_ARR)[Qt] << (bd_c - 8)
+            acts.append(valid & (tcv > 0))
+            tcs.append(jnp.where(valid, tcv, 0))
+        p_off = off_[:, gq - 1] != 0
+        q_off = off_[:, gq] != 0
+        return (jnp.stack(acts), jnp.stack(tcs), p_off, q_off)
+
+    cm = (chroma_dir(True), chroma_dir(False))
+    return lm, cm
+
+
+@partial(jax.jit, static_argnames=("cfg", "cidx"))
+def plan_sao_device(grids, cfg, cidx):
+    """Expand per-CTB SAO params to per-sample maps on device.
+    grids: sao_type/eo/band (nctby,nctbx,3), sao_off (nctby,nctbx,3,4),
+    sidx, sh_sao_luma/chroma (S,), off (4x4 tq/pcm grid), pair_ok
+    (4,nctby,nctbx). cfg: (log2ctb, chroma_fmt, pcm_lfd unused here, H, W,
+    subw, subh). Returns tuple for sao_apply."""
+    log2ctb, chroma_fmt, H, W, subw, subh = cfg
+    sub = 1 if cidx == 0 else subw
+    subv = 1 if cidx == 0 else subh
+    Hs, Ws = H // subv, W // sub
+    ctb = (1 << log2ctb) // sub
+    ctbv = (1 << log2ctb) // subv
+
+    t = grids["sao_type"][:, :, cidx].astype(jnp.int32)
+    eo = grids["sao_eo"][:, :, cidx].astype(jnp.int32)
+    band = grids["sao_band"][:, :, cidx].astype(jnp.int32)
+    offs = grids["sao_off"][:, :, cidx, :].astype(jnp.int32)
+    sidx = grids["sidx"].astype(jnp.int32)
+    en_tab = (grids["sh_sao_luma"] if cidx == 0 else
+              grids["sh_sao_chroma"]).astype(jnp.int32)
+    enable = en_tab[sidx] != 0
+    t = jnp.where(enable, t, 0)
+
+    nctby, nctbx = t.shape
+
+    def expand(a):
+        full = jnp.broadcast_to(a[:, None, :, None],
+                                (nctby, ctbv, nctbx, ctb))
+        return full.reshape(nctby * ctbv, nctbx * ctb)[:Hs, :Ws]
+
+    type_map = expand(t)
+    eo_map = expand(eo)
+    band_map = expand(band)
+    off_maps = jnp.stack([expand(offs[:, :, k]) for k in range(4)], axis=0)
+
+    # per-sample skip (pcm/tq-bypass) from the 4x4 grid
+    gy = (jnp.arange(Hs) * subv) >> 2
+    gx = (jnp.arange(Ws) * sub) >> 2
+    skip = grids["off"][gy][:, gx] != 0
+
+    # neighbor availability: expand CTB-pair-ok to boundary samples
+    pair_ok = grids["pair_ok"]                  # (4, nctby, nctbx) bool
+    xs = jnp.arange(Ws)
+    ys = jnp.arange(Hs)
+    at_l = (xs % ctb) == 0
+    at_r = ((xs % ctb) == (ctb - 1)) | (xs == (Ws - 1))
+    at_u = (ys % ctbv) == 0
+    at_d = ((ys % ctbv) == (ctbv - 1)) | (ys == (Hs - 1))
+    ok = [expand(pair_ok[k].astype(jnp.int32)) != 0 for k in range(4)]
+    avail = jnp.stack([
+        ~at_l[None, :] | ok[0],
+        ~at_r[None, :] | ok[1],
+        (~at_u[:, None]) | ok[2],
+        (~at_d[:, None]) | ok[3],
+    ])
+    return type_map, eo_map, band_map, off_maps, skip, avail

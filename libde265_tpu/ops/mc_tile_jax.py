@@ -1,0 +1,271 @@
+"""Tile-table motion compensation — the fast TPU MC design.
+
+The round-1 dense MC gathered an 11x11 window per 4x4 block with
+per-element fancy indices; XLA serializes that gather (~0.44 fps for 4K
+luma MC alone). Probed replacement (tools/probe_mc_gather.py): gather ONE
+contiguous row of 256 from a precomputed overlap-tile table (45 GB/s on
+the v5e vs ~0.2 GB/s for the window gather), then apply the 8-tap
+interpolation (reference kernels acceleration.h qpel[4][4]/epel,
+motion.cc:49-278) as two batched matmuls whose matrices fold together the
+fractional phase AND the window's misalignment within its tile.
+
+Geometry (luma): every 11x11 qpel window is contained in the 16x16 tile
+anchored at the 4-aligned floor of the window start, so a stride-4 table
+of 16x16 tiles over the edge-padded plane serves every block with one
+row-gather. Chroma: 5x5 epel windows in stride-4 8x8 tiles.
+
+Edge handling: planes are edge-replication padded by 16 (luma) / 8
+(chroma) and window starts clamped so far-out-of-range MVs land in the
+replicated border — bit-exact with the spec's per-sample coordinate
+Clip3 (motion.cc:69-98).
+
+Everything here is jit-safe (static shapes per resolution + ref count).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .inter_jax import QPEL_TAPS, EPEL_TAPS
+
+PAD_Y = 16
+PAD_C = 8
+
+
+def _mk_shift_tables():
+    """Static (phase*4+misalign) -> shifted tap vectors.
+
+    TH_Y[p*4+d][u] = QPEL_TAPS[p][u-d]  (u in 0..10; support d..d+7)
+    TH_C[p*4+d][u] = EPEL_TAPS[p][u-d]  (u in 0..6;  support d..d+3)
+    The filter then reads win[.., u+j] * TH[.., u] — pure vector
+    multiply-adds, no per-block matrices (XLA batches tiny matmuls badly).
+    """
+    ty = np.zeros((16, 11), np.int32)
+    for p in range(4):
+        for d in range(4):
+            for u in range(11):
+                if 0 <= u - d < 8:
+                    ty[p * 4 + d, u] = QPEL_TAPS[p][u - d]
+    tc = np.zeros((32, 7), np.int32)
+    for p in range(8):
+        for d in range(4):
+            for u in range(7):
+                if 0 <= u - d < 4:
+                    tc[p * 4 + d, u] = EPEL_TAPS[p][u - d]
+    return ty, tc
+
+
+TH_Y, TH_C = _mk_shift_tables()
+
+
+def pad_plane(p, pad):
+    """Edge-replicate pad on all sides (device op)."""
+    return jnp.pad(p, ((pad, pad), (pad, pad)), mode="edge")
+
+
+def build_tile_table_y(padded):
+    """padded: (R, H+32, W+32) -> (R*nty*ntx, 256) int16 stride-4 16x16
+    tiles, element [c*16 + r] = tile[row r, col c] (column-major within the
+    tile — the layout the pallas builder emits without any transposes).
+    nty = (H+20)//4, ntx = (W+20)//4."""
+    R, Hp, Wp = padded.shape
+    nty, ntx = (Hp - 12) // 4, (Wp - 12) // 4
+    rows = jnp.concatenate(
+        [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp)
+         for s in range(4)], axis=2)                        # (R,nty,16,Wp)
+    tiles = jnp.concatenate(
+        [rows[:, :, :, 4 * s:4 * s + 4 * ntx].reshape(R, nty, 16, ntx, 4)
+         for s in range(4)], axis=4)                        # (R,nty,16r,ntx,16c)
+    return tiles.transpose(0, 1, 3, 4, 2).reshape(R * nty * ntx, 256)
+
+
+def build_tile_table_c(padded):
+    """padded: (R, Hc+16, Wc+16) -> (R*nty*ntx, 64) stride-4 8x8 tiles,
+    element [c*8 + r]. nty = (Hc+12)//4, ntx = (Wc+12)//4."""
+    R, Hp, Wp = padded.shape
+    nty, ntx = (Hp - 4) // 4, (Wp - 4) // 4
+    rows = jnp.concatenate(
+        [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp)
+         for s in range(2)], axis=2)                        # (R,nty,8,Wp)
+    tiles = jnp.concatenate(
+        [rows[:, :, :, 4 * s:4 * s + 4 * ntx].reshape(R, nty, 8, ntx, 4)
+         for s in range(2)], axis=4)                        # (R,nty,8r,ntx,8c)
+    return tiles.transpose(0, 1, 3, 4, 2).reshape(R * nty * ntx, 64)
+
+
+def _pad_refs(refs_y, refs_cb, refs_cr):
+    py = jnp.pad(refs_y.astype(jnp.int16),
+                 ((0, 0), (PAD_Y, PAD_Y), (PAD_Y, PAD_Y)), mode="edge")
+    pcb = jnp.pad(refs_cb.astype(jnp.int16),
+                  ((0, 0), (PAD_C, PAD_C), (PAD_C, PAD_C)), mode="edge")
+    pcr = jnp.pad(refs_cr.astype(jnp.int16),
+                  ((0, 0), (PAD_C, PAD_C), (PAD_C, PAD_C)), mode="edge")
+    return py, pcb, pcr
+
+
+def build_tables(refs_y, refs_cb, refs_cr, use_pallas=False):
+    """refs_*: (R,H,W)/(R,Hc,Wc) integer stacks -> (ty, tcb, tcr) int16
+    tile tables (device). use_pallas selects the Mosaic builder (TPU)."""
+    py, pcb, pcr = _pad_refs(refs_y, refs_cb, refs_cr)
+    if use_pallas:
+        from .pallas.mc_tables import build_tile_table_pallas
+        return (build_tile_table_pallas(py, 16),
+                build_tile_table_pallas(pcb, 8),
+                build_tile_table_pallas(pcr, 8))
+    return (build_tile_table_y(py), build_tile_table_c(pcb),
+            build_tile_table_c(pcr))
+
+
+def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
+    """One list's luma prediction for all N 4x4 blocks: (N,4,4) int32
+    (14-bit intermediate scale)."""
+    x0 = jnp.clip(bx + (mvx >> 2) - 3, -14, W + 1)
+    y0 = jnp.clip(by + (mvy >> 2) - 3, -14, H + 1)
+    tx = (x0 + 16) >> 2
+    ty = (y0 + 16) >> 2
+    dx = (x0 + 16) & 3
+    dy = (y0 + 16) & 3
+    idx = (slot * nty + ty) * ntx + tx
+    win = table_y[idx].reshape(-1, 16, 16)      # (N, 16 col, 16 row) i16
+    th = jnp.asarray(TH_Y)[(mvx & 3) * 4 + dx]              # (N,11)
+    tv = jnp.asarray(TH_Y)[(mvy & 3) * 4 + dy]              # (N,11)
+    # horizontal: tmp[n, j, r] = sum_u win[n, u+j, r] * th[n, u]
+    tmp = jnp.stack(
+        [sum(win[:, u + j, :].astype(jnp.int32) * th[:, u, None]
+             for u in range(11)) >> shift1 for j in range(4)],
+        axis=1)                                             # (N,4j,16r)
+    # vertical: out[n, i, j] = sum_u tmp[n, j, u+i] * tv[n, u]
+    out = jnp.stack(
+        [sum(tmp[:, :, u + i] * tv[:, u, None] for u in range(11)) >> 6
+         for i in range(4)], axis=1)                        # (N,4i,4j)
+    return out
+
+
+def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
+                      shift1):
+    """One list's chroma prediction for all N 2x2 blocks: (N,2,2) int32."""
+    x0 = jnp.clip((bx >> 1) + (mvx >> 3) - 1, -7, Wc + 1)
+    y0 = jnp.clip((by >> 1) + (mvy >> 3) - 1, -7, Hc + 1)
+    tx = (x0 + 8) >> 2
+    ty = (y0 + 8) >> 2
+    dx = (x0 + 8) & 3
+    dy = (y0 + 8) & 3
+    idx = (slot * nty + ty) * ntx + tx
+    win = table_c[idx].reshape(-1, 8, 8)        # (N, 8 col, 8 row) i16
+    th = jnp.asarray(TH_C)[(mvx & 7) * 4 + dx]              # (N,7)
+    tv = jnp.asarray(TH_C)[(mvy & 7) * 4 + dy]
+    tmp = jnp.stack(
+        [sum(win[:, u + j, :].astype(jnp.int32) * th[:, u, None]
+             for u in range(7)) >> shift1 for j in range(2)],
+        axis=1)                                             # (N,2j,8r)
+    out = jnp.stack(
+        [sum(tmp[:, :, u + i] * tv[:, u, None] for u in range(7)) >> 6
+         for i in range(2)], axis=1)                        # (N,2i,2j)
+    return out
+
+
+def _combine(p0, p1, pf, wts, ex, ci, shift, maxv):
+    """Uni/bi + default/explicit weighted combine (spec 8.5.3.3.3/4).
+    Lane 0 always carries the single prediction of uni-pred blocks."""
+    has1 = (pf[:, 0] * pf[:, 1])[:, None, None] != 0
+    w0 = wts[:, ci, 0][:, None, None]
+    o0 = wts[:, ci, 1][:, None, None]
+    w1 = wts[:, ci, 2][:, None, None]
+    o1 = wts[:, ci, 3][:, None, None]
+    l2 = wts[:, ci, 4][:, None, None]
+    bi = jnp.clip((p0 + p1 + (1 << shift)) >> (shift + 1), 0, maxv)
+    uni = jnp.clip((p0 + (1 << (shift - 1))) >> shift, 0, maxv)
+    dflt = jnp.where(has1, bi, uni)
+    ebi = jnp.clip((p0 * w0 + p1 * w1 + ((o0 + o1 + 1) << l2)) >> (l2 + 1),
+                   0, maxv)
+    euni = jnp.clip(((p0 * w0 + (1 << jnp.maximum(l2 - 1, 0)) *
+                      (l2 >= 1)) >> l2) + o0, 0, maxv)
+    expl = jnp.where(has1, ebi, euni)
+    return jnp.where(ex[:, None, None], expl, dflt)
+
+
+def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8):
+    """Motion-compensate every 4x4 block of a frame from tile tables.
+
+    tables : (table_y, table_cb, table_cr) from build_tables
+    dims   : (H, W) static python ints
+    mv     : (N,2,2) int32 qpel MVs per block per lane
+    slot   : (N,2) int32 ref slot per lane
+    pf     : (N,2) int32 pred flags (lane 0 always set for inter blocks)
+    wts    : (N,3,5) int32 (w0,o0,w1,o1,log2Wd) per plane; ex: (N,) bool
+    Returns [Y,Cb,Cr] dense int32 planes (every block predicted; caller
+    masks non-inter regions).
+    """
+    H, W = dims
+    table_y, table_cb, table_cr = tables
+    nty, ntx = (H + 20) // 4, (W + 20) // 4
+    Hc, Wc = H // 2, W // 2
+    ntyc, ntxc = (Hc + 12) // 4, (Wc + 12) // 4
+    n_by, n_bx = H // 4, W // 4
+    N = n_by * n_bx
+    bx = (jnp.arange(N, dtype=jnp.int32) % n_bx) * 4
+    by = (jnp.arange(N, dtype=jnp.int32) // n_bx) * 4
+    shift1 = min(4, bitdepth - 8)
+    maxv = (1 << bitdepth) - 1
+    shift = 14 - bitdepth
+
+    def lane(l):
+        return mv[:, l, 0], mv[:, l, 1], slot[:, l]
+
+    mvx0, mvy0, s0 = lane(0)
+    mvx1, mvy1, s1 = lane(1)
+    y0p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx0, mvy0, s0, H, W,
+                          shift1)
+    y1p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx1, mvy1, s1, H, W,
+                          shift1)
+    yv = _combine(y0p, y1p, pf, wts, ex, 0, shift, maxv)
+    planes = [yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)]
+    for ci, tab in ((1, table_cb), (2, table_cr)):
+        c0 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx0, mvy0, s0,
+                               Hc, Wc, shift1)
+        c1 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx1, mvy1, s1,
+                               Hc, Wc, shift1)
+        cv = _combine(c0, c1, pf, wts, ex, ci, shift, maxv)
+        planes.append(cv.reshape(n_by, n_bx, 2, 2)
+                        .transpose(0, 2, 1, 3).reshape(Hc, Wc))
+    return planes
+
+
+@partial(jax.jit, static_argnames=("dims", "bitdepth"))
+def _mc_standalone(refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex,
+                   dims, bitdepth):
+    tables = build_tables(refs_y, refs_cb, refs_cr)
+    return mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth)
+
+
+def motion_compensate_frame_tile(plan, planes, dpb, bitdepth=8):
+    """Drop-in replacement for inter_dense_jax.motion_compensate_frame_dense
+    using the tile-table path. planes modified in place."""
+    from .inter_dense_jax import build_block_arrays, REF_STACK
+    if not plan.pus:
+        return
+    fids = sorted({pu.ref_dpb[l] for pu in plan.pus for l in range(2)
+                   if pu.pred_flag[l]})
+    if not fids:
+        return
+    slot_of = {fid: i for i, fid in enumerate(fids)}
+    stacks = []
+    for ci in range(3):
+        arrs = [np.asarray(dpb.pics[f].planes[ci], np.int32) for f in fids]
+        while len(arrs) < REF_STACK:
+            arrs.append(np.zeros_like(arrs[0]))
+        stacks.append(jnp.asarray(np.stack(arrs[:REF_STACK])))
+    mv, slot, pf, wts, ex, inter = build_block_arrays(plan, slot_of, bitdepth)
+    outs = _mc_standalone(stacks[0], stacks[1], stacks[2],
+                          jnp.asarray(mv), jnp.asarray(slot), jnp.asarray(pf),
+                          jnp.asarray(wts), jnp.asarray(ex),
+                          (plan.H, plan.W), bitdepth)
+    n_by, n_bx = plan.H // 4, plan.W // 4
+    m_y = np.kron(inter.reshape(n_by, n_bx), np.ones((4, 4), bool))
+    m_c = np.kron(inter.reshape(n_by, n_bx), np.ones((2, 2), bool))
+    dt = planes[0].dtype
+    for ci in range(3):
+        m = m_y if ci == 0 else m_c
+        out = np.asarray(outs[ci]).astype(dt)
+        planes[ci][m] = out[m]
