@@ -114,13 +114,14 @@ class _RefShim:
 def decode_stream_native(data: bytes, backend="numpy", **kw):
     """Decode a whole Annex-B stream using the C++ front-end
     (native/libhevc_frontend.so) + the selected reconstruction backend
-    ("numpy" reference or "device" = batched JAX/TPU pipeline).
-    Returns pictures in output order, same results either way."""
+    ("numpy" reference or "device" = the fused device-resident frame
+    program, device_stream.py). Returns pictures in output order, same
+    results either way."""
     from .native_frontend import NativeFrontend
     from .bitstream.nal import split_annexb
     from .bitstream.paramsets import read_sps, read_pps
     if backend == "device":
-        from .device_decode import reconstruct_frame_device as reconstruct_frame
+        reconstruct_frame = None
     else:
         from .reconstruct import reconstruct_frame
     import numpy as np
@@ -138,6 +139,16 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
     plans = fe.parse(data, spss, ppss)
     refs = _RefShim()
     done = []
+    if backend == "device":
+        from .device_stream import DeviceStreamDecoder
+        dev = DeviceStreamDecoder(plans, plans[0].sps) if plans else None
+        for i, plan in enumerate(plans):
+            dev.decode_plan(plan, i)
+            if plan.nal_type != -1 and plan.output_flag:
+                done.append(plan)
+        for plan in done:
+            refs.add(plan.frame_id, plan, dev.planes_of(plan.frame_id))
+        return _order_and_crop(done, refs)
     for plan in plans:
         if plan.nal_type == -1:  # concealment frame: grey planes
             sps = plan.sps
@@ -151,7 +162,12 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
         refs.add(plan.frame_id, plan, planes)
         if plan.nal_type != -1 and plan.output_flag:
             done.append(plan)
-    # output order: reorder by POC within IDR-delimited groups
+    return _order_and_crop(done, refs)
+
+
+def _order_and_crop(done, refs):
+    """Reorder decoded plans by POC within IDR-delimited groups, apply the
+    conformance window, return DecodedPictures."""
     out = []
     group = []
     for plan in done:

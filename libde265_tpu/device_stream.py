@@ -1,0 +1,201 @@
+"""Device-resident stream decoding driver.
+
+Owns the HBM DPB stacks and routes every frame either through the fused
+frame program (frame_program.py — inter frames, zero host round-trips) or
+the hybrid device path (device_decode.py — intra wavefronts, PCM,
+transform-skip, ...), inserting hybrid results into the device stack so
+fast frames can reference them. Pixels are downloaded only when a
+consumer asks (output, MD5, or a hybrid frame referencing a fast frame).
+
+The reference decodes a picture with a thread pool + per-CTB progress
+locks (decctx.cc:700-789); here each picture is one dispatch chained on
+the donated DPB carry — ~2ms host overhead per frame on the tunneled v5e,
+with uploads of the next frames overlapping device compute.
+"""
+import numpy as np
+
+from .frame_program import (REF_SLOTS, frame_compatible, stream_cfg,
+                            pack_frame, get_program)
+
+
+class _HostRefShim:
+    """Maps frame ids to host planes for the hybrid path."""
+
+    class _P:
+        __slots__ = ("planes", "plan", "poc")
+
+    def __init__(self, dec):
+        self.dec = dec
+
+    @property
+    def pics(self):
+        return self
+
+    def __getitem__(self, fid):
+        p = self._P.__new__(self._P)
+        f = self.dec.frames[fid]
+        p.planes = self.dec._host_planes(fid)
+        p.plan = f["plan"]
+        p.poc = f["plan"].poc
+        return p
+
+
+class DeviceStreamDecoder:
+    """Decode a parsed plan list with a device-resident DPB."""
+
+    def __init__(self, plans, sps, use_pallas=False):
+        import jax
+        import jax.numpy as jnp
+        self.jax, self.jnp = jax, jnp
+        self.plans = plans
+        self.cfg = stream_cfg(plans, sps, use_pallas=use_pallas)
+        H, W = self.cfg.H, self.cfg.W
+        self.dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16)
+        self.dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
+        self.dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
+        self.slot_of = {}              # fid -> slot
+        self.slot_fid = [None] * REF_SLOTS
+        self.frames = {}               # fid -> {plan, host(np)|None, fast}
+        self.last_use = self._last_uses(plans)
+        self._prog = get_program(self.cfg)
+        self._mk_util_programs()
+        self.dtype = np.uint8 if self.cfg.bitdepth == 8 else np.uint16
+
+    def _last_uses(self, plans):
+        last = {}
+        for i, plan in enumerate(plans):
+            pm = plan._pu_arrays[0] if plan._pu_arrays is not None else None
+            if pm is None or not pm.shape[0]:
+                continue
+            for l in range(2):
+                used = pm[pm[:, 4 + l] > 0, 14 + l]
+                for fid in np.unique(used):
+                    last[int(fid)] = i
+        return last
+
+    def _mk_util_programs(self):
+        jax, jnp = self.jax, self.jnp
+
+        def insert(dy, dcb, dcr, y, cb, cr, slot):
+            dy = jax.lax.dynamic_update_slice(dy, y[None], (slot, 0, 0))
+            dcb = jax.lax.dynamic_update_slice(dcb, cb[None], (slot, 0, 0))
+            dcr = jax.lax.dynamic_update_slice(dcr, cr[None], (slot, 0, 0))
+            return dy, dcb, dcr
+        self._insert = jax.jit(insert, donate_argnums=(0, 1, 2))
+
+        def fetch(dy, dcb, dcr, slot):
+            H, W = dy.shape[1], dy.shape[2]
+            y = jax.lax.dynamic_slice(dy, (slot, 0, 0), (1, H, W))[0]
+            cb = jax.lax.dynamic_slice(dcb, (slot, 0, 0),
+                                       (1, H // 2, W // 2))[0]
+            cr = jax.lax.dynamic_slice(dcr, (slot, 0, 0),
+                                       (1, H // 2, W // 2))[0]
+            return y, cb, cr
+        self._fetch = jax.jit(fetch)
+
+    # ------------------------------------------------------------ slots
+    def _alloc_slot(self, fid, frame_idx, needed):
+        free = [s for s, f in enumerate(self.slot_fid) if f is None]
+        if not free:
+            # evict: prefer fids no longer referenced, then oldest
+            cands = sorted(
+                range(REF_SLOTS),
+                key=lambda s: (self.slot_fid[s] in needed,
+                               self.last_use.get(self.slot_fid[s], -1)))
+            victim = cands[0]
+            vfid = self.slot_fid[victim]
+            if self.last_use.get(vfid, -1) >= frame_idx:
+                # still needed later: keep a host copy before eviction
+                self._host_planes(vfid)
+            del self.slot_of[vfid]
+            self.slot_fid[victim] = None
+            free = [victim]
+        s = free[0]
+        self.slot_of[fid] = s
+        self.slot_fid[s] = fid
+        return s
+
+    def _ensure_in_stack(self, fid, frame_idx, needed):
+        if fid in self.slot_of:
+            return self.slot_of[fid]
+        planes = self._host_planes(fid)
+        s = self._alloc_slot(fid, frame_idx, needed)
+        jnp = self.jnp
+        self.dy, self.dcb, self.dcr = self._insert(
+            self.dy, self.dcb, self.dcr,
+            jnp.asarray(planes[0].astype(np.int16)),
+            jnp.asarray(planes[1].astype(np.int16)),
+            jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
+        return s
+
+    def _host_planes(self, fid):
+        f = self.frames[fid]
+        if f["host"] is None:
+            s = self.slot_of[fid]
+            y, cb, cr = self._fetch(self.dy, self.dcb, self.dcr,
+                                    np.int32(s))
+            f["host"] = [np.asarray(y).astype(self.dtype),
+                         np.asarray(cb).astype(self.dtype),
+                         np.asarray(cr).astype(self.dtype)]
+        return f["host"]
+
+    # ----------------------------------------------------------- decode
+    def ref_fids(self, plan):
+        pm = plan._pu_arrays[0] if plan._pu_arrays is not None else None
+        if pm is None or not pm.shape[0]:
+            return set()
+        out = set()
+        for l in range(2):
+            out |= set(int(v) for v in np.unique(pm[pm[:, 4 + l] > 0,
+                                                    14 + l]))
+        return out
+
+    def decode_plan(self, plan, frame_idx):
+        """Decode one frame; registers it in the device DPB.
+        Returns nothing — use host_planes(fid) / fetch later."""
+        jnp = self.jnp
+        fid = plan.frame_id
+        needed = self.ref_fids(plan)
+        if plan.nal_type == -1:           # concealment: grey frame
+            grey = 1 << (self.cfg.bitdepth - 1)
+            H, W = self.cfg.H, self.cfg.W
+            planes = [np.full((H, W), grey, self.dtype),
+                      np.full((H // 2, W // 2), grey, self.dtype),
+                      np.full((H // 2, W // 2), grey, self.dtype)]
+            self.frames[fid] = {"plan": plan, "host": planes, "fast": False}
+            s = self._alloc_slot(fid, frame_idx, needed)
+            self.dy, self.dcb, self.dcr = self._insert(
+                self.dy, self.dcb, self.dcr,
+                jnp.asarray(planes[0].astype(np.int16)),
+                jnp.asarray(planes[1].astype(np.int16)),
+                jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
+            return
+
+        if frame_compatible(plan):
+            for rf in needed:
+                self._ensure_in_stack(rf, frame_idx, needed)
+            t = pack_frame(plan, self.cfg, self.slot_of)
+            s = self._alloc_slot(fid, frame_idx, needed)
+            td = {k: jnp.asarray(v) for k, v in t.items()}
+            self.dy, self.dcb, self.dcr = self._prog(
+                self.dy, self.dcb, self.dcr, td, np.int32(s))
+            self.frames[fid] = {"plan": plan, "host": None, "fast": True}
+        else:
+            from .device_decode import reconstruct_frame_device
+            refs = _HostRefShim(self)
+            planes = reconstruct_frame_device(plan, dpb_images=refs,
+                                              bitdepth=self.cfg.bitdepth)
+            self.frames[fid] = {"plan": plan, "host": planes, "fast": False}
+            s = self._alloc_slot(fid, frame_idx, needed)
+            self.dy, self.dcb, self.dcr = self._insert(
+                self.dy, self.dcb, self.dcr,
+                jnp.asarray(planes[0].astype(np.int16)),
+                jnp.asarray(planes[1].astype(np.int16)),
+                jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
+
+    def decode_all(self):
+        for i, plan in enumerate(self.plans):
+            self.decode_plan(plan, i)
+
+    def planes_of(self, fid):
+        return self._host_planes(fid)

@@ -1,0 +1,352 @@
+"""The fused device-resident frame program.
+
+One compiled XLA program decodes an entire inter frame on-chip from plan
+tensors: tile-table MC -> residual batches -> deblock (metadata derived on
+device) -> SAO -> DPB-stack insert. The DPB lives in HBM across frames
+(donated carry); the host uploads only compact per-frame tensors and never
+reads pixels back mid-stream. This is the TPU answer to the reference's
+per-CTB threaded decode loop (decctx.cc:700-789, slice.cc:4664-4830): the
+frame's whole dataflow graph is static, so XLA replaces the progress-lock
+protocol entirely.
+
+Frames outside the fused fast path (intra wavefronts, PCM, transform-skip,
+tq-bypass, scaling lists) decode through the round-1 hybrid device path and
+their pixels are inserted into the device DPB stack, so mixed streams stay
+bit-exact end to end (tests/test_frame_program.py vs golden MD5).
+"""
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+
+from .plan import MODE_INTRA, MODE_INTER
+
+REF_SLOTS = 8          # device DPB stack depth (static program shape)
+
+
+# --------------------------------------------------------------------- cfg
+@dataclass(frozen=True)
+class ProgramCfg:
+    H: int
+    W: int
+    bitdepth: int
+    log2ctb: int
+    chroma_fmt: int
+    cb_qpoff: int
+    cr_qpoff: int
+    pcm_lfd: bool
+    sao_enabled: bool
+    has_weights: bool
+    use_pallas: bool
+    n_slice_rows: int                 # S+1 (incl. sentinel)
+    buckets: tuple                    # ((cidx, log2, K), ...)
+
+    @property
+    def fcfg(self):
+        return (self.log2ctb, self.pcm_lfd, self.chroma_fmt, self.bitdepth,
+                self.bitdepth, self.cb_qpoff, self.cr_qpoff, self.H, self.W)
+
+    @property
+    def scfg(self):
+        sub = 2 if self.chroma_fmt == 1 else 1
+        return (self.log2ctb, self.chroma_fmt, self.H, self.W, sub, sub)
+
+
+def _ceil_pow2(n):
+    p = 16
+    while p < n:
+        p <<= 1
+    return p
+
+
+# ------------------------------------------------------- host plan packing
+def frame_compatible(plan):
+    """Can this frame run through the fused inter program?"""
+    if plan.sps.scaling_list_enable_flag or plan.sps.ChromaArrayType != 1:
+        return False
+    tu_meta = plan._tu_arrays[0] if plan._tu_arrays is not None else None
+    if tu_meta is None:
+        return False              # python front-end path: use hybrid
+    if tu_meta.shape[0]:
+        if (tu_meta[:, 0] == -1).any():            # PCM
+            return False
+        if (tu_meta[:, 6] != 0).any() or (tu_meta[:, 7] != 0).any():
+            return False                            # tskip / tq-bypass
+        if (tu_meta[:, 8] == MODE_INTRA).any():
+            return False                            # intra TUs
+    if not len(plan.slice_headers):
+        return False
+    return True
+
+
+def stream_cfg(plans, sps, use_pallas=False):
+    """Static ProgramCfg covering every compatible frame of the stream."""
+    kmax = {}
+    smax = 1
+    has_w = False
+    for plan in plans:
+        if plan.nal_type == -1 or not frame_compatible(plan):
+            continue
+        tu_meta = plan._tu_arrays[0]
+        if tu_meta.shape[0]:
+            sel = (tu_meta[:, 9] >= 0) & (tu_meta[:, 8] == MODE_INTER)
+            for cidx in range(3):
+                m = sel & (tu_meta[:, 0] == cidx)
+                for log2 in (2, 3, 4, 5):
+                    k = int((m & (tu_meta[:, 3] == log2)).sum())
+                    if k:
+                        key = (cidx, log2)
+                        kmax[key] = max(kmax.get(key, 0), k)
+        smax = max(smax, len(plan.slice_headers))
+        has_w = has_w or any(s.pred_weight is not None
+                             for s in plan.slice_headers)
+    pps = plans[0].pps if plans else None
+    return ProgramCfg(
+        H=sps.pic_height_in_luma_samples, W=sps.pic_width_in_luma_samples,
+        bitdepth=sps.BitDepthY, log2ctb=sps.Log2CtbSizeY,
+        chroma_fmt=sps.ChromaArrayType,
+        cb_qpoff=pps.pic_cb_qp_offset if pps else 0,
+        cr_qpoff=pps.pic_cr_qp_offset if pps else 0,
+        pcm_lfd=bool(sps.pcm_loop_filter_disable_flag),
+        sao_enabled=bool(sps.sample_adaptive_offset_enabled_flag),
+        has_weights=has_w, use_pallas=use_pallas,
+        n_slice_rows=_ceil_pow2(smax + 1),
+        buckets=tuple(sorted((c, l, _ceil_pow2(k))
+                             for (c, l), k in kmax.items())))
+
+
+def pack_frame(plan, cfg: ProgramCfg, fid_slot):
+    """Host: FramePlan -> dict of np arrays for the fused program.
+    fid_slot: dict frame_id -> device stack slot."""
+    from .device_plan import build_filter_grids
+    t = build_filter_grids(plan)
+    S1 = cfg.n_slice_rows
+    for k in ("sh_disable", "sh_beta", "sh_tc", "sh_across", "sh_sao_luma",
+              "sh_sao_chroma"):
+        a = t[k]
+        t[k] = np.pad(a, (0, S1 - len(a)),
+                      constant_values=(1 if k == "sh_disable" else 0))
+    t["sidx"] = np.minimum(t["sidx"], S1 - 1)
+
+    # ref-list tables (slice, list, idx) -> stack slot / poc, from pu_meta
+    rl_slot = np.zeros((S1, 2, 16), np.int32)
+    rl_poc = np.zeros((S1, 2, 16), np.int32)
+    pu_meta = plan._pu_arrays[0] if plan._pu_arrays is not None else \
+        np.zeros((0, 17), np.int32)
+    for l in range(2):
+        pf = pu_meta[:, 4 + l] > 0
+        if not pf.any():
+            continue
+        sh = pu_meta[pf, 16]
+        ridx = pu_meta[pf, 10 + l]
+        poc = pu_meta[pf, 12 + l]
+        fid = pu_meta[pf, 14 + l]
+        key = sh * 16 + ridx
+        _, first = np.unique(key, return_index=True)
+        for i in first:
+            rl_slot[sh[i], l, ridx[i]] = fid_slot[int(fid[i])]
+            rl_poc[sh[i], l, ridx[i]] = poc[i]
+    t["rl_slot"] = rl_slot
+    t["rl_poc"] = rl_poc
+    t["ref_idx"] = np.clip(plan.ref_idx, 0, 15).astype(np.int8)
+
+    # weights
+    if cfg.has_weights:
+        wt = np.zeros((S1, 2, 16, 3, 2), np.int32)
+        denom = np.zeros((S1, 3), np.int32)
+        has_pw = np.zeros(S1, np.int32)
+        for si, s in enumerate(plan.slice_headers):
+            pw = s.pred_weight
+            if pw is None:
+                continue
+            has_pw[si] = 1
+            denom[si, 0] = pw.luma_log2_weight_denom + 14 - cfg.bitdepth
+            denom[si, 1] = denom[si, 2] = \
+                pw.chroma_log2_weight_denom + 14 - cfg.bitdepth
+            for l in range(2):
+                nr = len(pw.luma_weight[l])
+                for r in range(min(nr, 16)):
+                    wt[si, l, r, 0] = (pw.luma_weight[l][r],
+                                       pw.luma_offset[l][r])
+                    wt[si, l, r, 1] = (pw.chroma_weight[l][r][0],
+                                       pw.chroma_offset[l][r][0])
+                    wt[si, l, r, 2] = (pw.chroma_weight[l][r][1],
+                                       pw.chroma_offset[l][r][1])
+        t["wt"] = wt
+        t["wt_denom"] = denom
+        t["has_pw"] = has_pw
+
+    # TU residual buckets
+    tu_meta, coeff_pool, _ = plan._tu_arrays
+    sel = (tu_meta[:, 9] >= 0) & (tu_meta[:, 8] == MODE_INTER) \
+        if tu_meta.shape[0] else np.zeros(0, bool)
+    for cidx, log2, K in cfg.buckets:
+        n = 1 << log2
+        if tu_meta.shape[0]:
+            m = sel & (tu_meta[:, 0] == cidx) & (tu_meta[:, 3] == log2)
+            rows = tu_meta[m]
+        else:
+            rows = np.zeros((0, 10), np.int32)
+        k = rows.shape[0]
+        assert k <= K, (cidx, log2, k, K)
+        coeffs = np.zeros((K, n, n), np.int16)
+        if k:
+            gi = rows[:, 9][:, None] + np.arange(n * n)[None, :]
+            coeffs[:k] = coeff_pool[gi].reshape(k, n, n)
+        qp = np.zeros(K, np.int32)
+        qp[:k] = rows[:, 5]
+        sub = 1 if cidx == 0 else 2
+        Wp_, Hp_ = cfg.W // sub, cfg.H // sub
+        nslots = (Hp_ >> log2) * (Wp_ >> log2)
+        slots = np.full(K, nslots, np.int32)          # dump row for padding
+        if k:
+            slots[:k] = (rows[:, 2] >> log2) * (Wp_ >> log2) + \
+                (rows[:, 1] >> log2)
+        t[f"rc_{cidx}_{log2}"] = coeffs
+        t[f"rq_{cidx}_{log2}"] = qp
+        t[f"rs_{cidx}_{log2}"] = slots
+    return t
+
+
+# ----------------------------------------------------------- device pieces
+def _expand_ctb4(a, cfg):
+    """CTB grid -> 4x4-block grid (device)."""
+    import jax.numpy as jnp
+    gh, gw = cfg.H // 4, cfg.W // 4
+    sh = cfg.log2ctb - 2
+    ys = (jnp.arange(gh) >> sh)
+    xs = (jnp.arange(gw) >> sh)
+    return a[ys][:, xs]
+
+
+def _expand_mask(m, f, H, W):
+    """(gh,gw) -> (H,W) with f-fold block expansion (f=4 luma, 2 chroma)."""
+    import jax.numpy as jnp
+    gh, gw = m.shape
+    return jnp.broadcast_to(m[:, None, :, None], (gh, f, gw, f)) \
+        .reshape(gh * f, gw * f)[:H, :W]
+
+
+def _scatter_residual_slots(plane, res, slots, log2, maxv):
+    """Residual add via row-scatter with a dump row for padded entries."""
+    import jax.numpy as jnp
+    H, W = plane.shape
+    n = 1 << log2
+    rows = res.reshape(res.shape[0], n * n)
+    nslots = (H >> log2) * (W >> log2)
+    table = jnp.zeros((nslots + 1, n * n), jnp.int32)
+    table = table.at[slots].set(rows, unique_indices=True)
+    rp = table[:nslots].reshape(H >> log2, W >> log2, n, n) \
+        .transpose(0, 2, 1, 3).reshape(H, W)
+    return jnp.clip(plane + rp, 0, maxv)
+
+
+def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
+    """The fused program body (trace-time; wrap with jit via get_program).
+    dy/dcb/dcr: (R,H,W)/(R,Hc,Wc) int16 device DPB stacks.
+    t: dict of device plan tensors. out_slot: scalar i32.
+    Returns (dy', dcb', dcr', [Y,Cb,Cr] output planes int16)."""
+    import jax.numpy as jnp
+    from .ops.mc_tile_jax import build_tables, mc_frame_tile
+    from .ops.transform_jax import residual_batch
+    from .ops.filter_plan_jax import plan_deblock_device, plan_sao_device
+    from .ops.deblock_jax import deblock_luma_pass, deblock_chroma_pass
+    from .ops.sao_jax import sao_apply
+
+    H, W = cfg.H, cfg.W
+    Hc, Wc = H // 2, W // 2
+    bd = cfg.bitdepth
+    maxv = (1 << bd) - 1
+    gh, gw = H // 4, W // 4
+    N = gh * gw
+
+    tables = build_tables(dy, dcb, dcr, use_pallas=cfg.use_pallas)
+
+    # ---- MC block arrays from grids
+    s4 = _expand_ctb4(t["sidx"].astype(jnp.int32), cfg)          # (gh,gw)
+    ridx = t["ref_idx"].astype(jnp.int32)                        # (gh,gw,2)
+    l2 = jnp.arange(2)[None, None, :]
+    slot_g = t["rl_slot"][s4[:, :, None], l2, ridx]              # (gh,gw,2)
+    pfg = t["pf"].astype(jnp.int32)
+    mvg = t["mv"].astype(jnp.int32)
+    swap = pfg[:, :, 0] == 0
+    mv0 = jnp.where(swap[..., None], mvg[:, :, 1, :], mvg[:, :, 0, :])
+    s0 = jnp.where(swap, slot_g[:, :, 1], slot_g[:, :, 0])
+    pf_l = jnp.stack([pfg[:, :, 0] | pfg[:, :, 1],
+                      pfg[:, :, 0] & pfg[:, :, 1]], axis=-1)
+    mv = jnp.stack([mv0, mvg[:, :, 1, :]], axis=2).reshape(N, 2, 2)
+    slot = jnp.stack([s0, slot_g[:, :, 1]], axis=-1).reshape(N, 2)
+    pf = pf_l.reshape(N, 2)
+
+    if cfg.has_weights:
+        wtab = t["wt"]                          # (S1,2,16,3,2)
+        den = t["wt_denom"]                     # (S1,3)
+        w_g = wtab[s4[:, :, None], l2, ridx]    # (gh,gw,2,3,2)
+        w0 = jnp.where(swap[..., None, None], w_g[:, :, 1], w_g[:, :, 0])
+        w_l = jnp.stack([w0, w_g[:, :, 1]], axis=2)   # (gh,gw,2lane,3,2)
+        dengrid = den[s4]                       # (gh,gw,3)
+        wts = jnp.concatenate([
+            w_l[:, :, 0].reshape(gh, gw, 3, 2),
+            w_l[:, :, 1].reshape(gh, gw, 3, 2),
+            dengrid[..., None]], axis=-1)       # (gh,gw,3,5): w0,o0,w1,o1,l2
+        wts = wts.reshape(N, 3, 5)
+        ex = (t["has_pw"][s4] != 0).reshape(N)
+    else:
+        wts = jnp.zeros((N, 3, 5), jnp.int32)
+        ex = jnp.zeros((N,), bool)
+
+    mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd)
+
+    inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
+    Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
+    Cb = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[1], 0)
+    Cr = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[2], 0)
+
+    # ---- residuals
+    planes = [Y, Cb, Cr]
+    for cidx, log2, K in cfg.buckets:
+        res = residual_batch(t[f"rc_{cidx}_{log2}"].astype(jnp.int32),
+                             t[f"rq_{cidx}_{log2}"], log2, False, bd)
+        planes[cidx] = _scatter_residual_slots(
+            planes[cidx], res, t[f"rs_{cidx}_{log2}"], log2, maxv)
+    Y, Cb, Cr = planes
+
+    # ---- deblock (metadata derived on device)
+    lm, cm = plan_deblock_device(t, cfg.fcfg)
+    for vi, vertical in enumerate((True, False)):
+        Y = deblock_luma_pass(Y, *lm[vi], vertical=vertical, bitdepth=bd)
+        if cm is not None:
+            act, tc, p_off, q_off = cm[vi]
+            Cb = deblock_chroma_pass(Cb, act[0], tc[0], p_off, q_off,
+                                     vertical=vertical, bitdepth=bd)
+            Cr = deblock_chroma_pass(Cr, act[1], tc[1], p_off, q_off,
+                                     vertical=vertical, bitdepth=bd)
+
+    # ---- SAO
+    if cfg.sao_enabled:
+        outs = []
+        for ci, P in enumerate((Y, Cb, Cr)):
+            maps = plan_sao_device(t, cfg.scfg, ci)
+            outs.append(sao_apply(P, *maps, bitdepth=bd))
+        Y, Cb, Cr = outs
+
+    # ---- DPB insert
+    dy = jax.lax.dynamic_update_slice(
+        dy, Y.astype(jnp.int16)[None], (out_slot, 0, 0))
+    dcb = jax.lax.dynamic_update_slice(
+        dcb, Cb.astype(jnp.int16)[None], (out_slot, 0, 0))
+    dcr = jax.lax.dynamic_update_slice(
+        dcr, Cr.astype(jnp.int16)[None], (out_slot, 0, 0))
+    return dy, dcb, dcr
+
+
+_PROGRAMS = {}
+
+
+def get_program(cfg: ProgramCfg):
+    """Jitted fused program for a static config (cached)."""
+    if cfg not in _PROGRAMS:
+        def fn(dy, dcb, dcr, t, out_slot):
+            return decode_frame_device(dy, dcb, dcr, t, out_slot, cfg)
+        _PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2))
+    return _PROGRAMS[cfg]

@@ -1,0 +1,87 @@
+"""End-to-end: the fused device-resident frame program decodes the golden
+vectors bit-exactly (decode_stream_native backend='device' vs manifest
+MD5s). Inter frames ride the fused program (MC tile tables + residuals +
+on-device filter planning + DPB-stack insert); intra/PCM/etc frames use
+the hybrid path and land in the same device DPB."""
+import json
+import os
+
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+CASES = [
+    ("manifest_inter.json", "p_deblk"),
+    ("manifest_inter.json", "p_mv"),
+    ("manifest_inter.json", "b_mv"),
+    ("manifest_inter.json", "p_filters"),
+    ("manifest_inter.json", "p_mixed"),
+    ("manifest_inter.json", "p_mixedlf"),
+    ("manifest_inter.json", "p_2ref"),
+    ("manifest_inter.json", "p_bigmv"),
+    ("manifest_inter.json", "p_wppx"),
+    ("manifest_inter.json", "p_tiles22"),
+    ("manifest_inter.json", "p_slices2"),
+    ("manifest_inter.json", "b_mixed"),
+    ("manifest_inter.json", "b_mv"),
+    ("manifest_inter.json", "p_wp"),
+    ("manifest_inter.json", "p_tmvp"),
+    ("manifest_inter.json", "p_sao"),
+    ("manifest_inter.json", "p_10bit"),
+    ("manifest_inter.json", "p_cu8"),
+    ("manifest_inter.json", "p_pcm"),
+    ("manifest_inter.json", "p_tqbypass"),
+    ("manifest_inter.json", "p_cra"),
+]
+
+
+def _manifest(fn):
+    with open(os.path.join(DATA, fn)) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("mf,name", CASES)
+def test_device_stream_golden(mf, name):
+    path = os.path.join(DATA, name + ".bin")
+    if not os.path.exists(path):
+        pytest.skip(name + " vector absent")
+    man = _manifest(mf)
+    if name not in man:
+        pytest.skip(name + " not in manifest")
+    from libde265_tpu.api import decode_stream_native
+    with open(path, "rb") as f:
+        data = f.read()
+    m = man[name]
+    pics = decode_stream_native(data, backend="device")
+    assert len(pics) == m["frames"], (len(pics), m["frames"])
+    for i, pic in enumerate(pics):
+        got = [pic.plane_md5(c) for c in range(3)]
+        want = [m["md5"][i][k] for k in ("y", "u", "v")]
+        assert got == want, f"{name} frame {i}: {got} != {want}"
+
+
+def test_fast_path_actually_used():
+    """Guard: the fused program (not the hybrid fallback) must carry the
+    inter frames of a plain P stream."""
+    from libde265_tpu.api import decode_stream_native
+    from libde265_tpu import device_stream
+    from libde265_tpu.frame_program import frame_compatible
+    from libde265_tpu.native_frontend import NativeFrontend
+    from libde265_tpu.bitstream.nal import split_annexb
+    from libde265_tpu.bitstream.paramsets import read_sps, read_pps
+    with open(os.path.join(DATA, "p_mv.bin"), "rb") as f:
+        data = f.read()
+    spss, ppss = {}, {}
+    for u in split_annexb(data):
+        t = u.header.nal_unit_type
+        if t == 33:
+            s = read_sps(u.data)
+            spss[s.seq_parameter_set_id] = s
+        elif t == 34:
+            ppss[read_pps(u.data, spss).pic_parameter_set_id] = \
+                read_pps(u.data, spss)
+    plans = NativeFrontend().parse(data, spss, ppss)
+    n_compat = sum(1 for p in plans if p.nal_type != -1
+                   and frame_compatible(p))
+    assert n_compat >= len(plans) - 1, \
+        f"only {n_compat}/{len(plans)} frames fast-path eligible"
