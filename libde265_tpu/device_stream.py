@@ -171,14 +171,11 @@ class DeviceStreamDecoder:
                 jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
             return
 
-        if frame_compatible(plan):
+        if frame_compatible(plan) and self._fast_ok(plan):
             for rf in needed:
                 self._ensure_in_stack(rf, frame_idx, needed)
-            t = pack_frame(plan, self.cfg, self.slot_of)
             s = self._alloc_slot(fid, frame_idx, needed)
-            td = {k: jnp.asarray(v) for k, v in t.items()}
-            self.dy, self.dcb, self.dcr = self._prog(
-                self.dy, self.dcb, self.dcr, td, np.int32(s))
+            self._run_fast(plan, s)
             self.frames[fid] = {"plan": plan, "host": None, "fast": True}
         else:
             from .device_decode import reconstruct_frame_device
@@ -193,9 +190,57 @@ class DeviceStreamDecoder:
                 jnp.asarray(planes[1].astype(np.int16)),
                 jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
 
+    def _fast_ok(self, plan):
+        return True
+
+    def _run_fast(self, plan, out_slot):
+        jnp = self.jnp
+        t = pack_frame(plan, self.cfg, self.slot_of)
+        td = {k: jnp.asarray(v) for k, v in t.items()}
+        self.dy, self.dcb, self.dcr = self._prog(
+            self.dy, self.dcb, self.dcr, td, np.int32(out_slot))
+
     def decode_all(self):
         for i, plan in enumerate(self.plans):
             self.decode_plan(plan, i)
 
     def planes_of(self, fid):
         return self._host_planes(fid)
+
+
+class ShardedStreamDecoder(DeviceStreamDecoder):
+    """Tile-column sharded variant: compatible inter frames of a
+    tile-encoded stream decode via parallel.tile_shard's shard_map
+    program over an ndev-device mesh (one tile column per device)."""
+
+    def __init__(self, plans, sps, mesh, use_pallas=False):
+        super().__init__(plans, sps, use_pallas=use_pallas)
+        from .parallel.tile_shard import get_sharded_program, split_strips
+        self.mesh = mesh
+        self.ndev = mesh.shape["t"]
+        self._split = split_strips
+        self._sprog = get_sharded_program(self.cfg, mesh)
+
+    def _fast_ok(self, plan):
+        pps = plan.pps
+        if not getattr(pps, "tiles_enabled_flag", False):
+            return False
+        cols = pps.num_tile_columns
+        if cols != self.ndev:
+            return False
+        # uniform CTB-aligned columns covering the full width exactly
+        bd = pps.colBd                       # CTB units
+        w0 = bd[1] - bd[0]
+        if any(bd[i + 1] - bd[i] != w0 for i in range(cols)):
+            return False
+        return self.cfg.W == cols * w0 * (1 << self.cfg.log2ctb)
+
+    def _run_fast(self, plan, out_slot):
+        jnp = self.jnp
+        tsh, trep, x0s = self._split(plan, self.cfg, self.slot_of,
+                                     self.ndev)
+        tsh = {k: jnp.asarray(v) for k, v in tsh.items()}
+        trep = {k: jnp.asarray(v) for k, v in trep.items()}
+        self.dy, self.dcb, self.dcr = self._sprog(
+            self.dy, self.dcb, self.dcr, tsh, trep, jnp.asarray(x0s),
+            jnp.asarray(np.array([out_slot], np.int32)))

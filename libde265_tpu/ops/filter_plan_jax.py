@@ -73,14 +73,18 @@ def _bs_motion(pf_p, mv_p, poc_p, pf_q, mv_q, poc_q):
 
 
 def _expand_edge_ctb(arr_ctb, si_luma_y, e_luma_x, log2ctb):
-    """Gather a CTB-grid array to the (n_s, n_e) edge grid."""
-    cy = si_luma_y >> log2ctb                    # (n_s,)
-    cx = e_luma_x >> log2ctb                     # (n_e,)
+    """Gather a CTB-grid array to the (n_s, n_e) edge grid. Coordinates
+    are GLOBAL luma positions, clipped into the picture (halo positions
+    of a sharded strip read their nearest in-picture CTB; their results
+    are cropped away by the caller)."""
+    nctby, nctbx = arr_ctb.shape
+    cy = jnp.clip(si_luma_y >> log2ctb, 0, nctby - 1)        # (n_s,)
+    cx = jnp.clip(e_luma_x >> log2ctb, 0, nctbx - 1)         # (n_e,)
     return arr_ctb[cy][:, cx]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def plan_deblock_device(grids, cfg):
+def plan_deblock_device(grids, cfg, xoff=0):
     """grids: dict of device arrays (see module docstring).
     cfg: hashable static config tuple
          (log2ctb, pcm_lf_disable, chroma_fmt, bd_y, bd_c, cb_qpoff,
@@ -111,19 +115,22 @@ def plan_deblock_device(grids, cfg):
         if vertical:
             (pm_, cbf_, tucb_, edge_, qp_, off_, pf_, mv_, poc_) = (
                 pm, cbf, tucb, edgeall, qp, off, pf, mv, poc)
-            allow, sidx_, bit, He, We = allow_v, sidx, 1, H, W
+            allow, sidx_, bit = allow_v, sidx, 1
         else:
             tr = lambda a: jnp.swapaxes(a, 0, 1)
             (pm_, cbf_, tucb_, edge_, qp_, off_, pf_, mv_, poc_) = (
                 tr(pm), tr(cbf), tr(tucb), tr(edgeall), tr(qp), tr(off),
                 tr(pf), tr(mv), tr(poc))
-            allow, sidx_, bit, He, We = (jnp.swapaxes(allow_h, 0, 1),
-                                         jnp.swapaxes(sidx, 0, 1), 2, W, H)
+            allow, sidx_, bit = (jnp.swapaxes(allow_h, 0, 1),
+                                 jnp.swapaxes(sidx, 0, 1), 2)
+        # extents from the (possibly strip-local) grid itself
+        We = pm_.shape[1] * 4
         n_e = We // 8 - 1
         gq = 2 * (jnp.arange(n_e, dtype=jnp.int32) + 1)      # q-block col
-        si = jnp.arange(He // 4, dtype=jnp.int32)
-        e_x = (gq * 4)                                       # luma x of edge
-        s_y = si * 4
+        si = jnp.arange(pm_.shape[0], dtype=jnp.int32)
+        # global coordinates for CTB-level lookups (xoff: strip origin)
+        e_x = gq * 4 + (xoff if vertical else 0)
+        s_y = si * 4 + (0 if vertical else xoff)
 
         def at(a, g):
             return a[:, g]
@@ -160,17 +167,18 @@ def plan_deblock_device(grids, cfg):
     def chroma_dir(vertical):
         if vertical:
             pm_, qp_, tucb_, off_ = pm, qp, tucb, off
-            allow, sidx_, bit, He, We = allow_v, sidx, 1, H, W
+            allow, sidx_, bit = allow_v, sidx, 1
         else:
             tr = lambda a: jnp.swapaxes(a, 0, 1)
             pm_, qp_, tucb_, off_ = tr(pm), tr(qp), tr(tucb), tr(off)
-            allow, sidx_, bit, He, We = (jnp.swapaxes(allow_h, 0, 1),
-                                         jnp.swapaxes(sidx, 0, 1), 2, W, H)
+            allow, sidx_, bit = (jnp.swapaxes(allow_h, 0, 1),
+                                 jnp.swapaxes(sidx, 0, 1), 2)
+        We = pm_.shape[1] * 4
         n_e = We // 16 - (1 if We % 16 == 0 else 0)
         gq = 4 * (jnp.arange(n_e, dtype=jnp.int32) + 1)
-        si = jnp.arange(He // 4, dtype=jnp.int32)
-        e_x = gq * 4
-        s_y = si * 4
+        si = jnp.arange(pm_.shape[0], dtype=jnp.int32)
+        e_x = gq * 4 + (xoff if vertical else 0)
+        s_y = si * 4 + (0 if vertical else xoff)
         edge_exists = (tucb_[:, gq] & bit) != 0
         is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
         allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
@@ -205,16 +213,19 @@ def plan_deblock_device(grids, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg", "cidx"))
-def plan_sao_device(grids, cfg, cidx):
+def plan_sao_device(grids, cfg, cidx, xoff=0):
     """Expand per-CTB SAO params to per-sample maps on device.
     grids: sao_type/eo/band (nctby,nctbx,3), sao_off (nctby,nctbx,3,4),
-    sidx, sh_sao_luma/chroma (S,), off (4x4 tq/pcm grid), pair_ok
-    (4,nctby,nctbx). cfg: (log2ctb, chroma_fmt, pcm_lfd unused here, H, W,
-    subw, subh). Returns tuple for sao_apply."""
+    sidx, sh_sao_luma/chroma (S,), off (4x4 tq/pcm grid, possibly a
+    halo-extended strip), pair_ok (4,nctby,nctbx). cfg: (log2ctb,
+    chroma_fmt, H, W, subw, subh). xoff: global luma x of the off-grid's
+    first column (sharded strips). CTB-level arrays are always global;
+    the plane width follows the off grid. Returns tuple for sao_apply."""
     log2ctb, chroma_fmt, H, W, subw, subh = cfg
     sub = 1 if cidx == 0 else subw
     subv = 1 if cidx == 0 else subh
-    Hs, Ws = H // subv, W // sub
+    Hs = H // subv
+    Ws = (grids["off"].shape[1] * 4) // sub     # strip/frame plane width
     ctb = (1 << log2ctb) // sub
     ctbv = (1 << log2ctb) // subv
 
@@ -229,28 +240,30 @@ def plan_sao_device(grids, cfg, cidx):
     t = jnp.where(enable, t, 0)
 
     nctby, nctbx = t.shape
+    # global plane-unit coordinates of each strip sample
+    gx_plane = jnp.arange(Ws) + xoff // sub
+    ys_c = jnp.clip(jnp.arange(Hs) // ctbv, 0, nctby - 1)
+    xs_c = jnp.clip(gx_plane // ctb, 0, nctbx - 1)
 
     def expand(a):
-        full = jnp.broadcast_to(a[:, None, :, None],
-                                (nctby, ctbv, nctbx, ctb))
-        return full.reshape(nctby * ctbv, nctbx * ctb)[:Hs, :Ws]
+        return a[ys_c][:, xs_c]
 
     type_map = expand(t)
     eo_map = expand(eo)
     band_map = expand(band)
     off_maps = jnp.stack([expand(offs[:, :, k]) for k in range(4)], axis=0)
 
-    # per-sample skip (pcm/tq-bypass) from the 4x4 grid
+    # per-sample skip (pcm/tq-bypass) from the (strip-local) 4x4 grid
     gy = (jnp.arange(Hs) * subv) >> 2
     gx = (jnp.arange(Ws) * sub) >> 2
     skip = grids["off"][gy][:, gx] != 0
 
     # neighbor availability: expand CTB-pair-ok to boundary samples
     pair_ok = grids["pair_ok"]                  # (4, nctby, nctbx) bool
-    xs = jnp.arange(Ws)
     ys = jnp.arange(Hs)
-    at_l = (xs % ctb) == 0
-    at_r = ((xs % ctb) == (ctb - 1)) | (xs == (Ws - 1))
+    at_l = (gx_plane % ctb) == 0
+    at_r = ((gx_plane % ctb) == (ctb - 1)) | \
+        (gx_plane == (W // sub - 1))
     at_u = (ys % ctbv) == 0
     at_d = ((ys % ctbv) == (ctbv - 1)) | (ys == (Hs - 1))
     ok = [expand(pair_ok[k].astype(jnp.int32)) != 0 for k in range(4)]

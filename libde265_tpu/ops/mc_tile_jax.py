@@ -185,15 +185,19 @@ def _combine(p0, p1, pf, wts, ex, ci, shift, maxv):
     return jnp.where(ex[:, None, None], expl, dflt)
 
 
-def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8):
+def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
+                  strip=None, x0=0):
     """Motion-compensate every 4x4 block of a frame from tile tables.
 
     tables : (table_y, table_cb, table_cr) from build_tables
-    dims   : (H, W) static python ints
+    dims   : (H, W) static python ints — the REFERENCE frame geometry
     mv     : (N,2,2) int32 qpel MVs per block per lane
     slot   : (N,2) int32 ref slot per lane
     pf     : (N,2) int32 pred flags (lane 0 always set for inter blocks)
     wts    : (N,3,5) int32 (w0,o0,w1,o1,log2Wd) per plane; ex: (N,) bool
+    strip  : optional output strip width Ws (static): the N blocks cover
+             a (H, Ws) strip whose global x origin is x0 (traced) — the
+             tile-sharded path; default full frame.
     Returns [Y,Cb,Cr] dense int32 planes (every block predicted; caller
     masks non-inter regions).
     """
@@ -202,9 +206,10 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8):
     nty, ntx = (H + 20) // 4, (W + 20) // 4
     Hc, Wc = H // 2, W // 2
     ntyc, ntxc = (Hc + 12) // 4, (Wc + 12) // 4
-    n_by, n_bx = H // 4, W // 4
+    n_by = H // 4
+    n_bx = (W if strip is None else strip) // 4
     N = n_by * n_bx
-    bx = (jnp.arange(N, dtype=jnp.int32) % n_bx) * 4
+    bx = (jnp.arange(N, dtype=jnp.int32) % n_bx) * 4 + x0
     by = (jnp.arange(N, dtype=jnp.int32) // n_bx) * 4
     shift1 = min(4, bitdepth - 8)
     maxv = (1 << bitdepth) - 1
@@ -220,7 +225,9 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8):
     y1p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx1, mvy1, s1, H, W,
                           shift1)
     yv = _combine(y0p, y1p, pf, wts, ex, 0, shift, maxv)
-    planes = [yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)]
+    Wo = n_bx * 4
+    planes = [yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3)
+                .reshape(H, Wo)]
     for ci, tab in ((1, table_cb), (2, table_cr)):
         c0 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx0, mvy0, s0,
                                Hc, Wc, shift1)
@@ -228,7 +235,7 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8):
                                Hc, Wc, shift1)
         cv = _combine(c0, c1, pf, wts, ex, ci, shift, maxv)
         planes.append(cv.reshape(n_by, n_bx, 2, 2)
-                        .transpose(0, 2, 1, 3).reshape(Hc, Wc))
+                        .transpose(0, 2, 1, 3).reshape(Hc, Wo // 2))
     return planes
 
 

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Generate the 4K benchmark stream (tests/data/ld4k.bin) + golden MD5s.
+
+A low-delay 3840x2160 stream from our encoder: IDR then pure-inter P
+frames (mv+residual everywhere, 2 refs, TMVP, deblock+SAO on) — the shape
+the fused device frame program targets, matching the reference's 4K
+headline benchmark class (/root/reference/README.md:40, Tears of Steel
+4K). dec265 is the oracle: the committed MD5s come from its output.
+
+Usage: python tools/gen_bench_stream.py [n_frames]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+DEC = os.path.join(REPO, ".ref_build", "dec265", "dec265")
+DATA = os.path.join(REPO, "tests", "data")
+
+from libde265_tpu.encoder import Encoder, EncoderConfig  # noqa: E402
+from gen_inter_streams import plane_md5s  # noqa: E402
+from gen_big_streams import make_frames  # noqa: E402
+
+
+def main():
+    nf = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    w, h = 3840, 2160
+    cfg = EncoderConfig(width=w, height=h, qp=34, inter_mode="mv",
+                        inter_residual=True, log2_ctb=6, cu_log2=4,
+                        num_ref_l0=2, temporal_mvp=True,
+                        disable_deblocking=False, sao=True)
+    enc = Encoder(cfg)
+    frames = make_frames(nf, w, h)
+    t0 = time.time()
+    stream = enc.encode(frames)
+    print(f"encoded {nf} frames in {time.time()-t0:.0f}s, "
+          f"{len(stream)} bytes", flush=True)
+    bit = os.path.join(DATA, "ld4k.bin")
+    open(bit, "wb").write(stream)
+    gold = os.path.join(DATA, "ld4k_gold.yuv")
+    r = subprocess.run([DEC, "-q", "-o", gold, bit], capture_output=True,
+                       text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr
+    path = os.path.join(DATA, "manifest_big.json")
+    manifest = json.load(open(path)) if os.path.exists(path) else {}
+    manifest["ld4k"] = {"w": w, "h": h, "frames": nf,
+                        "md5": plane_md5s(gold, w, h, nf, 1),
+                        "bit_depth": 8, "size_bytes": len(stream)}
+    os.remove(gold)
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print("ld4k done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
