@@ -40,6 +40,8 @@ class ProgramCfg:
     use_pallas: bool
     n_slice_rows: int                 # S+1 (incl. sentinel)
     buckets: tuple                    # ((cidx, log2, K), ...)
+    r_act: int = REF_SLOTS            # MC tile tables built for this many
+                                      # referenced slots (pow2 bucket)
 
     @property
     def fcfg(self):
@@ -84,9 +86,18 @@ def stream_cfg(plans, sps, use_pallas=False):
     kmax = {}
     smax = 1
     has_w = False
+    r_act = 1
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
             continue
+        pu_meta = plan._pu_arrays[0]
+        fids = set()
+        for l in range(2):
+            if pu_meta.shape[0]:
+                fids |= set(np.unique(
+                    pu_meta[pu_meta[:, 4 + l] > 0, 14 + l]).tolist())
+        while r_act < max(1, len(fids)):
+            r_act <<= 1
         tu_meta = plan._tu_arrays[0]
         if tu_meta.shape[0]:
             sel = (tu_meta[:, 9] >= 0) & (tu_meta[:, 8] == MODE_INTER)
@@ -112,7 +123,8 @@ def stream_cfg(plans, sps, use_pallas=False):
         has_weights=has_w, use_pallas=use_pallas,
         n_slice_rows=_ceil_pow2(smax + 1),
         buckets=tuple(sorted((c, l, _ceil_pow2(k))
-                             for (c, l), k in kmax.items())))
+                             for (c, l), k in kmax.items())),
+        r_act=min(r_act, REF_SLOTS))
 
 
 def pack_frame(plan, cfg: ProgramCfg, fid_slot):
@@ -128,11 +140,15 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
                       constant_values=(1 if k == "sh_disable" else 0))
     t["sidx"] = np.minimum(t["sidx"], S1 - 1)
 
-    # ref-list tables (slice, list, idx) -> stack slot / poc, from pu_meta
+    # ref-list tables (slice, list, idx) -> COMPACT ref slot / poc, from
+    # pu_meta; sel_slots maps compact ids to DPB stack slots so the
+    # program builds MC tables only for referenced frames.
     rl_slot = np.zeros((S1, 2, 16), np.int32)
     rl_poc = np.zeros((S1, 2, 16), np.int32)
     pu_meta = plan._pu_arrays[0] if plan._pu_arrays is not None else \
         np.zeros((0, 17), np.int32)
+    used_fids = []
+    compact = {}
     for l in range(2):
         pf = pu_meta[:, 4 + l] > 0
         if not pf.any():
@@ -144,8 +160,17 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
         key = sh * 16 + ridx
         _, first = np.unique(key, return_index=True)
         for i in first:
-            rl_slot[sh[i], l, ridx[i]] = fid_slot[int(fid[i])]
+            f = int(fid[i])
+            if f not in compact:
+                compact[f] = len(used_fids)
+                used_fids.append(f)
+            rl_slot[sh[i], l, ridx[i]] = compact[f]
             rl_poc[sh[i], l, ridx[i]] = poc[i]
+    assert len(used_fids) <= cfg.r_act, (len(used_fids), cfg.r_act)
+    sel = np.zeros(cfg.r_act, np.int32)
+    for f, ci in compact.items():
+        sel[ci] = fid_slot[f]
+    t["sel_slots"] = sel
     t["rl_slot"] = rl_slot
     t["rl_poc"] = rl_poc
     t["ref_idx"] = np.clip(plan.ref_idx, 0, 15).astype(np.int8)
@@ -260,7 +285,9 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
     gh, gw = H // 4, W // 4
     N = gh * gw
 
-    tables = build_tables(dy, dcb, dcr, use_pallas=cfg.use_pallas)
+    sel = t["sel_slots"]
+    tables = build_tables(dy[sel], dcb[sel], dcr[sel],
+                          use_pallas=cfg.use_pallas)
 
     # ---- MC block arrays from grids
     s4 = _expand_ctb4(t["sidx"].astype(jnp.int32), cfg)          # (gh,gw)

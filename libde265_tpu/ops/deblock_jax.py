@@ -92,12 +92,11 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
                                 True, bitdepth)
         return out.T
     n_s, n_e = bs.shape
-    # segment (si, ei) covers rows 4*si..4*si+3 at edge column x=8*(ei+1)
-    # gather p3..p0,q0..q3 for each of the 4 lines: shape (n_s, n_e, 4, 8)
-    ecols = (jnp.arange(n_e) + 1) * 8                      # (n_e,)
-    rows = jnp.arange(n_s)[:, None] * 4 + jnp.arange(4)    # (n_s, 4)
-    cols = ecols[:, None] + jnp.arange(-4, 4)              # (n_e, 8)
-    seg = Y[rows[:, None, :, None], cols[None, :, None, :]]  # (n_s,n_e,4,8)
+    # segment (si, ei) covers rows 4*si..4*si+3 at edge column x=8*(ei+1).
+    # The per-edge 8-col windows [8e+4, 8e+12) are disjoint and tile the
+    # plane, so the "gather" is a pure reshape (XLA serializes the naive
+    # elementwise gather — hundreds of ms at 4K; this is free):
+    seg = Y[:, 4:4 + 8 * n_e].reshape(n_s, 4, n_e, 8).transpose(0, 2, 1, 3)
     p = seg[..., 3::-1]   # p0..p3 at idx 0..3
     q = seg[..., 4:]
 
@@ -168,8 +167,8 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
     nq2 = jnp.where(act & ~qo, jnp.clip(nq2, 0, maxv), q2)
 
     newseg = jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
-    out = Y.at[rows[:, None, :, None], cols[None, :, None, :]].set(newseg)
-    return out
+    strip = newseg.transpose(0, 2, 1, 3).reshape(n_s * 4, 8 * n_e)
+    return Y.at[:, 4:4 + 8 * n_e].set(strip)
 
 
 def plan_chroma_metadata(plan, vertical):
@@ -237,10 +236,9 @@ def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
     if not vertical:
         return deblock_chroma_pass(C.T, act, tc, p_off, q_off, True, bitdepth).T
     n_s, n_e = act.shape
-    ecols = (jnp.arange(n_e) + 1) * 8           # chroma x of each edge
-    rows = jnp.arange(n_s)[:, None] * 2 + jnp.arange(2)   # 2 chroma lines
-    cols = ecols[:, None] + jnp.arange(-2, 2)   # p1 p0 q0 q1
-    seg = C[rows[:, None, :, None], cols[None, :, None, :]]  # (n_s,n_e,2,4)
+    # edges at chroma x = 8*(ei+1); the 4-col windows [8e+6, 8e+10) are
+    # disjoint with stride 8 -> reshape, not gather (see luma pass)
+    seg = C[:, 6:6 + 8 * n_e].reshape(n_s, 2, n_e, 8).transpose(0, 2, 1, 3)
     p1, p0, q0, q1 = (seg[..., k] for k in range(4))
     maxv = (1 << bitdepth) - 1
     tc_ = tc[..., None]
@@ -248,8 +246,10 @@ def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
     act_ = act[..., None]
     np0 = jnp.where(act_ & ~p_off[..., None], jnp.clip(p0 + delta, 0, maxv), p0)
     nq0 = jnp.where(act_ & ~q_off[..., None], jnp.clip(q0 - delta, 0, maxv), q0)
-    newseg = jnp.stack([p1, np0, nq0, q1], axis=-1)
-    return C.at[rows[:, None, :, None], cols[None, :, None, :]].set(newseg)
+    newseg = jnp.stack([p1, np0, nq0, q1, seg[..., 4], seg[..., 5],
+                        seg[..., 6], seg[..., 7]], axis=-1)
+    strip = newseg.transpose(0, 2, 1, 3).reshape(n_s * 2, 8 * n_e)
+    return C.at[:, 6:6 + 8 * n_e].set(strip)
 
 
 def deblock_frame_jax(plan, planes):

@@ -1,19 +1,24 @@
 """Pallas (Mosaic TPU) kernel: build the MC overlap-tile table.
 
 The tile table (ops/mc_tile_jax.py) is a 16x data expansion of each padded
-reference plane into stride-4 overlapping tiles — a pure data shuffle that
-XLA lowers to ~50 ms of strided concats/transposes at 4K, 35x off the HBM
-floor. This kernel streams one 16-row (transposed) band per grid step
-through VMEM with double-buffered manual DMA and emits the tiles with two
-in-register reshuffles, touching HBM exactly once per byte in/out.
+reference plane into stride-4 overlapping tiles — a pure data shuffle
+whose XLA form costs ~50 ms/frame at 4K (35x off the HBM floor) in the
+column-interleave + transpose stages. Division of labour here:
+
+  XLA (cheap, row-granular):  bands[r, ty, rr, x] = P[r, 4*ty+rr, x]
+  Mosaic (this kernel):       per band, the lane->sublane interleave
+                              emitting tiles [tx, c*T + rr]
+
+The kernel DMAs one whole band per grid step (leading-dim slicing only —
+Mosaic rejects lane/sublane-offset DMA slices), transposes in int32
+(rotate/transpose are 32-bit-only), splits sublanes (ntx0, 4, T) — the
+lane-preserving reshape direction Mosaic accepts — and emits each tile
+column c with a sublane roll + static store. Double-buffered DMA
+overlaps the next band.
 
 Layout contract (shared with the XLA builder, differentially tested):
-table row for tile (r, ty, tx) has element [c*T + rr] = tile[row rr, col c]
-where T is the tile side (16 luma / 8 chroma).
-
-Input is the TRANSPOSED padded plane stack P_T (R, Wp, Hp): the caller does
-one whole-plane XLA transpose (regular, fast); each band DMA then reads the
-contiguous-ish slab P_T[r, :, 4ty:4ty+T] = (Wp, T).
+table row for tile (r, ty, tx) has element [c*T + rr] = tile[row rr,
+col c], T = tile side (16 luma / 8 chroma).
 """
 import functools
 
@@ -23,15 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(hbm_ref, out_ref, scratch, sems, *, T, nty, ntx, ntx0, Wp,
-            total):
+def _kernel(hbm_ref, out_ref, scratch, sems, *, T, nty, ntx, ntx0, total):
     r = pl.program_id(0)
     t = pl.program_id(1)
     step = r * nty + t
 
     def dma(slot, rr, tt):
         return pltpu.make_async_copy(
-            hbm_ref.at[rr, :, pl.ds(4 * tt, T)],
+            hbm_ref.at[rr, tt],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -50,11 +54,15 @@ def _kernel(hbm_ref, out_ref, scratch, sems, *, T, nty, ntx, ntx0, Wp,
         dma(1 - slot, nr, nt).start()
 
     dma(slot, r, t).wait()
-    slab = scratch[slot]                       # (Wp, T): [x, rr]
-    q = slab.reshape(ntx0, 4 * T)              # [tx0, dxm*T + rr]
-    out_ref[0, 0] = jnp.concatenate(
-        [q[s:s + ntx, :] for s in range(T // 4)],
-        axis=1)                                # [tx, (4s+dxm)*T + rr]
+    band = scratch[slot]                       # (T, Wp_p) i16: [rr, x]
+    bt = band.astype(jnp.int32).T              # (Wp_p, T)    : [x, rr]
+    r3 = bt.reshape(ntx0, 4, T)                # [x0, dx, rr] (ntx0 padded)
+    for c in range(T):
+        q = r3[:, c % 4, :]                    # (ntx0, T)
+        if c // 4:
+            # sublane roll == shift by -(c//4)
+            q = pltpu.roll(q, ntx0 - c // 4, axis=0)
+        out_ref[0, 0, :, c * T:(c + 1) * T] = q[:ntx].astype(jnp.int16)
 
 
 @functools.partial(jax.jit, static_argnames=("T",))
@@ -64,11 +72,15 @@ def build_tile_table_pallas(padded, T):
     R, Hp, Wp = padded.shape
     nty = (Hp - T + 4) // 4
     ntx = (Wp - T + 4) // 4
-    ntx0 = Wp // 4
-    pt = padded.transpose(0, 2, 1)             # (R, Wp, Hp)
+    Wp_p = -(-Wp // 128) * 128                  # DMA wants 128-mult lanes
+    ntx0 = Wp_p // 4
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, Wp_p - Wp)))
+    bands = jnp.concatenate(
+        [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp_p)
+         for s in range(T // 4)], axis=2)       # (R, nty, T, Wp_p)
     out = pl.pallas_call(
         functools.partial(_kernel, T=T, nty=nty, ntx=ntx, ntx0=ntx0,
-                          Wp=Wp, total=R * nty),
+                          total=R * nty),
         grid=(R, nty),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, 1, ntx, T * T),
@@ -76,8 +88,8 @@ def build_tile_table_pallas(padded, T):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, nty, ntx, T * T), jnp.int16),
         scratch_shapes=[
-            pltpu.VMEM((2, Wp, T), jnp.int16),
+            pltpu.VMEM((2, T, Wp_p), jnp.int16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(pt)
+    )(bands)
     return out.reshape(R * nty * ntx, T * T)

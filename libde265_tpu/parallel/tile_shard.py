@@ -147,7 +147,9 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
     N = gh * ws4
     x0 = x0a[0, 0]
 
-    tables = build_tables(dy, dcb, dcr, use_pallas=cfg.use_pallas)
+    sel = t["sel_slots"]
+    tables = build_tables(dy[sel], dcb[sel], dcr[sel],
+                          use_pallas=cfg.use_pallas)
 
     # ---- MC block arrays from the halo'd grids' center
     c = slice(GB, GB + ws4)

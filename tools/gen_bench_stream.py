@@ -25,7 +25,33 @@ DATA = os.path.join(REPO, "tests", "data")
 
 from libde265_tpu.encoder import Encoder, EncoderConfig  # noqa: E402
 from gen_inter_streams import plane_md5s  # noqa: E402
-from gen_big_streams import make_frames  # noqa: E402
+
+
+def make_frames(n, w, h, seed=11):
+    """Natural-video-like content at a realistic 4K bitrate: smooth
+    texture with mild noise, global pan, moving objects. (Heavy noise
+    content inflates the stream to ~400 Mbps — 10-20x a real 4K
+    broadcast — which benchmarks entropy decoding of noise, not video.)"""
+    np_rng = np.random.RandomState(seed)
+    gy, gx = np.mgrid[0:h, 0:w]
+    base = np.clip(90 + 70 * np.sin(gx / 37.0) * np.cos(gy / 29.0)
+                   + 25 * np.sin((gx + 2 * gy) / 111.0)
+                   + np_rng.randint(0, 9, (h, w)), 0, 255).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = np.roll(base, (t * 3, t * 5), (0, 1)).copy()
+        bx, by = (31 * t) % (w - 256), (17 * t) % (h - 256)
+        y[by:by + 256, bx:bx + 256] = 210
+        fx, fy = (w // 2 + 67 * t) % (w - 128), (h // 3 + 29 * t) % (h - 128)
+        y[fy:fy + 128, fx:fx + 128] = np.clip(
+            128 + 40 * np.sin(np.mgrid[0:128, 0:128][1] / 11.0 + t),
+            0, 255).astype(np.uint8)
+        u = np.clip(128 + 50 * np.sin(np.mgrid[0:h//2, 0:w//2][1] / 41.0
+                                      + t * .4), 0, 255).astype(np.uint8)
+        v = np.clip(128 + 50 * np.cos(np.mgrid[0:h//2, 0:w//2][0] / 33.0
+                                      - t * .2), 0, 255).astype(np.uint8)
+        frames.append([y, u, v])
+    return frames
 
 
 def main():
