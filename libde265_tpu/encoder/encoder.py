@@ -74,6 +74,8 @@ class EncoderConfig:
     fps: float = 0.0                  # write VUI timing info when set
     temporal_layers: bool = False     # odd frames at temporal id 1 (TSA_R)
     mixed_filter_slices: bool = False  # per-slice deblock/SAO flag variation
+    rdo: bool = False                 # RD-optimized mode decision (rdo.py)
+    rdo_search_range: int = 8         # integer-pel motion search range
 
     @property
     def maxval(self):
@@ -282,7 +284,11 @@ class Encoder:
 
         if cfg.sao:
             self._decide_sao(frame)
-        emitter = _CUEmitter(self, slice_type)
+        if cfg.rdo:
+            from .rdo import RDOEmitter
+            emitter = RDOEmitter(self, slice_type)
+        else:
+            emitter = _CUEmitter(self, slice_type)
         wc = self.sps.PicWidthInCtbsY
         hc = self.sps.PicHeightInCtbsY
         # partition CTB rows into slices
@@ -318,6 +324,7 @@ class Encoder:
                 self.motion.sh = ssh
             sw = SliceWriter(frame, ssh,
                              init_ctx=prev_ctx if dependent else None)
+            emitter.sw = sw
             # CTBs of this slice in tile-scan order
             addrs = [rs for rs in (ts_to_rs[t] for t in range(wc * hc))
                      if r0 <= rs // wc < r1]
@@ -405,7 +412,7 @@ class Encoder:
 
     # --------------------------------------------------------------- CUs
     def _emit_intra_cu(self, sw, x0, y0, log2_size, depth, idx,
-                       header_done=False):
+                       header_done=False, mode=None):
         cfg = self.cfg
         if not header_done:
             if sw.sh.slice_type != SLICE_TYPE_I:
@@ -432,7 +439,8 @@ class Encoder:
             self.frame.intra_mode_c[y0 >> 2:(y0 >> 2) + gs,
                                     x0 >> 2:(x0 >> 2) + gs] = 1
             return
-        mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
+        if mode is None:
+            mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
         sw.write_part_mode_intra(log2_size, PART_2Nx2N)
         if cfg.pcm and 3 <= log2_size <= 5:
             sw.cabac.encode_terminate(0)   # pcm_flag = 0
@@ -563,11 +571,13 @@ class Encoder:
         self.recon[cidx][y:y + n, x:x + n] = out.astype(self.cfg.pix_dtype)
 
     # ----------------------------------------------------------- inter CUs
-    def _emit_skip_cu(self, sw, x0, y0, log2_size, depth, idx):
+    def _emit_skip_cu(self, sw, x0, y0, log2_size, depth, idx,
+                      merge_idx=None):
         sw.write_skip_flag(x0, y0, True)
         sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTER, True)
         n_cand = self.cfg.max_merge_cand
-        merge_idx = idx % n_cand
+        if merge_idx is None:
+            merge_idx = idx % n_cand
         sw.write_merge_idx(merge_idx)
         size = 1 << log2_size
         self.motion.decode_merge(sw, x0, y0, x0, y0, size, size, 0,
@@ -575,7 +585,8 @@ class Encoder:
         self._recon_inter_pu(self.frame.pus[-1])
         sw.record_tu(x0, y0, log2_size, False)
 
-    def _emit_mv_cu(self, sw, x0, y0, log2_size, depth, idx, with_residual):
+    def _emit_mv_cu(self, sw, x0, y0, log2_size, depth, idx, with_residual,
+                    dec=None):
         cfg = self.cfg
         from ..bitstream.sliceheader import SLICE_TYPE_B
         sw.write_skip_flag(x0, y0, False)
@@ -586,15 +597,22 @@ class Encoder:
         sw.write_merge_flag(False)
         size = 1 << log2_size
         is_b = sw.sh.slice_type == SLICE_TYPE_B
-        inter_dir = (0, 2, 1, 2)[idx % 4] if is_b else 0  # L0/BI/L1/BI cycle
+        if dec is not None:          # RDO-chosen motion (rdo.py LeafDec)
+            inter_dir = dec.inter_dir
+        else:
+            inter_dir = (0, 2, 1, 2)[idx % 4] if is_b else 0  # L0/BI/L1/BI
         if is_b:
             sw.write_inter_pred_idc(inter_dir, size, size, depth)
         n_act0 = sw.sh.num_ref_idx_l0_active
         n_act1 = sw.sh.num_ref_idx_l1_active
-        mvd0 = cfg.mv_patterns[idx % len(cfg.mv_patterns)]
-        mvd1 = cfg.mv_patterns[(idx + 3) % len(cfg.mv_patterns)]
-        ref_idx = idx % n_act0
-        ref1 = idx % n_act1 if n_act1 else 0
+        if dec is not None:
+            mvd0, mvd1 = dec.mvd, (0, 0)
+            ref_idx, ref1 = dec.ref_idx, 0
+        else:
+            mvd0 = cfg.mv_patterns[idx % len(cfg.mv_patterns)]
+            mvd1 = cfg.mv_patterns[(idx + 3) % len(cfg.mv_patterns)]
+            ref_idx = idx % n_act0
+            ref1 = idx % n_act1 if n_act1 else 0
         if inter_dir != 1:
             sw.write_ref_idx(ref_idx, n_act0)
             sw.write_mvd(mvd0)

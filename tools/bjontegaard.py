@@ -36,6 +36,10 @@ def bd_rate(c1, c2):
     f2 = np.polyfit(p2, r2, min(3, len(p2) - 1))
     lo = max(min(p1), min(p2))
     hi = min(max(p1), max(p2))
+    if hi <= lo:
+        # curves do not overlap in quality: BD-rate undefined (one curve
+        # dominates at every measured operating point)
+        return float("nan")
     x = np.linspace(lo, hi, 100)
     diff = np.polyval(f2, x) - np.polyval(f1, x)
     return float((10 ** np.mean(diff) - 1) * 100)

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("-f", "--frames", type=int, default=4)
     ap.add_argument("--qps", default="22,27,32,37")
     ap.add_argument("--fps", type=float, default=25.0)
+    ap.add_argument("--rdo", action="store_true",
+                    help="RD-optimized mode decision (encoder/rdo.py)")
+    ap.add_argument("-o", "--out", help="write curve JSON to file")
     args = ap.parse_args()
     from libde265_tpu.encoder import Encoder, EncoderConfig
     from libde265_tpu.api import decode_stream_native
@@ -40,8 +43,9 @@ def main():
             np.frombuffer(raw[b + w*h + (w//2)*(h//2):b + fsz], np.uint8).reshape(h//2, w//2)])
     points = []
     for qp in (int(q) for q in args.qps.split(",")):
-        enc = Encoder(EncoderConfig(width=w, height=h, qp=qp,
-                                    inter_mode="mixed", inter_residual=True))
+        mode = "mv" if args.rdo else "mixed"
+        enc = Encoder(EncoderConfig(width=w, height=h, qp=qp, rdo=args.rdo,
+                                    inter_mode=mode, inter_residual=True))
         stream = enc.encode(frames)
         pics = decode_stream_native(stream)
         py = np.mean([psnr(p.planes[0], frames[i][0]) for i, p in enumerate(pics)])
@@ -49,6 +53,9 @@ def main():
         points.append({"qp": qp, "kbps": round(kbps, 1), "psnr_y": round(float(py), 2)})
         print(f"qp={qp}: {kbps:.1f} kbit/s, PSNR-Y {py:.2f} dB")
     print(json.dumps(points))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(points, f)
 
 
 if __name__ == "__main__":
