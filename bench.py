@@ -69,7 +69,7 @@ def bootstrap_frame0(path, w, h):
     ysz, csz = w * h, (w // 2) * (h // 2)
     if os.path.exists(dec):
         out = os.path.join(cache, "f0.yuv")
-        subprocess.run([dec, "-q", "-n", "1", "-o", out, path], check=True,
+        subprocess.run([dec, "-q", "-f", "1", "-o", out, path], check=True,
                        capture_output=True, timeout=600)
         buf = np.fromfile(out, np.uint8, ysz + 2 * csz)
         os.remove(out)
@@ -96,7 +96,7 @@ def main():
     import jax.numpy as jnp
     from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg,
                                             pack_frame, frame_compatible,
-                                            get_program)
+                                            get_program, get_stream_program)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     path = os.path.join(DATA, STREAM + ".bin")
@@ -152,17 +152,55 @@ def main():
     print(f"# verification round (incl. compile): {time.time()-t0:.1f}s, "
           f"all {len(pframes)} P-frame MD5s match dec265", file=sys.stderr)
 
-    # ---- timed rounds
+    # ---- whole-stream scan program: stack plans on a frame axis
+    sprog = get_stream_program(cfg)
+    stacked = {k: np.stack([t[k] for t in packed])
+               for k in packed[0]}
+    out_slots = np.array([fid_slot[p.frame_id] for p in pframes], np.int32)
+    # untimed scan round (compiles) + bit-exactness vs the per-frame path:
+    # each DPB slot must hold the last frame written to it
+    t0 = time.time()
+    sd = {k: jax.device_put(v) for k, v in stacked.items()}
+    dy, dcb, dcr = sprog(dy, dcb, dcr, sd, jnp.asarray(out_slots))
+    last_poc = {}
+    for p in pframes:
+        last_poc[fid_slot[p.frame_id]] = p.poc
+    for s, poc in last_poc.items():
+        got = [hashlib.md5(np.asarray(pl[s]).astype(np.uint8).tobytes())
+               .hexdigest() for pl in (dy, dcb, dcr)]
+        want = [man["md5"][poc][k] for k in ("y", "u", "v")]
+        assert got == want, f"scan slot {s} (poc {poc}): {got} != {want}"
+    print(f"# scan round (incl. compile): {time.time()-t0:.1f}s, "
+          f"DPB slots MD5-match the per-frame path", file=sys.stderr)
+
+    # ---- timed rounds: one upload + ONE dispatch per 8-frame pass
     t0 = time.time()
     n_done = 0
     for r in range(ROUNDS):
-        for p, t in zip(pframes, packed):
-            td = {k: jax.device_put(v) for k, v in t.items()}
-            dy, dcb, dcr = prog(dy, dcb, dcr, td, np.int32(fid_slot[p.frame_id]))
-            n_done += 1
+        sd = {k: jax.device_put(v) for k, v in stacked.items()}
+        dy, dcb, dcr = sprog(dy, dcb, dcr, sd, jnp.asarray(out_slots))
+        n_done += len(pframes)
     float(dy[1, 0, 0])          # sync (block_until_ready unreliable on axon)
     dt = time.time() - t0
     fps = n_done / dt
+
+    # ---- diagnostics: compute-only (plans resident) and upload-only rates
+    # — the tunneled axon link's host->device bandwidth is ~100x below a
+    # production PCIe/DMA path, so the e2e number above is link-dominated;
+    # these isolate the chip's own decode rate.
+    slots_d = jax.device_put(jnp.asarray(out_slots))
+    t0 = time.time()
+    for r in range(ROUNDS):
+        dy, dcb, dcr = sprog(dy, dcb, dcr, sd, slots_d)
+    float(dy[1, 0, 0])
+    dev_fps = n_done / (time.time() - t0)
+    nbytes = sum(v.nbytes for v in stacked.values())
+    t0 = time.time()
+    for r in range(2):
+        sd2 = {k: jax.device_put(v) for k, v in stacked.items()}
+        for v in sd2.values():        # force every transfer to complete
+            float(v.ravel()[0])
+    up_mbps = 2 * nbytes / (time.time() - t0) / 1e6
     baseline = 36.0
     print(json.dumps({
         "metric": "tpu_4k_e2e_decode_fps",
@@ -172,6 +210,9 @@ def main():
         "vs_baseline": round(fps / baseline, 2),
         "fe_parse_fps": round(nf / t_parse, 1),
         "pack_fps": round(len(packed) / t_pack, 1),
+        "device_only_fps": round(dev_fps, 2),
+        "upload_mb_per_frame": round(nbytes / len(pframes) / 1e6, 1),
+        "link_mbps": round(up_mbps, 1),
         "frames_timed": n_done,
     }))
 

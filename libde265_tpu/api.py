@@ -142,8 +142,9 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
     if backend == "device":
         from .device_stream import DeviceStreamDecoder
         dev = DeviceStreamDecoder(plans, plans[0].sps) if plans else None
-        for i, plan in enumerate(plans):
-            dev.decode_plan(plan, i)
+        if dev is not None:
+            dev.decode_all()      # scan-batches runs of fast-path frames
+        for plan in plans:
             if plan.nal_type != -1 and plan.output_flag:
                 done.append(plan)
         for plan in done:

@@ -96,6 +96,12 @@ def ctb_allow_masks(plan, tabs):
     return allow_v, allow_h, pair_ok
 
 
+def _poc_delta16(ref_poc, cur_poc):
+    d = ref_poc.astype(np.int64) - int(cur_poc)
+    assert np.abs(d).max(initial=0) < 32768, "ref POC distance overflows i16"
+    return d.astype(np.int16)
+
+
 def build_filter_grids(plan):
     """Assemble the ops/filter_plan_jax grids dict (host numpy)."""
     sps = plan.sps
@@ -109,11 +115,17 @@ def build_filter_grids(plan):
         "cbf": plan.cbf_luma,
         "tucb": plan.tu_boundary | plan.cb_boundary,
         "edgeall": plan.tu_boundary | plan.cb_boundary | plan.pb_boundary,
-        "qp": plan.qp_y.astype(np.int32),
+        # smallest dtypes that hold the values: these grids dominate the
+        # per-frame host->device upload over the (slow) tunneled link, and
+        # every consumer casts to int32 on device anyway
+        "qp": plan.qp_y.astype(np.int8),
         "off": off,
         "pf": plan.pred_flag,
         "mv": plan.mv,
-        "poc": plan.ref_poc,
+        # POC as delta-from-current: the filter planners only compare ref
+        # POCs of the same frame (equality + ordering), both preserved by
+        # the shift, and deltas fit int16 (ref distance << 2^15)
+        "poc": _poc_delta16(plan.ref_poc, plan.poc),
         "allow_v": allow_v,
         "allow_h": allow_h,
         "pair_ok": pair_ok,

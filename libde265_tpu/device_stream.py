@@ -15,7 +15,7 @@ with uploads of the next frames overlapping device compute.
 import numpy as np
 
 from .frame_program import (REF_SLOTS, frame_compatible, stream_cfg,
-                            pack_frame, get_program)
+                            pack_frame, get_program, get_stream_program)
 
 
 class _HostRefShim:
@@ -64,13 +64,17 @@ class DeviceStreamDecoder:
     def _last_uses(self, plans):
         last = {}
         for i, plan in enumerate(plans):
+            # an output frame's pixels are needed until downloaded: keep it
+            # host-copied on eviction (guards slot reuse on long streams)
+            if plan.nal_type != -1 and getattr(plan, "output_flag", True):
+                last[plan.frame_id] = len(plans)
             pm = plan._pu_arrays[0] if plan._pu_arrays is not None else None
             if pm is None or not pm.shape[0]:
                 continue
             for l in range(2):
                 used = pm[pm[:, 4 + l] > 0, 14 + l]
                 for fid in np.unique(used):
-                    last[int(fid)] = i
+                    last[int(fid)] = max(last.get(int(fid), -1), i)
         return last
 
     def _mk_util_programs(self):
@@ -201,8 +205,71 @@ class DeviceStreamDecoder:
             self.dy, self.dcb, self.dcr, td, np.int32(out_slot))
 
     def decode_all(self):
-        for i, plan in enumerate(self.plans):
-            self.decode_plan(plan, i)
+        """Decode the whole plan list; maximal runs of consecutive
+        fast-path frames go through the lax.scan stream program as ONE
+        dispatch (get_stream_program) instead of one dispatch per frame."""
+        i, n = 0, len(self.plans)
+        while i < n:
+            run = self._collect_fast_run(i)
+            if len(run) >= 2:
+                self._run_fast_scan(run)
+                i += len(run)
+            else:
+                self.decode_plan(self.plans[i], i)
+                i += 1
+
+    def _collect_fast_run(self, i0):
+        """Simulate slot allocation forward from plan i0; returns
+        [(plan, frame_idx, out_slot, packed_tensors), ...] for the maximal
+        batchable run. Stops when a frame needs the hybrid path, a ref
+        upload from host, or an eviction that would require a host copy."""
+        sim_of = dict(self.slot_of)
+        sim_fid = list(self.slot_fid)
+        run = []
+        for i in range(i0, len(self.plans)):
+            plan = self.plans[i]
+            if plan.nal_type == -1 or not frame_compatible(plan) \
+                    or not self._fast_ok(plan) or type(self) is not \
+                    DeviceStreamDecoder:
+                break
+            needed = self.ref_fids(plan)
+            if any(rf not in sim_of for rf in needed):
+                break                      # ref needs a host upload
+            free = [s for s, f in enumerate(sim_fid) if f is None]
+            if free:
+                s = free[0]
+            else:
+                cands = sorted(
+                    range(REF_SLOTS),
+                    key=lambda s: (sim_fid[s] in needed,
+                                   self.last_use.get(sim_fid[s], -1)))
+                s = cands[0]
+                vfid = sim_fid[s]
+                if vfid in needed or self.last_use.get(vfid, -1) >= i:
+                    break                  # eviction needs a host copy
+                del sim_of[vfid]
+            sim_of[plan.frame_id] = s
+            sim_fid[s] = plan.frame_id
+            run.append((plan, i, s, pack_frame(plan, self.cfg, sim_of)))
+        return run
+
+    def _run_fast_scan(self, run):
+        jnp = self.jnp
+        stacked = {k: jnp.asarray(np.stack([t[k] for (_, _, _, t) in run]))
+                   for k in run[0][3]}
+        slots = jnp.asarray([s for (_, _, s, _) in run], dtype=jnp.int32)
+        sprog = get_stream_program(self.cfg)
+        self.dy, self.dcb, self.dcr = sprog(
+            self.dy, self.dcb, self.dcr, stacked, slots)
+        for (plan, i, s, _) in run:
+            fid = plan.frame_id
+            # mirror _alloc_slot bookkeeping for the simulated choices
+            vfid = self.slot_fid[s]
+            if vfid is not None and vfid in self.slot_of:
+                del self.slot_of[vfid]
+            self.slot_of[fid] = s
+            self.slot_fid[s] = fid
+            self.frames[fid] = {"plan": plan, "host": None, "fast": True}
 
     def planes_of(self, fid):
         return self._host_planes(fid)

@@ -42,6 +42,8 @@ class ProgramCfg:
     buckets: tuple                    # ((cidx, log2, K), ...)
     r_act: int = REF_SLOTS            # MC tile tables built for this many
                                       # referenced slots (pow2 bucket)
+    has_bi: bool = True               # any bi-predicted PU in the stream?
+                                      # False skips the whole lane-1 MC path
 
     @property
     def fcfg(self):
@@ -86,11 +88,15 @@ def stream_cfg(plans, sps, use_pallas=False):
     kmax = {}
     smax = 1
     has_w = False
+    has_bi = False
     r_act = 1
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
             continue
         pu_meta = plan._pu_arrays[0]
+        if pu_meta.shape[0]:
+            has_bi = has_bi or bool(
+                ((pu_meta[:, 4] > 0) & (pu_meta[:, 5] > 0)).any())
         fids = set()
         for l in range(2):
             if pu_meta.shape[0]:
@@ -124,7 +130,7 @@ def stream_cfg(plans, sps, use_pallas=False):
         n_slice_rows=_ceil_pow2(smax + 1),
         buckets=tuple(sorted((c, l, _ceil_pow2(k))
                              for (c, l), k in kmax.items())),
-        r_act=min(r_act, REF_SLOTS))
+        r_act=min(r_act, REF_SLOTS), has_bi=has_bi)
 
 
 def pack_frame(plan, cfg: ProgramCfg, fid_slot):
@@ -235,13 +241,14 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
 
 # ----------------------------------------------------------- device pieces
 def _expand_ctb4(a, cfg):
-    """CTB grid -> 4x4-block grid (device)."""
+    """CTB grid -> 4x4-block grid (device): broadcast-repeat + crop (no
+    gather — XLA serializes axis-1 gathers on TPU)."""
     import jax.numpy as jnp
     gh, gw = cfg.H // 4, cfg.W // 4
-    sh = cfg.log2ctb - 2
-    ys = (jnp.arange(gh) >> sh)
-    xs = (jnp.arange(gw) >> sh)
-    return a[ys][:, xs]
+    f = 1 << (cfg.log2ctb - 2)
+    h, w = a.shape
+    return jnp.broadcast_to(a[:, None, :, None], (h, f, w, f)) \
+        .reshape(h * f, w * f)[:gh, :gw]
 
 
 def _expand_mask(m, f, H, W):
@@ -322,7 +329,8 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
         wts = jnp.zeros((N, 3, 5), jnp.int32)
         ex = jnp.zeros((N,), bool)
 
-    mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd)
+    mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
+                        bi=cfg.has_bi)
 
     inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
@@ -377,3 +385,25 @@ def get_program(cfg: ProgramCfg):
             return decode_frame_device(dy, dcb, dcr, t, out_slot, cfg)
         _PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2))
     return _PROGRAMS[cfg]
+
+
+_STREAM_PROGRAMS = {}
+
+
+def get_stream_program(cfg: ProgramCfg):
+    """Jitted multi-frame program: lax.scan of the frame body over stacked
+    plan tensors — ONE dispatch decodes a whole run of frames, with the DPB
+    stacks as the donated scan carry. This is the deployment shape: the
+    host uploads a batch of packed plans and the chip streams through them
+    with no per-frame dispatch/queueing overhead (the per-frame program
+    pays the tunnel round-trip 8x more often).
+    ts: dict of arrays stacked on a leading frame axis; out_slots: (F,)."""
+    if cfg not in _STREAM_PROGRAMS:
+        def fn(dy, dcb, dcr, ts, out_slots):
+            def step(carry, xs):
+                t, slot = xs
+                return decode_frame_device(*carry, t, slot, cfg), 0
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr), (ts, out_slots))
+            return carry
+        _STREAM_PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2))
+    return _STREAM_PROGRAMS[cfg]

@@ -83,6 +83,17 @@ def _expand_edge_ctb(arr_ctb, si_luma_y, e_luma_x, log2ctb):
     return arr_ctb[cy][:, cx]
 
 
+def _expand_edge_ctb_fast(arr_ctb, n_s, n_e, log2ctb, edge_px):
+    """xoff==0 fast path of _expand_edge_ctb: the edge/sample coordinates
+    are uniform strides, so the CTB lookup is a broadcast-repeat + crop
+    (no gather — XLA serializes axis-1 gathers on TPU). Row r covers luma
+    y=4r; edge e covers luma x=edge_px*(e+1)."""
+    ry = (1 << log2ctb) // 4
+    rx = (1 << log2ctb) // edge_px
+    rows = jnp.repeat(arr_ctb, ry, axis=0)[:n_s]
+    return jnp.repeat(rows, rx, axis=1)[:, 1:1 + n_e]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def plan_deblock_device(grids, cfg, xoff=0):
     """grids: dict of device arrays (see module docstring).
@@ -126,37 +137,49 @@ def plan_deblock_device(grids, cfg, xoff=0):
         # extents from the (possibly strip-local) grid itself
         We = pm_.shape[1] * 4
         n_e = We // 8 - 1
-        gq = 2 * (jnp.arange(n_e, dtype=jnp.int32) + 1)      # q-block col
-        si = jnp.arange(pm_.shape[0], dtype=jnp.int32)
-        # global coordinates for CTB-level lookups (xoff: strip origin)
-        e_x = gq * 4 + (xoff if vertical else 0)
-        s_y = si * 4 + (0 if vertical else xoff)
+        n_s = pm_.shape[0]
+        fast = isinstance(xoff, int) and xoff == 0
+        # q/p-side columns are uniform stride-2 4x4-grid slices: use
+        # strided slicing, not integer-array indexing (gather)
+        def atq(a):
+            return a[:, 2:2 + 2 * n_e:2]
 
-        def at(a, g):
-            return a[:, g]
-        edge_exists = (at(edge_, gq) & bit) != 0
+        def atp(a):
+            return a[:, 1:1 + 2 * n_e:2]
+        if fast:
+            allow_e = _expand_edge_ctb_fast(allow, n_s, n_e, log2ctb, 8) != 0
+            se = _expand_edge_ctb_fast(sidx_, n_s, n_e, log2ctb, 8)
+            is_ctb = ((jnp.arange(n_e) + 1) * 8
+                      & ((1 << log2ctb) - 1)) == 0
+        else:
+            gq = 2 * (jnp.arange(n_e, dtype=jnp.int32) + 1)  # q-block col
+            si = jnp.arange(n_s, dtype=jnp.int32)
+            # global coordinates for CTB-level lookups (xoff: strip origin)
+            e_x = gq * 4 + (xoff if vertical else 0)
+            s_y = si * 4 + (0 if vertical else xoff)
+            is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
+            allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
+            se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
         # CTB-boundary permission (tiles/slices); interior edges always ok
-        is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
-        allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
         allowed = jnp.where(is_ctb[None, :], allow_e, True)
         # q-side slice header params
-        se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
         disabled = dis_tab[se] != 0
         beta_off = beta_tab[se]
         tc_off = tc_tab[se]
 
-        pm_q, pm_p = at(pm_, gq), at(pm_, gq - 1)
+        edge_exists = (atq(edge_) & bit) != 0
+        pm_q, pm_p = atq(pm_), atp(pm_)
         intra2 = (pm_q == 1) | (pm_p == 1)
-        tu_edge = (at(tucb_, gq) & bit) != 0
-        b1 = tu_edge & ((at(cbf_, gq) > 0) | (at(cbf_, gq - 1) > 0))
-        mvbs = _bs_motion(pf_[:, gq - 1], mv_[:, gq - 1], poc_[:, gq - 1],
-                          pf_[:, gq], mv_[:, gq], poc_[:, gq])
+        tu_edge = (atq(tucb_) & bit) != 0
+        b1 = tu_edge & ((atq(cbf_) > 0) | (atp(cbf_) > 0))
+        mvbs = _bs_motion(atp(pf_), atp(mv_), atp(poc_),
+                          atq(pf_), atq(mv_), atq(poc_))
         bs = jnp.where(intra2, 2, jnp.where(b1, 1, mvbs))
         valid = edge_exists & allowed & ~disabled
         bs = jnp.where(valid, bs, 0)
-        qp_avg = (at(qp_, gq - 1) + at(qp_, gq) + 1) >> 1
-        p_off = at(off_, gq - 1) != 0
-        q_off = at(off_, gq) != 0
+        qp_avg = (atp(qp_) + atq(qp_) + 1) >> 1
+        p_off = atp(off_) != 0
+        q_off = atq(off_) != 0
         return (bs, qp_avg, beta_off, tc_off, p_off, q_off)
 
     lm = (luma_dir(True), luma_dir(False))
@@ -175,20 +198,34 @@ def plan_deblock_device(grids, cfg, xoff=0):
                                  jnp.swapaxes(sidx, 0, 1), 2)
         We = pm_.shape[1] * 4
         n_e = We // 16 - (1 if We % 16 == 0 else 0)
-        gq = 4 * (jnp.arange(n_e, dtype=jnp.int32) + 1)
-        si = jnp.arange(pm_.shape[0], dtype=jnp.int32)
-        e_x = gq * 4 + (xoff if vertical else 0)
-        s_y = si * 4 + (0 if vertical else xoff)
-        edge_exists = (tucb_[:, gq] & bit) != 0
-        is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
-        allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
+        n_s = pm_.shape[0]
+        fast = isinstance(xoff, int) and xoff == 0
+
+        def atq(a):
+            return a[:, 4:4 + 4 * n_e:4]
+
+        def atp(a):
+            return a[:, 3:3 + 4 * n_e:4]
+        if fast:
+            allow_e = _expand_edge_ctb_fast(allow, n_s, n_e, log2ctb, 16) != 0
+            se = _expand_edge_ctb_fast(sidx_, n_s, n_e, log2ctb, 16)
+            is_ctb = ((jnp.arange(n_e) + 1) * 16
+                      & ((1 << log2ctb) - 1)) == 0
+        else:
+            gq = 4 * (jnp.arange(n_e, dtype=jnp.int32) + 1)
+            si = jnp.arange(n_s, dtype=jnp.int32)
+            e_x = gq * 4 + (xoff if vertical else 0)
+            s_y = si * 4 + (0 if vertical else xoff)
+            is_ctb = (e_x & ((1 << log2ctb) - 1)) == 0
+            allow_e = _expand_edge_ctb(allow, s_y, e_x, log2ctb) != 0
+            se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
+        edge_exists = (atq(tucb_) & bit) != 0
         allowed = jnp.where(is_ctb[None, :], allow_e, True)
-        se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
         disabled = dis_tab[se] != 0
         tc_off = tc_tab[se]
-        intra2 = (pm_[:, gq] == 1) | (pm_[:, gq - 1] == 1)
+        intra2 = (atq(pm_) == 1) | (atp(pm_) == 1)
         valid = edge_exists & allowed & ~disabled & intra2
-        qp_avg = (qp_[:, gq - 1] + qp_[:, gq] + 1) >> 1
+        qp_avg = (atp(qp_) + atq(qp_) + 1) >> 1
         acts, tcs = [], []
         for qoff in (cb_qpoff, cr_qpoff):
             qpi = jnp.clip(qp_avg + qoff, 0, 57)
@@ -204,8 +241,8 @@ def plan_deblock_device(grids, cfg, xoff=0):
             tcv = jnp.asarray(TC_ARR)[Qt] << (bd_c - 8)
             acts.append(valid & (tcv > 0))
             tcs.append(jnp.where(valid, tcv, 0))
-        p_off = off_[:, gq - 1] != 0
-        q_off = off_[:, gq] != 0
+        p_off = atp(off_) != 0
+        q_off = atq(off_) != 0
         return (jnp.stack(acts), jnp.stack(tcs), p_off, q_off)
 
     cm = (chroma_dir(True), chroma_dir(False))
@@ -242,11 +279,20 @@ def plan_sao_device(grids, cfg, cidx, xoff=0):
     nctby, nctbx = t.shape
     # global plane-unit coordinates of each strip sample
     gx_plane = jnp.arange(Ws) + xoff // sub
-    ys_c = jnp.clip(jnp.arange(Hs) // ctbv, 0, nctby - 1)
-    xs_c = jnp.clip(gx_plane // ctb, 0, nctbx - 1)
+    fast = isinstance(xoff, int) and xoff == 0
+    if fast:
+        # uniform CTB->sample expansion: broadcast-repeat + crop instead of
+        # per-column gathers (XLA serializes axis-1 gathers on TPU)
+        def expand(a):
+            return jnp.broadcast_to(
+                a[:, None, :, None], (nctby, ctbv, nctbx, ctb)) \
+                .reshape(nctby * ctbv, nctbx * ctb)[:Hs, :Ws]
+    else:
+        ys_c = jnp.clip(jnp.arange(Hs) // ctbv, 0, nctby - 1)
+        xs_c = jnp.clip(gx_plane // ctb, 0, nctbx - 1)
 
-    def expand(a):
-        return a[ys_c][:, xs_c]
+        def expand(a):
+            return a[ys_c][:, xs_c]
 
     type_map = expand(t)
     eo_map = expand(eo)
@@ -254,9 +300,16 @@ def plan_sao_device(grids, cfg, cidx, xoff=0):
     off_maps = jnp.stack([expand(offs[:, :, k]) for k in range(4)], axis=0)
 
     # per-sample skip (pcm/tq-bypass) from the (strip-local) 4x4 grid
-    gy = (jnp.arange(Hs) * subv) >> 2
-    gx = (jnp.arange(Ws) * sub) >> 2
-    skip = grids["off"][gy][:, gx] != 0
+    if fast:
+        og = grids["off"]
+        fy, fx = 4 // subv, 4 // sub
+        oh, ow = og.shape
+        skip = jnp.broadcast_to(og[:, None, :, None], (oh, fy, ow, fx)) \
+            .reshape(oh * fy, ow * fx)[:Hs, :Ws] != 0
+    else:
+        gy = (jnp.arange(Hs) * subv) >> 2
+        gx = (jnp.arange(Ws) * sub) >> 2
+        skip = grids["off"][gy][:, gx] != 0
 
     # neighbor availability: expand CTB-pair-ok to boundary samples
     pair_ok = grids["pair_ok"]                  # (4, nctby, nctbx) bool

@@ -1,5 +1,12 @@
 """Batched inter prediction (MC) on TPU — bit-exact (spec 8.5.3.3).
 
+MC path hierarchy (consolidated round 2): mc_tile_jax.py is the
+PRODUCTION path (tile-table gather + folded-phase taps, used by the fused
+frame program); inter_dense_jax.py is its dense per-4x4 oracle and the
+hybrid device path's MC; THIS module supplies the shared tap tables and
+the per-(w,h)-bucket kernels kept for the acceleration_speed differential
+harness — it is not on the decode path.
+
 TPU-first design: PUs are bucketed by (w, h); each bucket is one batched
 gather + two separable tap passes. Integer/fractional phases are unified by
 using impulse taps ([...64...]) for integer positions — algebraically

@@ -167,26 +167,29 @@ def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
 
 def _combine(p0, p1, pf, wts, ex, ci, shift, maxv):
     """Uni/bi + default/explicit weighted combine (spec 8.5.3.3.3/4).
-    Lane 0 always carries the single prediction of uni-pred blocks."""
-    has1 = (pf[:, 0] * pf[:, 1])[:, None, None] != 0
+    Lane 0 always carries the single prediction of uni-pred blocks.
+    p1 may be None (stream statically known uni-pred only)."""
     w0 = wts[:, ci, 0][:, None, None]
     o0 = wts[:, ci, 1][:, None, None]
+    l2 = wts[:, ci, 4][:, None, None]
+    uni = jnp.clip((p0 + (1 << (shift - 1))) >> shift, 0, maxv)
+    euni = jnp.clip(((p0 * w0 + (1 << jnp.maximum(l2 - 1, 0)) *
+                      (l2 >= 1)) >> l2) + o0, 0, maxv)
+    if p1 is None:
+        return jnp.where(ex[:, None, None], euni, uni)
+    has1 = (pf[:, 0] * pf[:, 1])[:, None, None] != 0
     w1 = wts[:, ci, 2][:, None, None]
     o1 = wts[:, ci, 3][:, None, None]
-    l2 = wts[:, ci, 4][:, None, None]
     bi = jnp.clip((p0 + p1 + (1 << shift)) >> (shift + 1), 0, maxv)
-    uni = jnp.clip((p0 + (1 << (shift - 1))) >> shift, 0, maxv)
     dflt = jnp.where(has1, bi, uni)
     ebi = jnp.clip((p0 * w0 + p1 * w1 + ((o0 + o1 + 1) << l2)) >> (l2 + 1),
                    0, maxv)
-    euni = jnp.clip(((p0 * w0 + (1 << jnp.maximum(l2 - 1, 0)) *
-                      (l2 >= 1)) >> l2) + o0, 0, maxv)
     expl = jnp.where(has1, ebi, euni)
     return jnp.where(ex[:, None, None], expl, dflt)
 
 
 def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
-                  strip=None, x0=0):
+                  strip=None, x0=0, bi=True):
     """Motion-compensate every 4x4 block of a frame from tile tables.
 
     tables : (table_y, table_cb, table_cr) from build_tables
@@ -223,7 +226,7 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
     y0p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx0, mvy0, s0, H, W,
                           shift1)
     y1p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx1, mvy1, s1, H, W,
-                          shift1)
+                          shift1) if bi else None
     yv = _combine(y0p, y1p, pf, wts, ex, 0, shift, maxv)
     Wo = n_bx * 4
     planes = [yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3)
@@ -232,7 +235,7 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
         c0 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx0, mvy0, s0,
                                Hc, Wc, shift1)
         c1 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx1, mvy1, s1,
-                               Hc, Wc, shift1)
+                               Hc, Wc, shift1) if bi else None
         cv = _combine(c0, c1, pf, wts, ex, ci, shift, maxv)
         planes.append(cv.reshape(n_by, n_bx, 2, 2)
                         .transpose(0, 2, 1, 3).reshape(Hc, Wo // 2))

@@ -85,3 +85,64 @@ def test_fast_path_actually_used():
                    and frame_compatible(p))
     assert n_compat >= len(plans) - 1, \
         f"only {n_compat}/{len(plans)} frames fast-path eligible"
+
+
+def test_stream_scan_program_matches_per_frame():
+    """The lax.scan whole-stream program (get_stream_program) must leave the
+    device DPB in exactly the state the per-frame program produces."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg, pack_frame,
+                                            frame_compatible, get_program,
+                                            get_stream_program)
+    from libde265_tpu.native_frontend import NativeFrontend
+    from libde265_tpu.bitstream.nal import split_annexb
+    from libde265_tpu.bitstream.paramsets import read_sps, read_pps
+    from libde265_tpu.api import decode_stream_native
+
+    with open(os.path.join(DATA, "p_mv.bin"), "rb") as f:
+        data = f.read()
+    spss, ppss = {}, {}
+    for u in split_annexb(data):
+        t = u.header.nal_unit_type
+        if t == 33:
+            s = read_sps(u.data)
+            spss[s.seq_parameter_set_id] = s
+        elif t == 34:
+            ppss[read_pps(u.data, spss).pic_parameter_set_id] = \
+                read_pps(u.data, spss)
+    plans = NativeFrontend().parse(data, spss, ppss)
+    cfg = stream_cfg(plans, plans[0].sps)
+    pframes = [p for p in plans if p.nal_type != -1 and frame_compatible(p)]
+    assert pframes, "test stream must have fused-path frames"
+    fid_slot = {plans[0].frame_id: 0}
+    for i, p in enumerate(pframes):
+        fid_slot[p.frame_id] = 1 + i % (REF_SLOTS - 1)
+    packed = [pack_frame(p, cfg, fid_slot) for p in pframes]
+
+    # bootstrap the IDR from the decoder itself
+    pics = decode_stream_native(data)
+    H, W = cfg.H, cfg.W
+    f0 = [np.asarray(p, np.int16) for p in pics[0].planes]
+    def fresh():
+        dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16).at[0].set(f0[0])
+        dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(f0[1])
+        dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(f0[2])
+        return dy, dcb, dcr
+
+    prog = get_program(cfg)
+    dy, dcb, dcr = fresh()
+    for p, t in zip(pframes, packed):
+        td = {k: jnp.asarray(v) for k, v in t.items()}
+        dy, dcb, dcr = prog(dy, dcb, dcr, td, np.int32(fid_slot[p.frame_id]))
+    ref_state = [np.asarray(x) for x in (dy, dcb, dcr)]
+
+    sprog = get_stream_program(cfg)
+    stacked = {k: jnp.asarray(np.stack([t[k] for t in packed]))
+               for k in packed[0]}
+    slots = jnp.asarray([fid_slot[p.frame_id] for p in pframes],
+                        dtype=jnp.int32)
+    dy, dcb, dcr = sprog(*fresh(), stacked, slots)
+    for a, b in zip(ref_state, (dy, dcb, dcr)):
+        assert (a == np.asarray(b)).all()

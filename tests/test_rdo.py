@@ -124,3 +124,48 @@ def test_estimator_constant_variant():
     for b in (1, 0, 1, 1):
         a.encode_bin(ctx2, b)
     assert ctx2 != [10, 1]             # adapting variant does move
+
+
+def test_config_parameter_registry(tmp_path):
+    """Typed option registry (utils/configparam.py — counterpart of
+    configparam.h:47-110 + en265 string-keyed params): validation,
+    string-keyed set/get, argparse projection, and the enc265 CLI."""
+    import argparse
+    from libde265_tpu.utils.configparam import encoder_parameters
+    from libde265_tpu.encoder import EncoderConfig
+    cp = encoder_parameters()
+    cfg = EncoderConfig(width=64, height=64)
+    cp.set_value(cfg, "qp", "33")
+    assert cfg.qp == 33
+    cp.set_value(cfg, "rdo", "true")
+    assert cfg.rdo is True
+    with pytest.raises(ValueError):
+        cp.set_value(cfg, "qp", 99)
+    with pytest.raises(ValueError):
+        cp.set_value(cfg, "inter-mode", "bogus")
+    assert "num-refs" in cp.param_names()
+    ap = argparse.ArgumentParser(add_help=False)
+    cp.add_to_argparser(ap)
+    args = ap.parse_args(["--qp", "41", "--sao", "--num-refs", "2"])
+    cfg2 = EncoderConfig(width=64, height=64)
+    cp.apply_args(cfg2, args)
+    assert (cfg2.qp, cfg2.sao, cfg2.num_ref_l0) == (41, True, 2)
+    assert cfg2.b_frames is False          # unset options untouched
+
+    # enc265 CLI end-to-end with auto-generated flags
+    import subprocess, sys as _sys
+    yuv = tmp_path / "in.yuv"
+    frames = make_frames(2, 64, 64)
+    with open(yuv, "wb") as f:
+        for y, u, v in frames:
+            f.write(y.tobytes()); f.write(u.tobytes()); f.write(v.tobytes())
+    out = tmp_path / "out.bin"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run([_sys.executable, os.path.join(repo, "tools", "enc265.py"),
+                        "-i", str(yuv), "-o", str(out), "-w", "64", "-h", "64",
+                        "--qp", "30", "--sao", "--hash-sei"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    from libde265_tpu.api import decode_stream
+    pics = decode_stream(out.read_bytes())
+    assert len(pics) == 2

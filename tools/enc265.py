@@ -20,18 +20,15 @@ def main():
     ap.add_argument("-w", "--width", type=int, required=True)
     ap.add_argument("-h", "--height", type=int, required=True)
     ap.add_argument("-f", "--frames", type=int, default=0)
-    ap.add_argument("-q", "--qp", type=int, default=27)
     ap.add_argument("--sop-structure", choices=["intra", "low-delay"],
                     default="low-delay")
-    ap.add_argument("--inter-mode", choices=["skip", "mv", "mixed"],
-                    default="mixed")
     ap.add_argument("--cu-size", type=int, choices=[8, 16, 32], default=16)
-    ap.add_argument("--sao", action="store_true")
     ap.add_argument("--deblock", action="store_true")
-    ap.add_argument("--hash-sei", action="store_true")
-    ap.add_argument("--num-refs", type=int, default=1)
-    ap.add_argument("--fps", type=float, default=0.0,
-                    help="write VUI timing info with this frame rate")
+    # every registered encoder option becomes a CLI flag automatically
+    # (counterpart of configparam.h auto-getopt / en265 -p options)
+    from libde265_tpu.utils.configparam import encoder_parameters
+    params = encoder_parameters()
+    params.add_to_argparser(ap)
     args = ap.parse_args()
 
     from libde265_tpu.encoder import Encoder, EncoderConfig
@@ -51,13 +48,12 @@ def main():
             np.frombuffer(raw[b + w * h + (w // 2) * (h // 2):b + fsz],
                           np.uint8).reshape(h // 2, w // 2)])
     cfg = EncoderConfig(
-        width=w, height=h, qp=args.qp,
+        width=w, height=h,
         intra_period=1 if args.sop_structure == "intra" else 0,
-        inter_mode=args.inter_mode, inter_residual=True,
+        inter_residual=True,
         cu_log2={8: 3, 16: 4, 32: 5}[args.cu_size],
-        sao=args.sao, disable_deblocking=not args.deblock,
-        write_hash_sei=args.hash_sei, num_ref_l0=args.num_refs,
-        fps=args.fps)
+        disable_deblocking=not args.deblock)
+    params.apply_args(cfg, args)        # user-set registry options win
     enc = Encoder(cfg)
     stream = enc.encode(frames)
     open(args.output, "wb").write(stream)

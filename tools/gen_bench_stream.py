@@ -54,34 +54,60 @@ def make_frames(n, w, h, seed=11):
     return frames
 
 
+def make_frames_light(n, w, h, seed=12):
+    """Realistic-bitrate 4K content: the same structure as make_frames but
+    without per-pixel noise — encodes near real-broadcast rates (~20-40
+    Mbps at qp 37) instead of the ~150 Mbps stress content, matching the
+    bitrate class of the reference's published 4K numbers
+    (/root/reference/README.md:40, Tears of Steel)."""
+    gy, gx = np.mgrid[0:h, 0:w]
+    base = np.clip(90 + 70 * np.sin(gx / 37.0) * np.cos(gy / 29.0)
+                   + 25 * np.sin((gx + 2 * gy) / 111.0), 0, 255) \
+        .astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = np.roll(base, (t * 3, t * 5), (0, 1)).copy()
+        bx, by = (31 * t) % (w - 256), (17 * t) % (h - 256)
+        y[by:by + 256, bx:bx + 256] = 210
+        u = np.clip(128 + 50 * np.sin(np.mgrid[0:h//2, 0:w//2][1] / 41.0
+                                      + t * .4), 0, 255).astype(np.uint8)
+        v = np.clip(128 + 50 * np.cos(np.mgrid[0:h//2, 0:w//2][0] / 33.0
+                                      - t * .2), 0, 255).astype(np.uint8)
+        frames.append([y, u, v])
+    return frames
+
+
 def main():
     nf = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    light = "--light" in sys.argv
     w, h = 3840, 2160
-    cfg = EncoderConfig(width=w, height=h, qp=34, inter_mode="mv",
+    cfg = EncoderConfig(width=w, height=h, qp=37 if light else 34,
+                        inter_mode="mv",
                         inter_residual=True, log2_ctb=6, cu_log2=4,
                         num_ref_l0=2, temporal_mvp=True,
                         disable_deblocking=False, sao=True)
     enc = Encoder(cfg)
-    frames = make_frames(nf, w, h)
+    frames = (make_frames_light if light else make_frames)(nf, w, h)
     t0 = time.time()
     stream = enc.encode(frames)
     print(f"encoded {nf} frames in {time.time()-t0:.0f}s, "
           f"{len(stream)} bytes", flush=True)
-    bit = os.path.join(DATA, "ld4k.bin")
+    name = "ld4k_light" if light else "ld4k"
+    bit = os.path.join(DATA, name + ".bin")
     open(bit, "wb").write(stream)
-    gold = os.path.join(DATA, "ld4k_gold.yuv")
+    gold = os.path.join(DATA, name + "_gold.yuv")
     r = subprocess.run([DEC, "-q", "-o", gold, bit], capture_output=True,
                        text=True, timeout=1800)
     assert r.returncode == 0, r.stderr
     path = os.path.join(DATA, "manifest_big.json")
     manifest = json.load(open(path)) if os.path.exists(path) else {}
-    manifest["ld4k"] = {"w": w, "h": h, "frames": nf,
+    manifest[name] = {"w": w, "h": h, "frames": nf,
                         "md5": plane_md5s(gold, w, h, nf, 1),
                         "bit_depth": 8, "size_bytes": len(stream)}
     os.remove(gold)
     with open(path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    print("ld4k done", flush=True)
+    print(name + " done", flush=True)
 
 
 if __name__ == "__main__":
