@@ -76,6 +76,7 @@ class EncoderConfig:
     mixed_filter_slices: bool = False  # per-slice deblock/SAO flag variation
     rdo: bool = False                 # RD-optimized mode decision (rdo.py)
     rdo_search_range: int = 8         # integer-pel motion search range
+    bitrate_kbps: float = 0.0         # >0: rate control (ratectrl.py)
 
     @property
     def maxval(self):
@@ -86,9 +87,14 @@ class EncoderConfig:
         import numpy as _np
         return _np.uint8 if self.bit_depth == 8 else _np.uint16
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
-    inter_mode: str = "skip"          # skip | mv | mixed
+    inter_mode: str = "skip"          # skip | mv | mixed | gmv
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
                           (13, 21), (-2, -2))
+    global_mv: tuple = (0, 0)         # qpel MV for inter_mode="gmv": every
+                                      # CU codes this true motion (mvd =
+                                      # gmv - AMVP predictor), residual
+                                      # only where prediction misses —
+                                      # realistic pan-shot stream shape
     inter_residual: bool = False
 
     @property
@@ -132,6 +138,9 @@ class _CUEmitter:
                 mode = ("skip", "mv", "intra", "mv_res")[idx % 4]
             elif mode == "mv" and enc.cfg.inter_residual:
                 mode = "mv_res"
+            if mode == "gmv":
+                enc._emit_gmv_cu(sw, x0, y0, log2_size, depth, idx)
+                return
             if mode == "intra":
                 sw.write_skip_flag(x0, y0, False)
                 sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
@@ -157,6 +166,12 @@ class Encoder:
         self.pps = read_pps(unescape_rbsp(self.pps_nal)[0], {0: self.sps})
         self.dpb = DPB()
         self._basis_cache = {}
+        self.cur_qp = cfg.qp           # per-frame QP (rate control)
+        self.rc = None
+        if getattr(cfg, "bitrate_kbps", 0):
+            from .ratectrl import RateController
+            self.rc = RateController(cfg.bitrate_kbps, cfg.fps or 25.0,
+                                     cfg.qp, cfg.intra_period)
 
     # ------------------------------------------------------------ stream
     def encode(self, frames: List[list]) -> bytes:
@@ -167,7 +182,12 @@ class Encoder:
         for i, planes in enumerate(frames):
             intra = (i == 0) or (self.cfg.intra_period and
                                  i % self.cfg.intra_period == 0)
+            if self.rc is not None:
+                self.cur_qp = self.rc.qp_for_frame(intra)
+            n0 = len(out)
             out += self._encode_frame(planes, i, intra)
+            if self.rc is not None:
+                self.rc.update((len(out) - n0) * 8, intra)
             if self.cfg.write_hash_sei:
                 from ..bitstream.sei import write_picture_hash_sei
                 out += b"\x00\x00\x00\x01" + write_picture_hash_sei(
@@ -215,7 +235,7 @@ class Encoder:
         from ..bitstream.sliceheader import SliceHeader
         sh = SliceHeader()
         sh.slice_type = slice_type
-        sh.SliceQPY = cfg.qp
+        sh.SliceQPY = self.cur_qp
         sh.initType = 0 if intra else (2 if cfg.b_frames else 1)
         sh.slice_segment_address = 0
         sh.SliceAddrRS = 0
@@ -355,6 +375,7 @@ class Encoder:
             entry_points = [len(b) for b in stuffed[:-1]]
             prev_ctx = sw.snapshot_ctx()
             hw2 = write_slice_header(cfg, nal_type, slice_type, poc_out,
+                                     qp_delta=self.cur_qp - cfg.qp,
                                      first_ctb=seg_addr,
                                      num_neg_refs=n_refs or 1,
                                      num_active=(n_total if not intra and n_total
@@ -486,9 +507,9 @@ class Encoder:
         from ..bitstream.ctu import chroma_qp_from_luma
         bd_off = 6 * (self.cfg.bit_depth - 8)
         if cidx == 0:
-            return self.cfg.qp + bd_off
+            return self.cur_qp + bd_off
         off = self.cfg.cb_qp_offset if cidx == 1 else self.cfg.cr_qp_offset
-        qpi = max(-bd_off, min(57, self.cfg.qp + off))
+        qpi = max(-bd_off, min(57, self.cur_qp + off))
         return chroma_qp_from_luma(qpi, self.sps.ChromaArrayType) + bd_off
 
     # basis-projection quantization ------------------------------------
@@ -666,6 +687,19 @@ class Encoder:
             for ci in (1, 2):
                 self.recon[ci][y0 >> 1:(y0 + size) >> 1,
                                x0 >> 1:(x0 + size) >> 1] = pred[ci].astype(dt)
+
+    def _emit_gmv_cu(self, sw, x0, y0, log2_size, depth, idx):
+        """True-motion CU: MV = cfg.global_mv exactly (mvd compensates the
+        AMVP predictor); residual coded only where prediction misses.
+        Produces realistically sparse streams (pan-shot class)."""
+        from types import SimpleNamespace
+        gmv = self.cfg.global_mv
+        size = 1 << log2_size
+        pred = self.motion._amvp_predictors(sw, x0, y0, size, size, 0, 0)[0]
+        dec = SimpleNamespace(inter_dir=0, ref_idx=0,
+                              mvd=(gmv[0] - pred[0], gmv[1] - pred[1]))
+        self._emit_mv_cu(sw, x0, y0, log2_size, depth, idx,
+                         with_residual=True, dec=dec)
 
     def _recon_inter_pu(self, pu, write=True):
         """MC with the decoder's exact ops; returns [Y,Cb,Cr] predictions."""

@@ -180,7 +180,8 @@ def write_pps(cfg):
 def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                        num_neg_refs=1, num_active=None, entry_points=None,
                        dependent=False, tid=0, ref_deltas=None,
-                       lt_pocs=None, sao_flags=None, deblock_disabled=None):
+                       lt_pocs=None, sao_flags=None, deblock_disabled=None,
+                       qp_delta=0):
     kwargs_dependent = [dependent]
     kwargs_lt = [lt_pocs or []]
     """Returns the BitWriter (caller appends CABAC data after alignment).
@@ -259,7 +260,7 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
             write_pred_weight_table(w, cfg,
                 num_active if num_active is not None else cfg.num_ref_l0)
         w.put_uvlc(5 - cfg.max_merge_cand)
-    w.put_svlc(0)     # slice_qp_delta
+    w.put_svlc(qp_delta)     # slice_qp_delta (rate control / per-frame QP)
     dbd = cfg.disable_deblocking
     if getattr(cfg, 'mixed_filter_slices', False) and deblock_disabled is not None:
         # deblocking_filter_override_enabled=1: per-slice override

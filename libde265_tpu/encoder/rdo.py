@@ -104,7 +104,7 @@ class RDOEmitter:
         cfg = enc.cfg
         assert not cfg.pcm and not cfg.tq_bypass and not cfg.cu_qp_delta, \
             "RDO v1 does not search PCM/tq-bypass/per-CU QP"
-        self.lmbda = rd_lambda(cfg.qp, slice_type)
+        self.lmbda = rd_lambda(enc.cur_qp, slice_type)
         self.lmbda_mv = self.lmbda ** 0.5
         self.max_leaf_log2 = min(enc.sps.Log2CtbSizeY, enc.sps.Log2MaxTrafoSize)
         self.search_range = getattr(cfg, "rdo_search_range", 8)

@@ -40,10 +40,18 @@ class ProgramCfg:
     use_pallas: bool
     n_slice_rows: int                 # S+1 (incl. sentinel)
     buckets: tuple                    # ((cidx, log2, K), ...)
+    escapes: tuple = ()               # per-bucket escape capacity E: coeffs
+                                      # upload as int8 + (idx,val) escape
+                                      # lists for |v|>127 (cuts the upload
+                                      # bytes ~2x; link is the e2e limit)
     r_act: int = REF_SLOTS            # MC tile tables built for this many
                                       # referenced slots (pow2 bucket)
     has_bi: bool = True               # any bi-predicted PU in the stream?
                                       # False skips the whole lane-1 MC path
+    pu_grid8: bool = False            # every inter PU is >=8x8 and
+                                      # 8-aligned: motion grids upload at
+                                      # 8x8 granularity (4x fewer bytes)
+                                      # and expand on device
 
     @property
     def fcfg(self):
@@ -61,6 +69,16 @@ def _ceil_pow2(n):
     while p < n:
         p <<= 1
     return p
+
+
+def _ceil_sched(n):
+    """Round a bucket capacity up at 1/8-power-of-two granularity: caps
+    the number of distinct compiled shapes while wasting <=12.5% upload
+    (the dense coeff buckets dominate the per-frame host->device bytes)."""
+    if n <= 64:
+        return 64
+    step = 1 << max(3, n.bit_length() - 3)
+    return -(-n // step) * step
 
 
 # ------------------------------------------------------- host plan packing
@@ -89,6 +107,7 @@ def stream_cfg(plans, sps, use_pallas=False):
     smax = 1
     has_w = False
     has_bi = False
+    grid8 = True
     r_act = 1
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
@@ -97,6 +116,10 @@ def stream_cfg(plans, sps, use_pallas=False):
         if pu_meta.shape[0]:
             has_bi = has_bi or bool(
                 ((pu_meta[:, 4] > 0) & (pu_meta[:, 5] > 0)).any())
+            if not ((pu_meta[:, 2] >= 8) & (pu_meta[:, 3] >= 8) &
+                    (pu_meta[:, 0] % 8 == 0) &
+                    (pu_meta[:, 1] % 8 == 0)).all():
+                grid8 = False
         fids = set()
         for l in range(2):
             if pu_meta.shape[0]:
@@ -105,19 +128,27 @@ def stream_cfg(plans, sps, use_pallas=False):
         while r_act < max(1, len(fids)):
             r_act <<= 1
         tu_meta = plan._tu_arrays[0]
+        coeff_pool = plan._tu_arrays[1]
         if tu_meta.shape[0]:
             sel = (tu_meta[:, 9] >= 0) & (tu_meta[:, 8] == MODE_INTER)
             for cidx in range(3):
                 m = sel & (tu_meta[:, 0] == cidx)
                 for log2 in (2, 3, 4, 5):
-                    k = int((m & (tu_meta[:, 3] == log2)).sum())
+                    mm = m & (tu_meta[:, 3] == log2)
+                    k = int(mm.sum())
                     if k:
                         key = (cidx, log2)
-                        kmax[key] = max(kmax.get(key, 0), k)
+                        kmax.setdefault(key, [0, 0])
+                        kmax[key][0] = max(kmax[key][0], k)
+                        n2 = 1 << (2 * log2)
+                        gi = tu_meta[mm, 9][:, None] + np.arange(n2)[None, :]
+                        ne = int((np.abs(coeff_pool[gi]) > 127).sum())
+                        kmax[key][1] = max(kmax[key][1], ne)
         smax = max(smax, len(plan.slice_headers))
         has_w = has_w or any(s.pred_weight is not None
                              for s in plan.slice_headers)
     pps = plans[0].pps if plans else None
+    order = sorted(kmax.items())
     return ProgramCfg(
         H=sps.pic_height_in_luma_samples, W=sps.pic_width_in_luma_samples,
         bitdepth=sps.BitDepthY, log2ctb=sps.Log2CtbSizeY,
@@ -128,9 +159,10 @@ def stream_cfg(plans, sps, use_pallas=False):
         sao_enabled=bool(sps.sample_adaptive_offset_enabled_flag),
         has_weights=has_w, use_pallas=use_pallas,
         n_slice_rows=_ceil_pow2(smax + 1),
-        buckets=tuple(sorted((c, l, _ceil_pow2(k))
-                             for (c, l), k in kmax.items())),
-        r_act=min(r_act, REF_SLOTS), has_bi=has_bi)
+        buckets=tuple((c, l, _ceil_sched(ke[0])) for (c, l), ke in order),
+        escapes=tuple(_ceil_sched(ke[1]) if ke[1] else 0
+                      for (c, l), ke in order),
+        r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8)
 
 
 def pack_frame(plan, cfg: ProgramCfg, fid_slot):
@@ -180,6 +212,11 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
     t["rl_slot"] = rl_slot
     t["rl_poc"] = rl_poc
     t["ref_idx"] = np.clip(plan.ref_idx, 0, 15).astype(np.int8)
+    if cfg.pu_grid8:
+        # motion fields are constant within 8x8: upload the subsampled
+        # grids, device expands (the 4 grids are ~30% of the upload)
+        for k in ("mv", "poc", "pf", "ref_idx"):
+            t[k] = np.ascontiguousarray(t[k][::2, ::2])
 
     # weights
     if cfg.has_weights:
@@ -211,8 +248,9 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
     tu_meta, coeff_pool, _ = plan._tu_arrays
     sel = (tu_meta[:, 9] >= 0) & (tu_meta[:, 8] == MODE_INTER) \
         if tu_meta.shape[0] else np.zeros(0, bool)
-    for cidx, log2, K in cfg.buckets:
+    for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
         n = 1 << log2
+        E = cfg.escapes[bi_] if cfg.escapes else 0
         if tu_meta.shape[0]:
             m = sel & (tu_meta[:, 0] == cidx) & (tu_meta[:, 3] == log2)
             rows = tu_meta[m]
@@ -224,6 +262,22 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
         if k:
             gi = rows[:, 9][:, None] + np.arange(n * n)[None, :]
             coeffs[:k] = coeff_pool[gi].reshape(k, n, n)
+        # int8 body (+ escape (idx, val) list for |v| > 127 when the
+        # stream has any): halves the dominant upload tensor
+        c8 = np.clip(coeffs, -128, 127).astype(np.int8)
+        t[f"rc_{cidx}_{log2}"] = c8
+        if E:
+            flat = coeffs.reshape(-1)
+            eidx = np.flatnonzero(flat != c8.reshape(-1))
+            assert eidx.size <= E, (cidx, log2, eidx.size, E)
+            ridx = np.full(E, K * n * n, np.int32)    # dump element
+            rval = np.zeros(E, np.int16)
+            ridx[:eidx.size] = eidx
+            rval[:eidx.size] = flat[eidx]
+            t[f"re_i_{cidx}_{log2}"] = ridx
+            t[f"re_v_{cidx}_{log2}"] = rval
+        else:
+            assert (coeffs == c8).all(), "escape capacity 0 but |v|>127"
         qp = np.zeros(K, np.int32)
         qp[:k] = rows[:, 5]
         sub = 1 if cidx == 0 else 2
@@ -233,7 +287,6 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
         if k:
             slots[:k] = (rows[:, 2] >> log2) * (Wp_ >> log2) + \
                 (rows[:, 1] >> log2)
-        t[f"rc_{cidx}_{log2}"] = coeffs
         t[f"rq_{cidx}_{log2}"] = qp
         t[f"rs_{cidx}_{log2}"] = slots
     return t
@@ -249,6 +302,13 @@ def _expand_ctb4(a, cfg):
     h, w = a.shape
     return jnp.broadcast_to(a[:, None, :, None], (h, f, w, f)) \
         .reshape(h * f, w * f)[:gh, :gw]
+
+
+def _expand_grid2(a, gh, gw):
+    """8x8-granular grid -> 4x4 grid: uniform 2x repeat on both leading
+    axes (broadcast-lowered, no gather); trailing dims untouched."""
+    import jax.numpy as jnp
+    return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)[:gh, :gw]
 
 
 def _expand_mask(m, f, H, W):
@@ -291,6 +351,11 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
     maxv = (1 << bd) - 1
     gh, gw = H // 4, W // 4
     N = gh * gw
+
+    if cfg.pu_grid8:
+        t = dict(t)
+        for k in ("mv", "poc", "pf", "ref_idx"):
+            t[k] = _expand_grid2(t[k], gh, gw)
 
     sel = t["sel_slots"]
     tables = build_tables(dy[sel], dcb[sel], dcr[sel],
@@ -339,9 +404,17 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
 
     # ---- residuals
     planes = [Y, Cb, Cr]
-    for cidx, log2, K in cfg.buckets:
-        res = residual_batch(t[f"rc_{cidx}_{log2}"].astype(jnp.int32),
-                             t[f"rq_{cidx}_{log2}"], log2, False, bd)
+    for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
+        n = 1 << log2
+        E = cfg.escapes[bi_] if cfg.escapes else 0
+        c = t[f"rc_{cidx}_{log2}"].astype(jnp.int32)
+        if E:      # re-apply int16 escape values over the int8 body
+            flat = jnp.concatenate(
+                [c.reshape(K * n * n), jnp.zeros(1, jnp.int32)])
+            flat = flat.at[t[f"re_i_{cidx}_{log2}"]].set(
+                t[f"re_v_{cidx}_{log2}"].astype(jnp.int32))
+            c = flat[:K * n * n].reshape(K, n, n)
+        res = residual_batch(c, t[f"rq_{cidx}_{log2}"], log2, False, bd)
         planes[cidx] = _scatter_residual_slots(
             planes[cidx], res, t[f"rs_{cidx}_{log2}"], log2, maxv)
     Y, Cb, Cr = planes

@@ -39,6 +39,14 @@ def split_strips(plan, cfg, fid_slot, ndev):
     """Host: global pack_frame tensors -> (sharded-stack dict, replicated
     dict, x0s). Strips are the ndev uniform tile columns."""
     t = pack_frame(plan, cfg, fid_slot)
+    if cfg.pu_grid8:
+        # the sharded program strips 4x4-granular grids: undo pack_frame's
+        # 8x8 upload subsampling (escape keys stay; strip rc is rebuilt)
+        for k in ("mv", "poc", "pf", "ref_idx"):
+            t[k] = np.repeat(np.repeat(t[k], 2, axis=0), 2, axis=1)
+    for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
+        t.pop(f"re_i_{cidx}_{log2}", None)
+        t.pop(f"re_v_{cidx}_{log2}", None)
     W = cfg.W
     assert W % (ndev * 64) == 0 or W % ndev == 0, (W, ndev)
     Ws = W // ndev

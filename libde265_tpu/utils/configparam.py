@@ -195,6 +195,8 @@ def encoder_parameters() -> ConfigParameters:
                            "append decoded-picture-hash SEI"))
     cp.register(OptionFloat("vui-fps", "fps", 0.0,
                             "write VUI timing at this frame rate"))
+    cp.register(OptionFloat("bitrate", "bitrate_kbps", 0.0,
+                            "target bitrate in kbit/s (rate control)"))
     cp.register(OptionBool("use-cra", "use_cra", False,
                            "non-first intra pictures as CRA"))
     cp.register(OptionBool("temporal-layers", "temporal_layers", False,

@@ -169,3 +169,39 @@ def test_config_parameter_registry(tmp_path):
     from libde265_tpu.api import decode_stream
     pics = decode_stream(out.read_bytes())
     assert len(pics) == 2
+
+
+def test_rate_control(tmp_path):
+    """Rate control (encoder/ratectrl.py): a target bitrate is hit within
+    tolerance by per-frame QP adaptation via slice_qp_delta, and the
+    stream stays conforming (dec265 SEI-hash when available)."""
+    from libde265_tpu.encoder import Encoder, EncoderConfig
+    from libde265_tpu.api import decode_stream
+    frames = make_frames(12, 96, 96)
+    fps = 25.0
+    target_kbps = 400.0
+    cfg = EncoderConfig(width=96, height=96, qp=30, log2_ctb=5, cu_log2=4,
+                        inter_mode="mv", inter_residual=True,
+                        disable_deblocking=False, sao=True,
+                        write_hash_sei=True, intra_period=6,
+                        bitrate_kbps=target_kbps, fps=fps)
+    enc = Encoder(cfg)
+    bs = enc.encode(frames)
+    kbps = len(bs) * 8 * fps / len(frames) / 1000.0
+    assert abs(kbps - target_kbps) / target_kbps < 0.35, kbps
+    pics = decode_stream(bs)
+    assert len(pics) == len(frames)
+    if os.path.exists(REF_DEC):
+        binp = tmp_path / "rc.bin"
+        binp.write_bytes(bs)
+        r = subprocess.run([REF_DEC, "-q", "-c", str(binp)],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0 and "mismatch" not in (r.stdout + r.stderr)
+    # fixed-QP for reference: rate control must actually change the rate
+    cfg2 = EncoderConfig(width=96, height=96, qp=30, log2_ctb=5, cu_log2=4,
+                         inter_mode="mv", inter_residual=True,
+                         disable_deblocking=False, sao=True,
+                         write_hash_sei=True, intra_period=6)
+    fixed = Encoder(cfg2).encode(frames)
+    fixed_kbps = len(fixed) * 8 * fps / len(frames) / 1000.0
+    assert abs(kbps - target_kbps) < abs(fixed_kbps - target_kbps)

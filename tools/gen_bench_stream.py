@@ -81,8 +81,12 @@ def main():
     nf = int(sys.argv[1]) if len(sys.argv) > 1 else 9
     light = "--light" in sys.argv
     w, h = 3840, 2160
+    # light: true-motion encode of the pan (content rolls by (3,5)/frame
+    # => MV (-20,-12) qpel) so residual coding is sparse like a real
+    # broadcast stream; heavy: arbitrary MVDs force dense residuals
     cfg = EncoderConfig(width=w, height=h, qp=37 if light else 34,
-                        inter_mode="mv",
+                        inter_mode="gmv" if light else "mv",
+                        global_mv=(-20, -12),
                         inter_residual=True, log2_ctb=6, cu_log2=4,
                         num_ref_l0=2, temporal_mvp=True,
                         disable_deblocking=False, sao=True)
