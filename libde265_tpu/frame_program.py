@@ -333,10 +333,14 @@ def _scatter_residual_slots(plane, res, slots, log2, maxv):
     return jnp.clip(plane + rp, 0, maxv)
 
 
-def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
+def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
+                        stages=("mc", "res", "dbk", "sao")):
     """The fused program body (trace-time; wrap with jit via get_program).
     dy/dcb/dcr: (R,H,W)/(R,Hc,Wc) int16 device DPB stacks.
     t: dict of device plan tensors. out_slot: scalar i32.
+    stages: which pipeline stages run (profiling ablation —
+    tools/profile_frame_stages.py; "tables" forces MC table build even
+    when "mc" is off). Production always uses the full default.
     Returns (dy', dcb', dcr', [Y,Cb,Cr] output planes int16)."""
     import jax.numpy as jnp
     from .ops.mc_tile_jax import build_tables, mc_frame_tile
@@ -358,8 +362,19 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
             t[k] = _expand_grid2(t[k], gh, gw)
 
     sel = t["sel_slots"]
-    tables = build_tables(dy[sel], dcb[sel], dcr[sel],
-                          use_pallas=cfg.use_pallas)
+    if "mc" in stages or "tables" in stages:
+        tables = build_tables(dy[sel], dcb[sel], dcr[sel],
+                              use_pallas=cfg.use_pallas)
+    if "mc" not in stages:
+        Y = jnp.zeros((H, W), jnp.int32)
+        Cb = jnp.zeros((Hc, Wc), jnp.int32)
+        Cr = jnp.zeros((Hc, Wc), jnp.int32)
+        if "tables" in stages:    # keep the build alive (sum = one read;
+            # the == guard is runtime-false but not compile-time foldable)
+            s = tables[0].sum() + tables[1].sum() + tables[2].sum()
+            Y = Y + jnp.where(s == jnp.int16(-32768), 1, 0).astype(jnp.int32)
+        return _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages,
+                             Y, Cb, Cr)
 
     # ---- MC block arrays from grids
     s4 = _expand_ctb4(t["sidx"].astype(jnp.int32), cfg)          # (gh,gw)
@@ -401,37 +416,51 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg):
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
     Cb = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[1], 0)
     Cr = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[2], 0)
+    return _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages, Y, Cb, Cr)
+
+
+def _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages, Y, Cb, Cr):
+    """Residual add + loop filters + DPB insert (stage-gated tail)."""
+    import jax.numpy as jnp
+    from .ops.transform_jax import residual_batch
+    from .ops.filter_plan_jax import plan_deblock_device, plan_sao_device
+    from .ops.deblock_jax import deblock_luma_pass, deblock_chroma_pass
+    from .ops.sao_jax import sao_apply
+    bd = cfg.bitdepth
+    maxv = (1 << bd) - 1
 
     # ---- residuals
-    planes = [Y, Cb, Cr]
-    for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
-        n = 1 << log2
-        E = cfg.escapes[bi_] if cfg.escapes else 0
-        c = t[f"rc_{cidx}_{log2}"].astype(jnp.int32)
-        if E:      # re-apply int16 escape values over the int8 body
-            flat = jnp.concatenate(
-                [c.reshape(K * n * n), jnp.zeros(1, jnp.int32)])
-            flat = flat.at[t[f"re_i_{cidx}_{log2}"]].set(
-                t[f"re_v_{cidx}_{log2}"].astype(jnp.int32))
-            c = flat[:K * n * n].reshape(K, n, n)
-        res = residual_batch(c, t[f"rq_{cidx}_{log2}"], log2, False, bd)
-        planes[cidx] = _scatter_residual_slots(
-            planes[cidx], res, t[f"rs_{cidx}_{log2}"], log2, maxv)
-    Y, Cb, Cr = planes
+    if "res" in stages:
+        planes = [Y, Cb, Cr]
+        for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
+            n = 1 << log2
+            E = cfg.escapes[bi_] if cfg.escapes else 0
+            c = t[f"rc_{cidx}_{log2}"].astype(jnp.int32)
+            if E:      # re-apply int16 escape values over the int8 body
+                flat = jnp.concatenate(
+                    [c.reshape(K * n * n), jnp.zeros(1, jnp.int32)])
+                flat = flat.at[t[f"re_i_{cidx}_{log2}"]].set(
+                    t[f"re_v_{cidx}_{log2}"].astype(jnp.int32))
+                c = flat[:K * n * n].reshape(K, n, n)
+            res = residual_batch(c, t[f"rq_{cidx}_{log2}"], log2, False, bd)
+            planes[cidx] = _scatter_residual_slots(
+                planes[cidx], res, t[f"rs_{cidx}_{log2}"], log2, maxv)
+        Y, Cb, Cr = planes
 
     # ---- deblock (metadata derived on device)
-    lm, cm = plan_deblock_device(t, cfg.fcfg)
-    for vi, vertical in enumerate((True, False)):
-        Y = deblock_luma_pass(Y, *lm[vi], vertical=vertical, bitdepth=bd)
-        if cm is not None:
-            act, tc, p_off, q_off = cm[vi]
-            Cb = deblock_chroma_pass(Cb, act[0], tc[0], p_off, q_off,
-                                     vertical=vertical, bitdepth=bd)
-            Cr = deblock_chroma_pass(Cr, act[1], tc[1], p_off, q_off,
-                                     vertical=vertical, bitdepth=bd)
+    if "dbk" in stages:
+        lm, cm = plan_deblock_device(t, cfg.fcfg)
+        for vi, vertical in enumerate((True, False)):
+            Y = deblock_luma_pass(Y, *lm[vi], vertical=vertical, bitdepth=bd)
+            if cm is not None:
+                act, tc, p_off, q_off = cm[vi]
+                Cb = deblock_chroma_pass(Cb, act[0], tc[0], p_off, q_off,
+                                         vertical=vertical, bitdepth=bd)
+                Cr = deblock_chroma_pass(Cr, act[1], tc[1], p_off, q_off,
+                                         vertical=vertical, bitdepth=bd)
 
     # ---- SAO
-    if cfg.sao_enabled:
+    if cfg.sao_enabled and "sao" in stages:
         outs = []
         for ci, P in enumerate((Y, Cb, Cr)):
             maps = plan_sao_device(t, cfg.scfg, ci)
