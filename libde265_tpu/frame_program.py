@@ -182,7 +182,6 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
     # pu_meta; sel_slots maps compact ids to DPB stack slots so the
     # program builds MC tables only for referenced frames.
     rl_slot = np.zeros((S1, 2, 16), np.int32)
-    rl_poc = np.zeros((S1, 2, 16), np.int32)
     pu_meta = plan._pu_arrays[0] if plan._pu_arrays is not None else \
         np.zeros((0, 17), np.int32)
     used_fids = []
@@ -203,19 +202,27 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
                 compact[f] = len(used_fids)
                 used_fids.append(f)
             rl_slot[sh[i], l, ridx[i]] = compact[f]
-            rl_poc[sh[i], l, ridx[i]] = poc[i]
     assert len(used_fids) <= cfg.r_act, (len(used_fids), cfg.r_act)
     sel = np.zeros(cfg.r_act, np.int32)
     for f, ci in compact.items():
         sel[ci] = fid_slot[f]
     t["sel_slots"] = sel
-    t["rl_slot"] = rl_slot
-    t["rl_poc"] = rl_poc
-    t["ref_idx"] = np.clip(plan.ref_idx, 0, 15).astype(np.int8)
+    # per-block compact ref slot, resolved on HOST (a 3-index device
+    # gather over (gh,gw,2) serializes on TPU; numpy does it for free)
+    ridx_h = np.clip(plan.ref_idx, 0, 15).astype(np.int64)
+    gh, gw = ridx_h.shape[:2]
+    f = 1 << (cfg.log2ctb - 2)
+    s4h = np.repeat(np.repeat(t["sidx"], f, 0), f, 1)[:gh, :gw]
+    t["slot"] = rl_slot[s4h[:, :, None], np.arange(2)[None, None, :],
+                        ridx_h].astype(np.int8)
+    if cfg.has_weights:
+        t["rl_slot"] = rl_slot
+        t["ref_idx"] = ridx_h.astype(np.int8)
     if cfg.pu_grid8:
         # motion fields are constant within 8x8: upload the subsampled
         # grids, device expands (the 4 grids are ~30% of the upload)
-        for k in ("mv", "poc", "pf", "ref_idx"):
+        for k in (("mv", "poc", "pf", "slot", "ref_idx")
+                  if cfg.has_weights else ("mv", "poc", "pf", "slot")):
             t[k] = np.ascontiguousarray(t[k][::2, ::2])
 
     # weights
@@ -358,13 +365,15 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
 
     if cfg.pu_grid8:
         t = dict(t)
-        for k in ("mv", "poc", "pf", "ref_idx"):
+        for k in (("mv", "poc", "pf", "slot", "ref_idx")
+                  if cfg.has_weights else ("mv", "poc", "pf", "slot")):
             t[k] = _expand_grid2(t[k], gh, gw)
 
     sel = t["sel_slots"]
     if "mc" in stages or "tables" in stages:
         tables = build_tables(dy[sel], dcb[sel], dcr[sel],
-                              use_pallas=cfg.use_pallas)
+                              use_pallas=cfg.use_pallas,
+                              bitdepth=cfg.bitdepth)
     if "mc" not in stages:
         Y = jnp.zeros((H, W), jnp.int32)
         Cb = jnp.zeros((Hc, Wc), jnp.int32)
@@ -376,11 +385,8 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
         return _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages,
                              Y, Cb, Cr)
 
-    # ---- MC block arrays from grids
-    s4 = _expand_ctb4(t["sidx"].astype(jnp.int32), cfg)          # (gh,gw)
-    ridx = t["ref_idx"].astype(jnp.int32)                        # (gh,gw,2)
-    l2 = jnp.arange(2)[None, None, :]
-    slot_g = t["rl_slot"][s4[:, :, None], l2, ridx]              # (gh,gw,2)
+    # ---- MC block arrays from grids (slot resolved on host at pack time)
+    slot_g = t["slot"].astype(jnp.int32)                         # (gh,gw,2)
     pfg = t["pf"].astype(jnp.int32)
     mvg = t["mv"].astype(jnp.int32)
     swap = pfg[:, :, 0] == 0
@@ -393,6 +399,9 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
     pf = pf_l.reshape(N, 2)
 
     if cfg.has_weights:
+        s4 = _expand_ctb4(t["sidx"].astype(jnp.int32), cfg)      # (gh,gw)
+        ridx = t["ref_idx"].astype(jnp.int32)                    # (gh,gw,2)
+        l2 = jnp.arange(2)[None, None, :]
         wtab = t["wt"]                          # (S1,2,16,3,2)
         den = t["wt_denom"]                     # (S1,3)
         w_g = wtab[s4[:, :, None], l2, ridx]    # (gh,gw,2,3,2)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .deblock_ref import BETA_TABLE, TC_TABLE, derive_bs, _filters_off, _edge_enabled
 from .deblock_ref import CHROMA_QP_TABLE
+from .lut import take_small
 
 BETA_ARR = np.asarray(BETA_TABLE, np.int32)
 TC_ARR = np.asarray(TC_TABLE, np.int32)
@@ -82,48 +83,75 @@ def plan_luma_metadata(plan, vertical):
 @partial(jax.jit, static_argnames=("vertical", "bitdepth"))
 def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
                       vertical, bitdepth=8):
-    """Y: (H,W) int32 plane. Segment metadata from plan_luma_metadata.
-    Returns filtered plane (spec 8.7.2.5.3/4/7)."""
+    """Y: (H,W) int32 plane. Segment metadata from plan_luma_metadata
+    ((n_s, n_e): 4-sample segments x edges, the planner's orientation for
+    this direction). Returns filtered plane (spec 8.7.2.5.3/4/7).
+
+    Frame-layout formulation: the plane is sliced into 8 phase arrays
+    Cj = samples at distance j from their window start (stride-8 static
+    slices), all filter math runs elementwise on those, and the result
+    interleaves back — no (n_s, 4, n_e, 8) segment shuffle and no full
+    4K transpose for the horizontal pass (both were the dominant cost of
+    the previous formulation on TPU)."""
     H, W = Y.shape
-    if not vertical:
-        # transpose: horizontal edges become vertical in the transposed frame
-        Yt = Y.T
-        out = deblock_luma_pass(Yt, bs, qp, beta_off, tc_off, p_off, q_off,
-                                True, bitdepth)
-        return out.T
     n_s, n_e = bs.shape
-    # segment (si, ei) covers rows 4*si..4*si+3 at edge column x=8*(ei+1).
-    # The per-edge 8-col windows [8e+4, 8e+12) are disjoint and tile the
-    # plane, so the "gather" is a pure reshape (XLA serializes the naive
-    # elementwise gather — hundreds of ms at 4K; this is free):
-    seg = Y[:, 4:4 + 8 * n_e].reshape(n_s, 4, n_e, 8).transpose(0, 2, 1, 3)
-    p = seg[..., 3::-1]   # p0..p3 at idx 0..3
-    q = seg[..., 4:]
+    ax = 1 if vertical else 0          # axis the edge windows stride along
+    la = 0 if vertical else 1          # axis running along the edge (lines)
+    span = 8 * n_e
 
-    beta = jnp.asarray(BETA_ARR)[jnp.clip(qp + beta_off, 0, 51)] << (bitdepth - 8)
-    tc = jnp.asarray(TC_ARR)[jnp.clip(qp + 2 * (bs - 1) + tc_off, 0, 53)] << (bitdepth - 8)
+    def phase(j):
+        """(H, n_e)/(n_e, W) slice of window position j (p3..q3 = 0..7)."""
+        if vertical:
+            return Y[:, 4 + j:4 + j + span:8]
+        return Y[4 + j:4 + j + span:8, :]
 
-    dp0 = jnp.abs(p[..., 0, 2] - 2 * p[..., 0, 1] + p[..., 0, 0])
-    dp3 = jnp.abs(p[..., 3, 2] - 2 * p[..., 3, 1] + p[..., 3, 0])
-    dq0 = jnp.abs(q[..., 0, 2] - 2 * q[..., 0, 1] + q[..., 0, 0])
-    dq3 = jnp.abs(q[..., 3, 2] - 2 * q[..., 3, 1] + q[..., 3, 0])
+    C = [phase(j) for j in range(8)]
+    p3, p2, p1, p0, q0, q1, q2, q3 = C
+
+    # --- per-segment metadata -> per-line orientation
+    # planner emits (segments, edges); for the horizontal pass the phase
+    # arrays are (edges, lines*4), so metadata transposes (tiny arrays).
+    def orient(m):
+        return m if vertical else m.T
+
+    bs_o = orient(bs)
+    beta = take_small(BETA_ARR, jnp.clip(orient(qp) + orient(beta_off),
+                                         0, 51)) << (bitdepth - 8)
+    tc = take_small(TC_ARR, jnp.clip(orient(qp) + 2 * (bs_o - 1) +
+                                     orient(tc_off), 0, 53)) << (bitdepth - 8)
+    po_s = orient(p_off)
+    qo_s = orient(q_off)
+
+    def line(a, i):
+        """Line i (0..3) of every segment: stride-4 slice on the line axis."""
+        return a[i::4] if vertical else a[:, i::4]
+
+    def rep4(m):
+        """Per-segment -> per-line: 4x repeat along the line axis."""
+        return jnp.repeat(m, 4, axis=la)
+
+    # --- decisions (per segment, from lines 0 and 3)
+    dp_l = jnp.abs(p2 - 2 * p1 + p0)          # per line
+    dq_l = jnp.abs(q2 - 2 * q1 + q0)
+    dp0, dp3 = line(dp_l, 0), line(dp_l, 3)
+    dq0, dq3 = line(dq_l, 0), line(dq_l, 3)
     d = dp0 + dp3 + dq0 + dq3
-    active = (bs > 0) & (d < beta) & (tc > 0)
+    active = (bs_o > 0) & (d < beta) & (tc > 0)
+
+    sd_l = jnp.abs(p3 - p0) + jnp.abs(q0 - q3)
+    pq_l = jnp.abs(p0 - q0)
 
     def strong_line(i):
-        dpi = jnp.where(i == 0, dp0, dp3)
-        dqi = jnp.where(i == 0, dq0, dq3)
+        dpi = dp0 if i == 0 else dp3
+        dqi = dq0 if i == 0 else dq3
         return (2 * (dpi + dqi) < (beta >> 2)) & \
-            (jnp.abs(p[..., i, 3] - p[..., i, 0]) +
-             jnp.abs(q[..., i, 0] - q[..., i, 3]) < (beta >> 3)) & \
-            (jnp.abs(p[..., i, 0] - q[..., i, 0]) < ((5 * tc + 1) >> 1))
-    strong = strong_line(0) & strong_line(3)               # (n_s, n_e)
+            (line(sd_l, i) < (beta >> 3)) & \
+            (line(pq_l, i) < ((5 * tc + 1) >> 1))
+    strong = strong_line(0) & strong_line(3)               # per segment
 
     maxv = (1 << bitdepth) - 1
-    tc_ = tc[..., None]                                    # broadcast over lines
-    # strong filter (all 4 lines)
-    p0, p1, p2, p3 = (p[..., k] for k in range(4))
-    q0, q1, q2, q3 = (q[..., k] for k in range(4))
+    tc_ = rep4(tc)
+    # strong filter (per line)
     sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
                    p0 - 2 * tc_, p0 + 2 * tc_)
     sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tc_, p1 + 2 * tc_)
@@ -134,14 +162,14 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
     sq1 = jnp.clip((p0 + q0 + q1 + q2 + 2) >> 2, q1 - 2 * tc_, q1 + 2 * tc_)
     sq2 = jnp.clip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3,
                    q2 - 2 * tc_, q2 + 2 * tc_)
-    # weak filter
+    # weak filter (per line)
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
     weak_line = jnp.abs(delta) < 10 * tc_
     dlt = jnp.clip(delta, -tc_, tc_)
     wp0 = jnp.clip(p0 + dlt, 0, maxv)
     wq0 = jnp.clip(q0 - dlt, 0, maxv)
-    dEp = ((dp0 + dp3) < ((beta + (beta >> 1)) >> 3))[..., None]
-    dEq = ((dq0 + dq3) < ((beta + (beta >> 1)) >> 3))[..., None]
+    dEp = rep4((dp0 + dp3) < ((beta + (beta >> 1)) >> 3))
+    dEq = rep4((dq0 + dq3) < ((beta + (beta >> 1)) >> 3))
     dp_ = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1,
                    -(tc_ >> 1), tc_ >> 1)
     dq_ = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1,
@@ -149,10 +177,10 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
     wp1 = jnp.clip(p1 + dp_, 0, maxv)
     wq1 = jnp.clip(q1 + dq_, 0, maxv)
 
-    st = strong[..., None]
-    act = active[..., None]
-    po = p_off[..., None]
-    qo = q_off[..., None]
+    st = rep4(strong)
+    act = rep4(active)
+    po = rep4(po_s)
+    qo = rep4(qo_s)
     np0 = jnp.where(st, sp0, jnp.where(weak_line, wp0, p0))
     np1 = jnp.where(st, sp1, jnp.where(weak_line & dEp, wp1, p1))
     np2 = jnp.where(st, sp2, p2)
@@ -166,9 +194,13 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
     nq1 = jnp.where(act & ~qo, jnp.clip(nq1, 0, maxv), q1)
     nq2 = jnp.where(act & ~qo, jnp.clip(nq2, 0, maxv), q2)
 
-    newseg = jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
-    strip = newseg.transpose(0, 2, 1, 3).reshape(n_s * 4, 8 * n_e)
-    return Y.at[:, 4:4 + 8 * n_e].set(strip)
+    newC = [p3, np2, np1, np0, nq0, nq1, nq2, q3]
+    strip = jnp.stack(newC, axis=ax + 1)
+    if vertical:
+        strip = strip.reshape(H, span)
+        return jnp.concatenate([Y[:, :4], strip, Y[:, 4 + span:]], axis=1)
+    strip = strip.reshape(span, W)
+    return jnp.concatenate([Y[:4], strip, Y[4 + span:]], axis=0)
 
 
 def plan_chroma_metadata(plan, vertical):
@@ -232,24 +264,43 @@ def plan_chroma_metadata(plan, vertical):
 
 @partial(jax.jit, static_argnames=("vertical", "bitdepth"))
 def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
-    """C: (H/2, W/2) int32 chroma plane; metadata for this component."""
-    if not vertical:
-        return deblock_chroma_pass(C.T, act, tc, p_off, q_off, True, bitdepth).T
+    """C: (H/2, W/2) int32 chroma plane; metadata for this component.
+    Frame-layout phase slices (see deblock_luma_pass); edges at chroma
+    x/y = 8*(ei+1), 2-line segments, p1..q1 window at offsets 6..9."""
     n_s, n_e = act.shape
-    # edges at chroma x = 8*(ei+1); the 4-col windows [8e+6, 8e+10) are
-    # disjoint with stride 8 -> reshape, not gather (see luma pass)
-    seg = C[:, 6:6 + 8 * n_e].reshape(n_s, 2, n_e, 8).transpose(0, 2, 1, 3)
-    p1, p0, q0, q1 = (seg[..., k] for k in range(4))
+    ax = 1 if vertical else 0
+    la = 0 if vertical else 1
+    span = 8 * n_e
+
+    def phase(j):
+        if vertical:
+            return C[:, 6 + j:6 + j + span:8]
+        return C[6 + j:6 + j + span:8, :]
+
+    Cs = [phase(j) for j in range(8)]
+    p1, p0, q0, q1 = Cs[0], Cs[1], Cs[2], Cs[3]
+
+    def orient(m):
+        return m if vertical else m.T
+
+    def rep2(m):
+        return jnp.repeat(m, 2, axis=la)
+
     maxv = (1 << bitdepth) - 1
-    tc_ = tc[..., None]
+    tc_ = rep2(orient(tc))
+    act_ = rep2(orient(act))
+    po = rep2(orient(p_off))
+    qo = rep2(orient(q_off))
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc_, tc_)
-    act_ = act[..., None]
-    np0 = jnp.where(act_ & ~p_off[..., None], jnp.clip(p0 + delta, 0, maxv), p0)
-    nq0 = jnp.where(act_ & ~q_off[..., None], jnp.clip(q0 - delta, 0, maxv), q0)
-    newseg = jnp.stack([p1, np0, nq0, q1, seg[..., 4], seg[..., 5],
-                        seg[..., 6], seg[..., 7]], axis=-1)
-    strip = newseg.transpose(0, 2, 1, 3).reshape(n_s * 2, 8 * n_e)
-    return C.at[:, 6:6 + 8 * n_e].set(strip)
+    np0 = jnp.where(act_ & ~po, jnp.clip(p0 + delta, 0, maxv), p0)
+    nq0 = jnp.where(act_ & ~qo, jnp.clip(q0 - delta, 0, maxv), q0)
+    newC = [p1, np0, nq0, q1] + Cs[4:]
+    strip = jnp.stack(newC, axis=ax + 1)
+    if vertical:
+        strip = strip.reshape(C.shape[0], span)
+        return jnp.concatenate([C[:, :6], strip, C[:, 6 + span:]], axis=1)
+    strip = strip.reshape(span, C.shape[1])
+    return jnp.concatenate([C[:6], strip, C[6 + span:]], axis=0)
 
 
 def deblock_frame_jax(plan, planes):

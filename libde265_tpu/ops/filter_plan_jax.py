@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .deblock_ref import BETA_TABLE, TC_TABLE, CHROMA_QP_TABLE
+from .lut import take_small
 
 TC_ARR = np.asarray(TC_TABLE, np.int32)
 CHROMA_QP_ARR = np.asarray(CHROMA_QP_TABLE, np.int32)
@@ -42,12 +43,14 @@ def _bs_motion(pf_p, mv_p, poc_p, pf_q, mv_q, poc_q):
     nq_ = pf_q[..., 0] + pf_q[..., 1]
 
     # --- single prediction each side: compare the one active lane
-    lane_p = jnp.where(pf_p[..., 0] > 0, 0, 1)
-    lane_q = jnp.where(pf_q[..., 0] > 0, 0, 1)
-    pocp1 = jnp.take_along_axis(poc_p, lane_p[..., None], -1)[..., 0]
-    pocq1 = jnp.take_along_axis(poc_q, lane_q[..., None], -1)[..., 0]
-    mvp1 = jnp.take_along_axis(mv_p, lane_p[..., None, None], -2)[..., 0, :]
-    mvq1 = jnp.take_along_axis(mv_q, lane_q[..., None, None], -2)[..., 0, :]
+    # (2-entry lane select, NOT take_along_axis — that emits a serialized
+    # gather on TPU)
+    p_has0 = pf_p[..., 0] > 0
+    q_has0 = pf_q[..., 0] > 0
+    pocp1 = jnp.where(p_has0, poc_p[..., 0], poc_p[..., 1])
+    pocq1 = jnp.where(q_has0, poc_q[..., 0], poc_q[..., 1])
+    mvp1 = jnp.where(p_has0[..., None], mv_p[..., 0, :], mv_p[..., 1, :])
+    mvq1 = jnp.where(q_has0[..., None], mv_q[..., 0, :], mv_q[..., 1, :])
     single = (pocp1 != pocq1) | _far(mvp1, mvq1)
 
     # --- two predictions each side
@@ -162,10 +165,10 @@ def plan_deblock_device(grids, cfg, xoff=0):
             se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
         # CTB-boundary permission (tiles/slices); interior edges always ok
         allowed = jnp.where(is_ctb[None, :], allow_e, True)
-        # q-side slice header params
-        disabled = dis_tab[se] != 0
-        beta_off = beta_tab[se]
-        tc_off = tc_tab[se]
+        # q-side slice header params (select chains, not gathers)
+        disabled = take_small(dis_tab, se) != 0
+        beta_off = take_small(beta_tab, se)
+        tc_off = take_small(tc_tab, se)
 
         edge_exists = (atq(edge_) & bit) != 0
         pm_q, pm_p = atq(pm_), atp(pm_)
@@ -221,8 +224,8 @@ def plan_deblock_device(grids, cfg, xoff=0):
             se = _expand_edge_ctb(sidx_, s_y, e_x, log2ctb)
         edge_exists = (atq(tucb_) & bit) != 0
         allowed = jnp.where(is_ctb[None, :], allow_e, True)
-        disabled = dis_tab[se] != 0
-        tc_off = tc_tab[se]
+        disabled = take_small(dis_tab, se) != 0
+        tc_off = take_small(tc_tab, se)
         intra2 = (atq(pm_) == 1) | (atp(pm_) == 1)
         valid = edge_exists & allowed & ~disabled & intra2
         qp_avg = (atp(qp_) + atq(qp_) + 1) >> 1
@@ -233,12 +236,12 @@ def plan_deblock_device(grids, cfg, xoff=0):
                 qpc = jnp.where(
                     qpi < 30, qpi,
                     jnp.where(qpi > 43, qpi - 6,
-                              jnp.asarray(CHROMA_QP_ARR)[
-                                  jnp.clip(qpi - 30, 0, 13)]))
+                              take_small(CHROMA_QP_ARR,
+                                         jnp.clip(qpi - 30, 0, 13))))
             else:
                 qpc = jnp.minimum(qpi, 51)
             Qt = jnp.clip(qpc + 2 + tc_off, 0, 53)
-            tcv = jnp.asarray(TC_ARR)[Qt] << (bd_c - 8)
+            tcv = take_small(TC_ARR, Qt) << (bd_c - 8)
             acts.append(valid & (tcv > 0))
             tcs.append(jnp.where(valid, tcv, 0))
         p_off = atp(off_) != 0
@@ -266,14 +269,18 @@ def plan_sao_device(grids, cfg, cidx, xoff=0):
     ctb = (1 << log2ctb) // sub
     ctbv = (1 << log2ctb) // subv
 
-    t = grids["sao_type"][:, :, cidx].astype(jnp.int32)
-    eo = grids["sao_eo"][:, :, cidx].astype(jnp.int32)
-    band = grids["sao_band"][:, :, cidx].astype(jnp.int32)
-    offs = grids["sao_off"][:, :, cidx, :].astype(jnp.int32)
+    # int8 per-CTB params: the expanded per-sample maps are the largest
+    # tensors this planner materializes (11 full planes at 4K) — 4x less
+    # HBM traffic than int32, and every consumer is a compare/select
+    # (type<=2, eo<=3, band<=31, |offset|<=31 all fit)
+    t = grids["sao_type"][:, :, cidx].astype(jnp.int8)
+    eo = grids["sao_eo"][:, :, cidx].astype(jnp.int8)
+    band = grids["sao_band"][:, :, cidx].astype(jnp.int8)
+    offs = grids["sao_off"][:, :, cidx, :].astype(jnp.int8)
     sidx = grids["sidx"].astype(jnp.int32)
     en_tab = (grids["sh_sao_luma"] if cidx == 0 else
               grids["sh_sao_chroma"]).astype(jnp.int32)
-    enable = en_tab[sidx] != 0
+    enable = take_small(en_tab, sidx) != 0
     t = jnp.where(enable, t, 0)
 
     nctby, nctbx = t.shape
@@ -319,7 +326,7 @@ def plan_sao_device(grids, cfg, cidx, xoff=0):
         (gx_plane == (W // sub - 1))
     at_u = (ys % ctbv) == 0
     at_d = ((ys % ctbv) == (ctbv - 1)) | (ys == (Hs - 1))
-    ok = [expand(pair_ok[k].astype(jnp.int32)) != 0 for k in range(4)]
+    ok = [expand(pair_ok[k].astype(jnp.int8)) != 0 for k in range(4)]
     avail = jnp.stack([
         ~at_l[None, :] | ok[0],
         ~at_r[None, :] | ok[1],

@@ -64,13 +64,15 @@ def pad_plane(p, pad):
     return jnp.pad(p, ((pad, pad), (pad, pad)), mode="edge")
 
 
-def build_tile_table_y(padded):
-    """padded: (R, H+32, W+32) -> (R*nty*ntx, 256) int16 stride-4 16x16
+def build_tile_table_y(padded, out_dtype=jnp.int16):
+    """padded: (R, H+32, W+32) -> (R*nty*ntx, 256) stride-4 16x16
     tiles, element [c*16 + r] = tile[row r, col c] (column-major within the
     tile — the layout the pallas builder emits without any transposes).
-    nty = (H+20)//4, ntx = (W+20)//4."""
+    nty = (H+20)//4, ntx = (W+20)//4. out_dtype uint8 for 8-bit streams
+    halves the table (the decode path's dominant HBM tenant)."""
     R, Hp, Wp = padded.shape
     nty, ntx = (Hp - 12) // 4, (Wp - 12) // 4
+    padded = padded.astype(out_dtype)
     rows = jnp.concatenate(
         [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp)
          for s in range(4)], axis=2)                        # (R,nty,16,Wp)
@@ -80,11 +82,12 @@ def build_tile_table_y(padded):
     return tiles.transpose(0, 1, 3, 4, 2).reshape(R * nty * ntx, 256)
 
 
-def build_tile_table_c(padded):
+def build_tile_table_c(padded, out_dtype=jnp.int16):
     """padded: (R, Hc+16, Wc+16) -> (R*nty*ntx, 64) stride-4 8x8 tiles,
     element [c*8 + r]. nty = (Hc+12)//4, ntx = (Wc+12)//4."""
     R, Hp, Wp = padded.shape
     nty, ntx = (Hp - 4) // 4, (Wp - 4) // 4
+    padded = padded.astype(out_dtype)
     rows = jnp.concatenate(
         [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp)
          for s in range(2)], axis=2)                        # (R,nty,8,Wp)
@@ -104,22 +107,30 @@ def _pad_refs(refs_y, refs_cb, refs_cr):
     return py, pcb, pcr
 
 
-def build_tables(refs_y, refs_cb, refs_cr, use_pallas=False):
-    """refs_*: (R,H,W)/(R,Hc,Wc) integer stacks -> (ty, tcb, tcr) int16
-    tile tables (device). use_pallas selects the Mosaic builder (TPU)."""
+def build_tables(refs_y, refs_cb, refs_cr, use_pallas=False, bitdepth=8):
+    """refs_*: (R,H,W)/(R,Hc,Wc) integer stacks -> (ty, tcb, tcr) tile
+    tables (device), uint8 for 8-bit streams / int16 otherwise.
+    use_pallas selects the Mosaic builder (TPU)."""
+    dt = jnp.uint8 if bitdepth <= 8 else jnp.int16
     py, pcb, pcr = _pad_refs(refs_y, refs_cb, refs_cr)
     if use_pallas:
         from .pallas.mc_tables import build_tile_table_pallas
-        return (build_tile_table_pallas(py, 16),
-                build_tile_table_pallas(pcb, 8),
-                build_tile_table_pallas(pcr, 8))
-    return (build_tile_table_y(py), build_tile_table_c(pcb),
-            build_tile_table_c(pcr))
+        return (build_tile_table_pallas(py, 16, out_dtype=dt),
+                build_tile_table_pallas(pcb, 8, out_dtype=dt),
+                build_tile_table_pallas(pcr, 8, out_dtype=dt))
+    return (build_tile_table_y(py, dt), build_tile_table_c(pcb, dt),
+            build_tile_table_c(pcr, dt))
 
 
 def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
     """One list's luma prediction for all N 4x4 blocks: (N,4,4) int32
-    (14-bit intermediate scale)."""
+    (14-bit intermediate scale).
+
+    The filter works on the FLAT (N,256) gathered rows with static
+    128/64-lane slices: row element c*16+r, so win[:, 16u:16u+128] puts
+    win[(u+j)*16+r] at lane j*16+r — both tap passes become aligned VPU
+    multiply-adds with zero relayout (the earlier (N,16,16) middle-axis
+    slicing forced per-term lane shuffles and was ~3x slower on TPU)."""
     x0 = jnp.clip(bx + (mvx >> 2) - 3, -14, W + 1)
     y0 = jnp.clip(by + (mvy >> 2) - 3, -14, H + 1)
     tx = (x0 + 16) >> 2
@@ -127,19 +138,21 @@ def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
     dx = (x0 + 16) & 3
     dy = (y0 + 16) & 3
     idx = (slot * nty + ty) * ntx + tx
-    win = table_y[idx].reshape(-1, 16, 16)      # (N, 16 col, 16 row) i16
-    th = jnp.asarray(TH_Y)[(mvx & 3) * 4 + dx]              # (N,11)
-    tv = jnp.asarray(TH_Y)[(mvy & 3) * 4 + dy]              # (N,11)
-    # horizontal: tmp[n, j, r] = sum_u win[n, u+j, r] * th[n, u]
-    tmp = jnp.stack(
-        [sum(win[:, u + j, :].astype(jnp.int32) * th[:, u, None]
-             for u in range(11)) >> shift1 for j in range(4)],
-        axis=1)                                             # (N,4j,16r)
-    # vertical: out[n, i, j] = sum_u tmp[n, j, u+i] * tv[n, u]
-    out = jnp.stack(
-        [sum(tmp[:, :, u + i] * tv[:, u, None] for u in range(11)) >> 6
-         for i in range(4)], axis=1)                        # (N,4i,4j)
-    return out
+    win = table_y[idx]                          # (N, 256) i16, [c*16+r]
+    from .lut import take_rows_small
+    th = take_rows_small(TH_Y, (mvx & 3) * 4 + dx)          # (N,11)
+    tv = take_rows_small(TH_Y, (mvy & 3) * 4 + dy)          # (N,11)
+    # horizontal: lane j*16+r of tmp = sum_u win[(u+j)*16+r] * th[u]
+    # (80 lanes: the vertical pass reads tmp lanes up to 10+63=73, and
+    # 16*10+79=239 keeps every u-slice inside the 256-wide row)
+    tmp = sum(win[:, 16 * u:16 * u + 80].astype(jnp.int32) * th[:, u, None]
+              for u in range(11)) >> shift1               # (N,80)
+    # vertical: lane j*16+i of out = sum_u tmp[j*16+(i+u)] * tv[u]
+    # (i<4, u<11 -> i+u<=13<16: no cross-column contamination)
+    out = sum(tmp[:, u:u + 64] * tv[:, u, None]
+              for u in range(11)) >> 6                    # (N,64)
+    # lane j*16+i -> (N, i, j)
+    return out.reshape(-1, 4, 16)[:, :, :4].transpose(0, 2, 1)
 
 
 def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
@@ -152,17 +165,20 @@ def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
     dx = (x0 + 8) & 3
     dy = (y0 + 8) & 3
     idx = (slot * nty + ty) * ntx + tx
-    win = table_c[idx].reshape(-1, 8, 8)        # (N, 8 col, 8 row) i16
-    th = jnp.asarray(TH_C)[(mvx & 7) * 4 + dx]              # (N,7)
-    tv = jnp.asarray(TH_C)[(mvy & 7) * 4 + dy]
-    tmp = jnp.stack(
-        [sum(win[:, u + j, :].astype(jnp.int32) * th[:, u, None]
-             for u in range(7)) >> shift1 for j in range(2)],
-        axis=1)                                             # (N,2j,8r)
-    out = jnp.stack(
-        [sum(tmp[:, :, u + i] * tv[:, u, None] for u in range(7)) >> 6
-         for i in range(2)], axis=1)                        # (N,2i,2j)
-    return out
+    win = table_c[idx]                          # (N, 64) i16, [c*8+r]
+    from .lut import take_rows_small
+    th = take_rows_small(TH_C, (mvx & 7) * 4 + dx)          # (N,7)
+    tv = take_rows_small(TH_C, (mvy & 7) * 4 + dy)
+    # flat-lane taps (see _luma_pred_tile): lane j*8+r, j<2 needed
+    tmp = sum(win[:, 8 * u:8 * u + 16].astype(jnp.int32) * th[:, u, None]
+              for u in range(7)) >> shift1                # (N,16)
+    # i<2, u<7 -> i+u<=7: stays within the 8-row column group; only lanes
+    # {0,1,8,9} (= j*8+i) are consumed, so a 10-lane window keeps every
+    # u-slice inside tmp's 16 lanes
+    out = sum(tmp[:, u:u + 10] * tv[:, u, None]
+              for u in range(7)) >> 6                     # (N,10)
+    # lanes j*8+i -> (N, i, j)
+    return jnp.stack([out[:, 0:2], out[:, 8:10]], axis=2)
 
 
 def _combine(p0, p1, pf, wts, ex, ci, shift, maxv):
@@ -245,7 +261,7 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
 @partial(jax.jit, static_argnames=("dims", "bitdepth"))
 def _mc_standalone(refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex,
                    dims, bitdepth):
-    tables = build_tables(refs_y, refs_cb, refs_cr)
+    tables = build_tables(refs_y, refs_cb, refs_cr, bitdepth=bitdepth)
     return mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth)
 
 

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(hbm_ref, out_ref, scratch, sems, *, T, nty, ntx, ntx0, total):
+def _kernel(hbm_ref, out_ref, scratch, sems, *, T, nty, ntx, ntx0, total,
+            out_dtype):
     r = pl.program_id(0)
     t = pl.program_id(1)
     step = r * nty + t
@@ -62,13 +63,14 @@ def _kernel(hbm_ref, out_ref, scratch, sems, *, T, nty, ntx, ntx0, total):
         if c // 4:
             # sublane roll == shift by -(c//4)
             q = pltpu.roll(q, ntx0 - c // 4, axis=0)
-        out_ref[0, 0, :, c * T:(c + 1) * T] = q[:ntx].astype(jnp.int16)
+        out_ref[0, 0, :, c * T:(c + 1) * T] = q[:ntx].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("T",))
-def build_tile_table_pallas(padded, T):
+@functools.partial(jax.jit, static_argnames=("T", "out_dtype"))
+def build_tile_table_pallas(padded, T, out_dtype=jnp.int16):
     """padded: (R, Hp, Wp) int16 edge-padded plane stack.
-    T: tile side (16 luma, 8 chroma). Returns (R*nty*ntx, T*T) int16."""
+    T: tile side (16 luma, 8 chroma). Returns (R*nty*ntx, T*T) of
+    out_dtype (uint8 for 8-bit samples — halves the table write)."""
     R, Hp, Wp = padded.shape
     nty = (Hp - T + 4) // 4
     ntx = (Wp - T + 4) // 4
@@ -80,13 +82,13 @@ def build_tile_table_pallas(padded, T):
          for s in range(T // 4)], axis=2)       # (R, nty, T, Wp_p)
     out = pl.pallas_call(
         functools.partial(_kernel, T=T, nty=nty, ntx=ntx, ntx0=ntx0,
-                          total=R * nty),
+                          total=R * nty, out_dtype=out_dtype),
         grid=(R, nty),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, 1, ntx, T * T),
                                lambda r, t: (r, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, nty, ntx, T * T), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((R, nty, ntx, T * T), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, T, Wp_p), jnp.int16),
             pltpu.SemaphoreType.DMA((2,)),

@@ -32,7 +32,7 @@ HALO_C = 8             # chroma halo columns
 GB = 4                 # 4x4-grid halo blocks (= HALO_Y/4)
 
 SHARDED_KEYS = ("pm", "cbf", "tucb", "edgeall", "qp", "off", "pf", "mv",
-                "poc", "ref_idx")
+                "poc", "slot")
 
 
 def split_strips(plan, cfg, fid_slot, ndev):
@@ -42,7 +42,8 @@ def split_strips(plan, cfg, fid_slot, ndev):
     if cfg.pu_grid8:
         # the sharded program strips 4x4-granular grids: undo pack_frame's
         # 8x8 upload subsampling (escape keys stay; strip rc is rebuilt)
-        for k in ("mv", "poc", "pf", "ref_idx"):
+        for k in ("mv", "poc", "pf", "slot") + \
+                (("ref_idx",) if cfg.has_weights else ()):
             t[k] = np.repeat(np.repeat(t[k], 2, axis=0), 2, axis=1)
     for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
         t.pop(f"re_i_{cidx}_{log2}", None)
@@ -53,7 +54,7 @@ def split_strips(plan, cfg, fid_slot, ndev):
     ws4 = Ws // 4
     tsh = {}
     # halo-extended 4x4 grids
-    for k in SHARDED_KEYS:
+    for k in SHARDED_KEYS + (("ref_idx",) if cfg.has_weights else ()):
         g = t.pop(k)
         pad = [(0, 0)] * g.ndim
         pad[1] = (GB, GB)
@@ -157,15 +158,11 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
 
     sel = t["sel_slots"]
     tables = build_tables(dy[sel], dcb[sel], dcr[sel],
-                          use_pallas=cfg.use_pallas)
+                          use_pallas=cfg.use_pallas, bitdepth=cfg.bitdepth)
 
     # ---- MC block arrays from the halo'd grids' center
     c = slice(GB, GB + ws4)
-    s4 = _expand_ctb4_strip(t["sidx"].astype(jnp.int32), cfg, ws4 + 2 * GB,
-                            x0)[:, c]
-    ridx = t["ref_idx"][:, c].astype(jnp.int32)
-    l2 = jnp.arange(2)[None, None, :]
-    slot_g = t["rl_slot"][s4[:, :, None], l2, ridx]
+    slot_g = t["slot"][:, c].astype(jnp.int32)
     pfg = t["pf"][:, c].astype(jnp.int32)
     mvg = t["mv"][:, c].astype(jnp.int32)
     swap = pfg[:, :, 0] == 0
@@ -177,6 +174,10 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
     slot = jnp.stack([s0, slot_g[:, :, 1]], axis=-1).reshape(N, 2)
     pf = pf_l.reshape(N, 2)
     if cfg.has_weights:
+        s4 = _expand_ctb4_strip(t["sidx"].astype(jnp.int32), cfg,
+                                ws4 + 2 * GB, x0)[:, c]
+        ridx = t["ref_idx"][:, c].astype(jnp.int32)
+        l2 = jnp.arange(2)[None, None, :]
         w_g = t["wt"][s4[:, :, None], l2, ridx]
         w0 = jnp.where(swap[..., None, None], w_g[:, :, 1], w_g[:, :, 0])
         w_l = jnp.stack([w0, w_g[:, :, 1]], axis=2)
