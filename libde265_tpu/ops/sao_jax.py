@@ -106,7 +106,14 @@ def _neighbor_avail_maps(plan, sh_map, cidx, H, W, ctb):
 @partial(jax.jit, static_argnames=("bitdepth",))
 def sao_apply(src, type_map, eo_map, band_map, off_maps, skip, avail,
               bitdepth=8):
-    """src: (H,W) int32. Applies band+edge SAO, returns new plane."""
+    """src: (H,W) int32. Applies band+edge SAO, returns new plane.
+
+    Select-first formulation: the two EO neighbors are chosen per pixel
+    by eo_map BEFORE the sign/category math, so sign/eidx/offset run
+    once instead of once per class (the previous 4-class loop cost ~40
+    full-plane passes; this is ~25). Neighbors come from ONE zero-padded
+    plane via static slices (borders are masked by avail, so the pad
+    value never reaches the output)."""
     H, W = src.shape
     maxv = (1 << bitdepth) - 1
     shift = bitdepth - 5
@@ -117,30 +124,33 @@ def sao_apply(src, type_map, eo_map, band_map, off_maps, skip, avail,
     delta_b = jnp.zeros_like(x)
     for k in range(4):
         delta_b = jnp.where(band == ((band_map + k) & 31), off_maps[k], delta_b)
+
     # ---- edge offset
-    def shifted(dx, dy):
-        return jnp.roll(jnp.roll(x, -dy, axis=0), -dx, axis=1)
-    # EO class neighbor offsets
-    na = [shifted(-1, 0), shifted(0, -1), shifted(-1, -1), shifted(1, -1)]
-    nb = [shifted(1, 0), shifted(0, 1), shifted(1, 1), shifted(-1, 1)]
-    # availability per class: a-neighbor dir, b-neighbor dir
-    # class0: left/right; class1: up/down; class2: up-left/down-right;
-    # class3: up-right/down-left
-    avail_a = [avail[0], avail[2], avail[0] & avail[2], avail[1] & avail[2]]
-    avail_b = [avail[1], avail[3], avail[1] & avail[3], avail[0] & avail[3]]
-    delta_e = jnp.zeros_like(x)
-    for cls in range(4):
-        sa_ = jnp.sign(x - na[cls])
-        sb_ = jnp.sign(x - nb[cls])
-        eidx = sa_ + sb_
-        d = jnp.zeros_like(x)
-        d = jnp.where(eidx == -2, off_maps[0], d)
-        d = jnp.where(eidx == -1, off_maps[1], d)
-        d = jnp.where(eidx == 1, off_maps[2], d)
-        d = jnp.where(eidx == 2, off_maps[3], d)
-        ok = avail_a[cls] & avail_b[cls]
-        d = jnp.where(ok, d, 0)
-        delta_e = jnp.where(eo_map == cls, d, delta_e)
+    xp = jnp.pad(x, 1)
+
+    def nb(dy, dx):
+        return xp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+    def sel4(v0, v1, v2, v3):
+        return jnp.where(eo_map == 0, v0,
+                         jnp.where(eo_map == 1, v1,
+                                   jnp.where(eo_map == 2, v2, v3)))
+
+    # class0 horiz: a=left,b=right; class1 vert: a=up,b=down;
+    # class2 135deg: a=up-left,b=down-right; class3 45deg: a=up-right,b=down-left
+    a = sel4(nb(0, -1), nb(-1, 0), nb(-1, -1), nb(-1, 1))
+    b = sel4(nb(0, 1), nb(1, 0), nb(1, 1), nb(1, -1))
+    eidx = jnp.sign(x - a) + jnp.sign(x - b)
+    d = jnp.where(eidx == -2, off_maps[0],
+                  jnp.where(eidx == -1, off_maps[1],
+                            jnp.where(eidx == 1, off_maps[2],
+                                      jnp.where(eidx == 2, off_maps[3], 0))))
+    # per-class availability (classes 2/3 need all four directions)
+    ok_h = avail[0] & avail[1]
+    ok_v = avail[2] & avail[3]
+    ok = jnp.where(eo_map == 0, ok_h,
+                   jnp.where(eo_map == 1, ok_v, ok_h & ok_v))
+    delta_e = jnp.where(ok, d, 0)
 
     delta = jnp.where(type_map == 1, delta_b,
                       jnp.where(type_map == 2, delta_e, 0))
