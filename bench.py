@@ -99,7 +99,8 @@ def main():
     import jax.numpy as jnp
     from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg,
                                             pack_frame, frame_compatible,
-                                            get_program, get_stream_program)
+                                            get_program, get_stream_program,
+                                            init_tables, update_tables)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     path = os.path.join(DATA, STREAM + ".bin")
@@ -126,7 +127,7 @@ def main():
         fid_slot[p.frame_id] = 1 + i % (REF_SLOTS - 1)
 
     t0 = time.time()
-    packed = [pack_frame(p, cfg, fid_slot) for p in pframes]
+    packed = [pack_frame(p, cfg, fid_slot, real_slots=True) for p in pframes]
     t_pack = time.time() - t0
     print(f"# packed {len(packed)} frames in {t_pack:.2f}s "
           f"({len(packed) / t_pack:.1f} fps)", file=sys.stderr)
@@ -138,6 +139,9 @@ def main():
     dy = dy.at[0].set(jnp.asarray(f0[0].astype(np.int16)))
     dcb = dcb.at[0].set(jnp.asarray(f0[1].astype(np.int16)))
     dcr = dcr.at[0].set(jnp.asarray(f0[2].astype(np.int16)))
+    ty, tcb, tcr = init_tables(cfg)
+    ty, tcb, tcr = jax.jit(update_tables, static_argnames=("cfg",))(
+        ty, tcb, tcr, dy[0], dcb[0], dcr[0], np.int32(0), cfg=cfg)
 
     prog = get_program(cfg)
 
@@ -147,7 +151,8 @@ def main():
     for i, (p, t) in enumerate(zip(pframes, packed)):
         td = {k: jnp.asarray(v) for k, v in t.items()}
         s = fid_slot[p.frame_id]
-        dy, dcb, dcr = prog(dy, dcb, dcr, td, np.int32(s))
+        dy, dcb, dcr, ty, tcb, tcr = prog(dy, dcb, dcr, ty, tcb, tcr,
+                                          td, np.int32(s))
         got = [hashlib.md5(np.asarray(pl[s]).astype(np.uint8).tobytes())
                .hexdigest() for pl in (dy, dcb, dcr)]
         want = [man["md5"][p.poc][k] for k in ("y", "u", "v")]
@@ -164,7 +169,8 @@ def main():
     # each DPB slot must hold the last frame written to it
     t0 = time.time()
     sd = {k: jax.device_put(v) for k, v in stacked.items()}
-    dy, dcb, dcr = sprog(dy, dcb, dcr, sd, jnp.asarray(out_slots))
+    dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
+                                       sd, jnp.asarray(out_slots))
     last_poc = {}
     for p in pframes:
         last_poc[fid_slot[p.frame_id]] = p.poc
@@ -181,7 +187,8 @@ def main():
     n_done = 0
     for r in range(ROUNDS):
         sd = {k: jax.device_put(v) for k, v in stacked.items()}
-        dy, dcb, dcr = sprog(dy, dcb, dcr, sd, jnp.asarray(out_slots))
+        dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
+                                           sd, jnp.asarray(out_slots))
         n_done += len(pframes)
     float(dy[1, 0, 0])          # sync (block_until_ready unreliable on axon)
     dt = time.time() - t0
@@ -194,7 +201,8 @@ def main():
     slots_d = jax.device_put(jnp.asarray(out_slots))
     t0 = time.time()
     for r in range(ROUNDS):
-        dy, dcb, dcr = sprog(dy, dcb, dcr, sd, slots_d)
+        dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
+                                           sd, slots_d)
     float(dy[1, 0, 0])
     dev_fps = n_done / (time.time() - t0)
     nbytes = sum(v.nbytes for v in stacked.values())

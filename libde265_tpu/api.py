@@ -129,12 +129,18 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
     spss, ppss = {}, {}
     for u in split_annexb(data):
         t = u.header.nal_unit_type
-        if t == 33:
-            s = read_sps(u.data)
-            spss[s.seq_parameter_set_id] = s
-        elif t == 34:
-            p = read_pps(u.data, spss)
-            ppss[p.pic_parameter_set_id] = p
+        try:
+            if t == 33:
+                s = read_sps(u.data)
+                spss[s.seq_parameter_set_id] = s
+            elif t == 34:
+                p = read_pps(u.data, spss)
+                ppss[p.pic_parameter_set_id] = p
+        except (ValueError, IndexError, KeyError):
+            # corrupted/truncated parameter set: skip the unit, decode
+            # what remains (reference: add_warning + continue,
+            # decctx.cc:1593-1595 / de265.h DE265_WARNING_SPS_HEADER_INVALID)
+            continue
     fe = NativeFrontend()
     plans = fe.parse(data, spss, ppss)
     refs = _RefShim()

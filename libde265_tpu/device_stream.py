@@ -15,7 +15,8 @@ with uploads of the next frames overlapping device compute.
 import numpy as np
 
 from .frame_program import (REF_SLOTS, frame_compatible, stream_cfg,
-                            pack_frame, get_program, get_stream_program)
+                            pack_frame, get_program, get_stream_program,
+                            init_tables, update_tables)
 
 
 class _HostRefShim:
@@ -53,6 +54,8 @@ class DeviceStreamDecoder:
         self.dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16)
         self.dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
         self.dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
+        # persistent MC tile tables, one build per decoded frame
+        self.ty, self.tcb, self.tcr = init_tables(self.cfg)
         self.slot_of = {}              # fid -> slot
         self.slot_fid = [None] * REF_SLOTS
         self.frames = {}               # fid -> {plan, host(np)|None, fast}
@@ -79,13 +82,15 @@ class DeviceStreamDecoder:
 
     def _mk_util_programs(self):
         jax, jnp = self.jax, self.jnp
+        cfg = self.cfg
 
-        def insert(dy, dcb, dcr, y, cb, cr, slot):
+        def insert(dy, dcb, dcr, ty, tcb, tcr, y, cb, cr, slot):
             dy = jax.lax.dynamic_update_slice(dy, y[None], (slot, 0, 0))
             dcb = jax.lax.dynamic_update_slice(dcb, cb[None], (slot, 0, 0))
             dcr = jax.lax.dynamic_update_slice(dcr, cr[None], (slot, 0, 0))
-            return dy, dcb, dcr
-        self._insert = jax.jit(insert, donate_argnums=(0, 1, 2))
+            ty, tcb, tcr = update_tables(ty, tcb, tcr, y, cb, cr, slot, cfg)
+            return dy, dcb, dcr, ty, tcb, tcr
+        self._insert = jax.jit(insert, donate_argnums=(0, 1, 2, 3, 4, 5))
 
         def fetch(dy, dcb, dcr, slot):
             H, W = dy.shape[1], dy.shape[2]
@@ -119,17 +124,21 @@ class DeviceStreamDecoder:
         self.slot_fid[s] = fid
         return s
 
+    def _do_insert(self, planes, slot):
+        jnp = self.jnp
+        (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = \
+            self._insert(
+                self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr,
+                jnp.asarray(planes[0].astype(np.int16)),
+                jnp.asarray(planes[1].astype(np.int16)),
+                jnp.asarray(planes[2].astype(np.int16)), np.int32(slot))
+
     def _ensure_in_stack(self, fid, frame_idx, needed):
         if fid in self.slot_of:
             return self.slot_of[fid]
         planes = self._host_planes(fid)
         s = self._alloc_slot(fid, frame_idx, needed)
-        jnp = self.jnp
-        self.dy, self.dcb, self.dcr = self._insert(
-            self.dy, self.dcb, self.dcr,
-            jnp.asarray(planes[0].astype(np.int16)),
-            jnp.asarray(planes[1].astype(np.int16)),
-            jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
+        self._do_insert(planes, s)
         return s
 
     def _host_planes(self, fid):
@@ -168,11 +177,7 @@ class DeviceStreamDecoder:
                       np.full((H // 2, W // 2), grey, self.dtype)]
             self.frames[fid] = {"plan": plan, "host": planes, "fast": False}
             s = self._alloc_slot(fid, frame_idx, needed)
-            self.dy, self.dcb, self.dcr = self._insert(
-                self.dy, self.dcb, self.dcr,
-                jnp.asarray(planes[0].astype(np.int16)),
-                jnp.asarray(planes[1].astype(np.int16)),
-                jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
+            self._do_insert(planes, s)
             return
 
         if frame_compatible(plan) and self._fast_ok(plan):
@@ -188,21 +193,18 @@ class DeviceStreamDecoder:
                                               bitdepth=self.cfg.bitdepth)
             self.frames[fid] = {"plan": plan, "host": planes, "fast": False}
             s = self._alloc_slot(fid, frame_idx, needed)
-            self.dy, self.dcb, self.dcr = self._insert(
-                self.dy, self.dcb, self.dcr,
-                jnp.asarray(planes[0].astype(np.int16)),
-                jnp.asarray(planes[1].astype(np.int16)),
-                jnp.asarray(planes[2].astype(np.int16)), np.int32(s))
+            self._do_insert(planes, s)
 
     def _fast_ok(self, plan):
         return True
 
     def _run_fast(self, plan, out_slot):
         jnp = self.jnp
-        t = pack_frame(plan, self.cfg, self.slot_of)
+        t = pack_frame(plan, self.cfg, self.slot_of, real_slots=True)
         td = {k: jnp.asarray(v) for k, v in t.items()}
-        self.dy, self.dcb, self.dcr = self._prog(
-            self.dy, self.dcb, self.dcr, td, np.int32(out_slot))
+        (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = \
+            self._prog(self.dy, self.dcb, self.dcr,
+                       self.ty, self.tcb, self.tcr, td, np.int32(out_slot))
 
     def decode_all(self):
         """Decode the whole plan list; maximal runs of consecutive
@@ -250,7 +252,8 @@ class DeviceStreamDecoder:
                 del sim_of[vfid]
             sim_of[plan.frame_id] = s
             sim_fid[s] = plan.frame_id
-            run.append((plan, i, s, pack_frame(plan, self.cfg, sim_of)))
+            run.append((plan, i, s,
+                        pack_frame(plan, self.cfg, sim_of, real_slots=True)))
         return run
 
     def _run_fast_scan(self, run):
@@ -259,8 +262,9 @@ class DeviceStreamDecoder:
                    for k in run[0][3]}
         slots = jnp.asarray([s for (_, _, s, _) in run], dtype=jnp.int32)
         sprog = get_stream_program(self.cfg)
-        self.dy, self.dcb, self.dcr = sprog(
-            self.dy, self.dcb, self.dcr, stacked, slots)
+        (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = sprog(
+            self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr,
+            stacked, slots)
         for (plan, i, s, _) in run:
             fid = plan.frame_id
             # mirror _alloc_slot bookkeeping for the simulated choices

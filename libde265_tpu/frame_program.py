@@ -165,9 +165,51 @@ def stream_cfg(plans, sps, use_pallas=False):
         r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8)
 
 
-def pack_frame(plan, cfg: ProgramCfg, fid_slot):
+def table_geom(cfg: ProgramCfg):
+    """Static geometry/dtype of the persistent MC tile tables: one table
+    row per stride-4 tile of the edge-padded plane, REF_SLOTS slots deep
+    (see ops/mc_tile_jax.py). Returns ((rows_y, 256), (rows_c, 64), dtype)
+    for ONE slot; the carried tables have REF_SLOTS x rows."""
+    import jax.numpy as jnp
+    nty, ntx = (cfg.H + 20) // 4, (cfg.W + 20) // 4
+    ntyc, ntxc = (cfg.H // 2 + 12) // 4, (cfg.W // 2 + 12) // 4
+    dt = jnp.uint8 if cfg.bitdepth <= 8 else jnp.int16
+    return (nty * ntx, 256), (ntyc * ntxc, 64), dt
+
+
+def init_tables(cfg: ProgramCfg):
+    """Zero-initialised persistent tile-table stacks (device)."""
+    import jax.numpy as jnp
+    (ry, wy), (rc, wc), dt = table_geom(cfg)
+    return (jnp.zeros((REF_SLOTS * ry, wy), dt),
+            jnp.zeros((REF_SLOTS * rc, wc), dt),
+            jnp.zeros((REF_SLOTS * rc, wc), dt))
+
+
+def update_tables(ty, tcb, tcr, Y, Cb, Cr, slot, cfg: ProgramCfg):
+    """Insert one frame's tile rows into the persistent tables at `slot`
+    (device; Y/Cb/Cr int planes). Built once per decoded frame instead of
+    per referencing frame — the reference rebuilds nothing (it reads pixel
+    planes directly, motion.cc:69-98); our tile layout trades this one-time
+    build for contiguous-row MC gathers."""
+    import jax.numpy as jnp
+    from .ops.mc_tile_jax import build_tables
+    (ry, _), (rc, _), _ = table_geom(cfg)
+    ny, ncb, ncr = build_tables(Y[None], Cb[None], Cr[None],
+                                use_pallas=cfg.use_pallas,
+                                bitdepth=cfg.bitdepth)
+    ty = jax.lax.dynamic_update_slice(ty, ny, (slot * ry, 0))
+    tcb = jax.lax.dynamic_update_slice(tcb, ncb, (slot * rc, 0))
+    tcr = jax.lax.dynamic_update_slice(tcr, ncr, (slot * rc, 0))
+    return ty, tcb, tcr
+
+
+def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
     """Host: FramePlan -> dict of np arrays for the fused program.
-    fid_slot: dict frame_id -> device stack slot."""
+    fid_slot: dict frame_id -> device stack slot.
+    real_slots: emit actual DPB stack slots in t["slot"] (persistent-table
+    fast path) instead of compact table ids + "sel_slots" (tile_shard's
+    per-frame-build path)."""
     from .device_plan import build_filter_grids
     t = build_filter_grids(plan)
     S1 = cfg.n_slice_rows
@@ -206,7 +248,11 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot):
     sel = np.zeros(cfg.r_act, np.int32)
     for f, ci in compact.items():
         sel[ci] = fid_slot[f]
-    t["sel_slots"] = sel
+    if real_slots:
+        # rewrite compact ids -> actual DPB slots in the rl table
+        rl_slot = sel[np.clip(rl_slot, 0, cfg.r_act - 1)].astype(np.int32)
+    else:
+        t["sel_slots"] = sel
     # per-block compact ref slot, resolved on HOST (a 3-index device
     # gather over (gh,gw,2) serializes on TPU; numpy does it for free)
     ridx_h = np.clip(plan.ref_idx, 0, 15).astype(np.int64)
@@ -340,26 +386,25 @@ def _scatter_residual_slots(plane, res, slots, log2, maxv):
     return jnp.clip(plane + rp, 0, maxv)
 
 
-def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
-                        stages=("mc", "res", "dbk", "sao")):
+def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
+                        cfg: ProgramCfg,
+                        stages=("mc", "res", "dbk", "sao", "tables")):
     """The fused program body (trace-time; wrap with jit via get_program).
     dy/dcb/dcr: (R,H,W)/(R,Hc,Wc) int16 device DPB stacks.
-    t: dict of device plan tensors. out_slot: scalar i32.
+    ty/tcb/tcr: persistent MC tile tables (init_tables), updated at DPB
+    insert — MC reads them directly, so nothing is rebuilt per
+    referencing frame. t: dict of device plan tensors (pack_frame with
+    real_slots=True). out_slot: scalar i32.
     stages: which pipeline stages run (profiling ablation —
-    tools/profile_frame_stages.py; "tables" forces MC table build even
-    when "mc" is off). Production always uses the full default.
-    Returns (dy', dcb', dcr', [Y,Cb,Cr] output planes int16)."""
+    tools/profile_frame_stages.py; "tables" = the insert-time table
+    build). Production always uses the full default.
+    Returns (dy', dcb', dcr', ty', tcb', tcr')."""
     import jax.numpy as jnp
-    from .ops.mc_tile_jax import build_tables, mc_frame_tile
-    from .ops.transform_jax import residual_batch
-    from .ops.filter_plan_jax import plan_deblock_device, plan_sao_device
-    from .ops.deblock_jax import deblock_luma_pass, deblock_chroma_pass
-    from .ops.sao_jax import sao_apply
+    from .ops.mc_tile_jax import mc_frame_tile
 
     H, W = cfg.H, cfg.W
     Hc, Wc = H // 2, W // 2
     bd = cfg.bitdepth
-    maxv = (1 << bd) - 1
     gh, gw = H // 4, W // 4
     N = gh * gw
 
@@ -369,21 +414,13 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
                   if cfg.has_weights else ("mv", "poc", "pf", "slot")):
             t[k] = _expand_grid2(t[k], gh, gw)
 
-    sel = t["sel_slots"]
-    if "mc" in stages or "tables" in stages:
-        tables = build_tables(dy[sel], dcb[sel], dcr[sel],
-                              use_pallas=cfg.use_pallas,
-                              bitdepth=cfg.bitdepth)
     if "mc" not in stages:
         Y = jnp.zeros((H, W), jnp.int32)
         Cb = jnp.zeros((Hc, Wc), jnp.int32)
         Cr = jnp.zeros((Hc, Wc), jnp.int32)
-        if "tables" in stages:    # keep the build alive (sum = one read;
-            # the == guard is runtime-false but not compile-time foldable)
-            s = tables[0].sum() + tables[1].sum() + tables[2].sum()
-            Y = Y + jnp.where(s == jnp.int16(-32768), 1, 0).astype(jnp.int32)
-        return _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages,
-                             Y, Cb, Cr)
+        return _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg,
+                             stages, Y, Cb, Cr)
+    tables = (ty, tcb, tcr)
 
     # ---- MC block arrays from grids (slot resolved on host at pack time)
     slot_g = t["slot"].astype(jnp.int32)                         # (gh,gw,2)
@@ -425,11 +462,13 @@ def decode_frame_device(dy, dcb, dcr, t, out_slot, cfg: ProgramCfg,
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
     Cb = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[1], 0)
     Cr = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[2], 0)
-    return _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages, Y, Cb, Cr)
+    return _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg,
+                         stages, Y, Cb, Cr)
 
 
-def _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages, Y, Cb, Cr):
-    """Residual add + loop filters + DPB insert (stage-gated tail)."""
+def _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg, stages,
+                  Y, Cb, Cr):
+    """Residual add + loop filters + DPB/table insert (stage-gated tail)."""
     import jax.numpy as jnp
     from .ops.transform_jax import residual_batch
     from .ops.filter_plan_jax import plan_deblock_device, plan_sao_device
@@ -476,14 +515,16 @@ def _finish_frame(dy, dcb, dcr, t, out_slot, cfg, stages, Y, Cb, Cr):
             outs.append(sao_apply(P, *maps, bitdepth=bd))
         Y, Cb, Cr = outs
 
-    # ---- DPB insert
+    # ---- DPB + tile-table insert
     dy = jax.lax.dynamic_update_slice(
         dy, Y.astype(jnp.int16)[None], (out_slot, 0, 0))
     dcb = jax.lax.dynamic_update_slice(
         dcb, Cb.astype(jnp.int16)[None], (out_slot, 0, 0))
     dcr = jax.lax.dynamic_update_slice(
         dcr, Cr.astype(jnp.int16)[None], (out_slot, 0, 0))
-    return dy, dcb, dcr
+    if "tables" in stages:
+        ty, tcb, tcr = update_tables(ty, tcb, tcr, Y, Cb, Cr, out_slot, cfg)
+    return dy, dcb, dcr, ty, tcb, tcr
 
 
 _PROGRAMS = {}
@@ -492,9 +533,10 @@ _PROGRAMS = {}
 def get_program(cfg: ProgramCfg):
     """Jitted fused program for a static config (cached)."""
     if cfg not in _PROGRAMS:
-        def fn(dy, dcb, dcr, t, out_slot):
-            return decode_frame_device(dy, dcb, dcr, t, out_slot, cfg)
-        _PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2))
+        def fn(dy, dcb, dcr, ty, tcb, tcr, t, out_slot):
+            return decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t,
+                                       out_slot, cfg)
+        _PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
     return _PROGRAMS[cfg]
 
 
@@ -504,17 +546,18 @@ _STREAM_PROGRAMS = {}
 def get_stream_program(cfg: ProgramCfg):
     """Jitted multi-frame program: lax.scan of the frame body over stacked
     plan tensors — ONE dispatch decodes a whole run of frames, with the DPB
-    stacks as the donated scan carry. This is the deployment shape: the
-    host uploads a batch of packed plans and the chip streams through them
-    with no per-frame dispatch/queueing overhead (the per-frame program
-    pays the tunnel round-trip 8x more often).
+    stacks + MC tile tables as the donated scan carry. This is the
+    deployment shape: the host uploads a batch of packed plans and the chip
+    streams through them with no per-frame dispatch/queueing overhead (the
+    per-frame program pays the tunnel round-trip 8x more often).
     ts: dict of arrays stacked on a leading frame axis; out_slots: (F,)."""
     if cfg not in _STREAM_PROGRAMS:
-        def fn(dy, dcb, dcr, ts, out_slots):
+        def fn(dy, dcb, dcr, ty, tcb, tcr, ts, out_slots):
             def step(carry, xs):
                 t, slot = xs
                 return decode_frame_device(*carry, t, slot, cfg), 0
-            carry, _ = jax.lax.scan(step, (dy, dcb, dcr), (ts, out_slots))
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tcb, tcr),
+                                    (ts, out_slots))
             return carry
-        _STREAM_PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2))
+        _STREAM_PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
     return _STREAM_PROGRAMS[cfg]

@@ -95,7 +95,8 @@ def test_stream_scan_program_matches_per_frame():
     import jax.numpy as jnp
     from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg, pack_frame,
                                             frame_compatible, get_program,
-                                            get_stream_program)
+                                            get_stream_program, init_tables,
+                                            update_tables)
     from libde265_tpu.native_frontend import NativeFrontend
     from libde265_tpu.bitstream.nal import split_annexb
     from libde265_tpu.bitstream.paramsets import read_sps, read_pps
@@ -119,7 +120,7 @@ def test_stream_scan_program_matches_per_frame():
     fid_slot = {plans[0].frame_id: 0}
     for i, p in enumerate(pframes):
         fid_slot[p.frame_id] = 1 + i % (REF_SLOTS - 1)
-    packed = [pack_frame(p, cfg, fid_slot) for p in pframes]
+    packed = [pack_frame(p, cfg, fid_slot, real_slots=True) for p in pframes]
 
     # bootstrap the IDR from the decoder itself
     pics = decode_stream_native(data)
@@ -129,20 +130,23 @@ def test_stream_scan_program_matches_per_frame():
         dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16).at[0].set(f0[0])
         dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(f0[1])
         dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(f0[2])
-        return dy, dcb, dcr
+        ty, tcb, tcr = init_tables(cfg)
+        ty, tcb, tcr = update_tables(ty, tcb, tcr, dy[0], dcb[0], dcr[0],
+                                     np.int32(0), cfg)
+        return dy, dcb, dcr, ty, tcb, tcr
 
     prog = get_program(cfg)
-    dy, dcb, dcr = fresh()
+    state = fresh()
     for p, t in zip(pframes, packed):
         td = {k: jnp.asarray(v) for k, v in t.items()}
-        dy, dcb, dcr = prog(dy, dcb, dcr, td, np.int32(fid_slot[p.frame_id]))
-    ref_state = [np.asarray(x) for x in (dy, dcb, dcr)]
+        state = prog(*state, td, np.int32(fid_slot[p.frame_id]))
+    ref_state = [np.asarray(x) for x in state]
 
     sprog = get_stream_program(cfg)
     stacked = {k: jnp.asarray(np.stack([t[k] for t in packed]))
                for k in packed[0]}
     slots = jnp.asarray([fid_slot[p.frame_id] for p in pframes],
                         dtype=jnp.int32)
-    dy, dcb, dcr = sprog(*fresh(), stacked, slots)
-    for a, b in zip(ref_state, (dy, dcb, dcr)):
+    state = sprog(*fresh(), stacked, slots)
+    for a, b in zip(ref_state, state):
         assert (a == np.asarray(b)).all()

@@ -23,11 +23,11 @@ DATA = os.path.join(REPO, "tests", "data")
 
 VARIANTS = [
     ("none", ()),                            # scan + DPB-insert overhead
-    ("tables", ("tables",)),                 # + MC tile-table build
+    ("tables", ("tables",)),                 # + insert-time tile-table build
     ("mc", ("mc",)),                         # + MC gather + filters
     ("mc_res", ("mc", "res")),               # + residual batches
     ("mc_res_dbk", ("mc", "res", "dbk")),    # + deblock V/H
-    ("full", ("mc", "res", "dbk", "sao")),   # everything (== bench.py)
+    ("full", ("mc", "res", "dbk", "sao", "tables")),   # == bench.py
 ]
 
 
@@ -44,7 +44,8 @@ def main():
     import numpy as np
     from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg,
                                             pack_frame, frame_compatible,
-                                            decode_frame_device)
+                                            decode_frame_device, init_tables,
+                                            update_tables)
     sys.path.insert(0, REPO)
     from bench import parse_stream, bootstrap_frame0
 
@@ -68,7 +69,7 @@ def main():
     fid_slot = {plans[0].frame_id: 0}
     for i, p in enumerate(pframes):
         fid_slot[p.frame_id] = 1 + i % (REF_SLOTS - 1)
-    packed = [pack_frame(p, cfg, fid_slot) for p in pframes]
+    packed = [pack_frame(p, cfg, fid_slot, real_slots=True) for p in pframes]
     stacked = {k: np.stack([t[k] for t in packed]) for k in packed[0]}
     out_slots = np.array([fid_slot[p.frame_id] for p in pframes], np.int32)
 
@@ -79,6 +80,9 @@ def main():
         jnp.asarray(f0[1].astype(np.int16)))
     dcr0 = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(
         jnp.asarray(f0[2].astype(np.int16)))
+    ty0, tcb0, tcr0 = init_tables(cfg)
+    ty0, tcb0, tcr0 = jax.jit(update_tables, static_argnames=("cfg",))(
+        ty0, tcb0, tcr0, dy0[0], dcb0[0], dcr0[0], np.int32(0), cfg=cfg)
 
     sd = {k: jax.device_put(v) for k, v in stacked.items()}
     slots_d = jax.device_put(jnp.asarray(out_slots))
@@ -86,23 +90,24 @@ def main():
 
     results = {}
     for name, stages in VARIANTS:
-        def fn(dy, dcb, dcr, ts, oslots, _stages=stages):
+        def fn(dy, dcb, dcr, ty, tcb, tcr, ts, oslots, _stages=stages):
             def step(carry, xs):
                 t, slot = xs
                 return decode_frame_device(*carry, t, slot, cfg,
                                            stages=_stages), 0
-            carry, _ = jax.lax.scan(step, (dy, dcb, dcr), (ts, oslots))
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tcb, tcr),
+                                    (ts, oslots))
             return carry
         prog = jax.jit(fn)       # no donation: reuse dy0 across variants
         t0 = time.time()
-        dy, dcb, dcr = prog(dy0, dcb0, dcr0, sd, slots_d)
-        float(dy[1, 0, 0])       # sync (axon block_until_ready unreliable)
+        st = prog(dy0, dcb0, dcr0, ty0, tcb0, tcr0, sd, slots_d)
+        float(st[0][1, 0, 0])    # sync (axon block_until_ready unreliable)
         print(f"# {name}: compile+1st {time.time()-t0:.1f}s",
               file=sys.stderr, flush=True)
         t0 = time.time()
         for _ in range(rounds):
-            dy, dcb, dcr = prog(dy, dcb, dcr, sd, slots_d)
-        float(dy[1, 0, 0])
+            st = prog(*st, sd, slots_d)
+        float(st[0][1, 0, 0])
         dt = time.time() - t0
         ms = dt / (rounds * nf) * 1000.0
         results[name] = ms
@@ -113,10 +118,11 @@ def main():
     attr = {
         "scan_dpb_overhead": results.get("none"),
         "mc_table_build": results.get("tables", 0) - results.get("none", 0),
-        "mc_gather_filter": results.get("mc", 0) - results.get("tables", 0),
+        "mc_gather_filter": results.get("mc", 0) - results.get("none", 0),
         "residuals": results.get("mc_res", 0) - results.get("mc", 0),
         "deblock": results.get("mc_res_dbk", 0) - results.get("mc_res", 0),
-        "sao": results.get("full", 0) - results.get("mc_res_dbk", 0),
+        "sao": results.get("full", 0) - results.get("mc_res_dbk", 0)
+               - (results.get("tables", 0) - results.get("none", 0)),
     }
     print(json.dumps({"stream": stream,
                       "attribution_ms": {k: round(v, 2)
