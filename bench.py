@@ -160,15 +160,21 @@ def main():
     print(f"# verification round (incl. compile): {time.time()-t0:.1f}s, "
           f"all {len(pframes)} P-frame MD5s match dec265", file=sys.stderr)
 
-    # ---- whole-stream scan program: stack plans on a frame axis
-    sprog = get_stream_program(cfg)
+    # ---- whole-stream scan program: stack plans on a frame axis and
+    # serialize the batch into ONE uint8 blob (single transfer per batch —
+    # the tunneled link pays a round-trip per array)
+    from libde265_tpu.frame_program import (blob_meta, pack_blob,
+                                            get_stream_program_blob)
     stacked = {k: np.stack([t[k] for t in packed])
                for k in packed[0]}
+    meta, total = blob_meta(stacked)
+    blob = pack_blob(stacked, meta, total)
+    sprog = get_stream_program_blob(cfg, meta)
     out_slots = np.array([fid_slot[p.frame_id] for p in pframes], np.int32)
     # untimed scan round (compiles) + bit-exactness vs the per-frame path:
     # each DPB slot must hold the last frame written to it
     t0 = time.time()
-    sd = {k: jax.device_put(v) for k, v in stacked.items()}
+    sd = jax.device_put(blob)
     dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
                                        sd, jnp.asarray(out_slots))
     last_poc = {}
@@ -186,7 +192,7 @@ def main():
     t0 = time.time()
     n_done = 0
     for r in range(ROUNDS):
-        sd = {k: jax.device_put(v) for k, v in stacked.items()}
+        sd = jax.device_put(blob)
         dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
                                            sd, jnp.asarray(out_slots))
         n_done += len(pframes)
@@ -205,12 +211,11 @@ def main():
                                            sd, slots_d)
     float(dy[1, 0, 0])
     dev_fps = n_done / (time.time() - t0)
-    nbytes = sum(v.nbytes for v in stacked.values())
+    nbytes = blob.nbytes
     t0 = time.time()
     for r in range(2):
-        sd2 = {k: jax.device_put(v) for k, v in stacked.items()}
-        for v in sd2.values():        # force every transfer to complete
-            float(v.ravel()[0])
+        sd2 = jax.device_put(blob)
+        float(sd2.ravel()[0])         # force the transfer to complete
     up_mbps = 2 * nbytes / (time.time() - t0) / 1e6
     baseline = 36.0
     print(json.dumps({

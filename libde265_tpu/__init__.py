@@ -7,6 +7,7 @@ reconstruction, sharded across device meshes for tiles/frames.
 """
 from .decoder import Decoder
 from .api import (new_decoder, push_data, push_nal, flush_data, decode,
-                  get_next_picture, decode_stream, DecodedPicture)
+                  get_next_picture, decode_stream, decode_stream_native,
+                  DecodedPicture)
 
 __version__ = "0.1.0"

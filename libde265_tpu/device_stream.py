@@ -257,14 +257,18 @@ class DeviceStreamDecoder:
         return run
 
     def _run_fast_scan(self, run):
+        from .frame_program import (blob_meta, pack_blob,
+                                    get_stream_program_blob)
         jnp = self.jnp
-        stacked = {k: jnp.asarray(np.stack([t[k] for (_, _, _, t) in run]))
+        stacked = {k: np.stack([t[k] for (_, _, _, t) in run])
                    for k in run[0][3]}
+        meta, total = blob_meta(stacked)
+        buf = jnp.asarray(pack_blob(stacked, meta, total))
         slots = jnp.asarray([s for (_, _, s, _) in run], dtype=jnp.int32)
-        sprog = get_stream_program(self.cfg)
+        sprog = get_stream_program_blob(self.cfg, meta)
         (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = sprog(
             self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr,
-            stacked, slots)
+            buf, slots)
         for (plan, i, s, _) in run:
             fid = plan.frame_id
             # mirror _alloc_slot bookkeeping for the simulated choices

@@ -456,7 +456,7 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
         ex = jnp.zeros((N,), bool)
 
     mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
-                        bi=cfg.has_bi)
+                        bi=cfg.has_bi, use_pallas=cfg.use_pallas)
 
     inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
@@ -540,6 +540,51 @@ def get_program(cfg: ProgramCfg):
     return _PROGRAMS[cfg]
 
 
+# ---------------------------------------------------- monolithic upload
+def blob_meta(stacked):
+    """Static layout for serializing a dict of stacked plan tensors into
+    ONE contiguous uint8 buffer: the tunneled host->device link pays a
+    round-trip per array, so a scan batch ships as a single transfer.
+    Returns a hashable ((key, dtype, shape, offset), ..., total) tuple."""
+    meta = []
+    off = 0
+    for k in sorted(stacked):
+        a = stacked[k]
+        off = -(-off // 128) * 128
+        meta.append((k, a.dtype.str, a.shape, off))
+        off += a.nbytes
+    return tuple(meta), off
+
+
+def pack_blob(stacked, meta, total):
+    buf = np.zeros(total, np.uint8)
+    for k, dt, shape, off in meta:
+        a = stacked[k]
+        buf[off:off + a.nbytes] = np.ascontiguousarray(a).view(np.uint8) \
+            .reshape(-1)
+    return buf
+
+
+def unpack_blob(buf, meta):
+    """Device: slice/bitcast the blob back into the tensor dict (static
+    offsets — fused, no copies beyond the lazy slices XLA folds)."""
+    import jax.numpy as jnp
+    out = {}
+    for k, dt, shape, off in meta:
+        d = np.dtype(dt)
+        n = int(np.prod(shape)) if shape else 1
+        raw = jax.lax.dynamic_slice(buf, (off,), (n * d.itemsize,))
+        tgt = jnp.dtype(d.str.lstrip("<>="))
+        if d.itemsize == 1:
+            a = raw if d.kind == "u" else (raw != 0) if d.kind == "b" \
+                else jax.lax.bitcast_convert_type(raw, tgt)
+        else:
+            a = jax.lax.bitcast_convert_type(
+                raw.reshape(n, d.itemsize), tgt)
+        out[k] = a.reshape(shape)
+    return out
+
+
 _STREAM_PROGRAMS = {}
 
 
@@ -561,3 +606,25 @@ def get_stream_program(cfg: ProgramCfg):
             return carry
         _STREAM_PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
     return _STREAM_PROGRAMS[cfg]
+
+
+_BLOB_PROGRAMS = {}
+
+
+def get_stream_program_blob(cfg: ProgramCfg, meta):
+    """get_stream_program variant taking the scan batch as ONE uint8 blob
+    (+ (F,) out_slots): a single host->device transfer per batch instead
+    of ~20, which matters on latency-bound links. meta from blob_meta."""
+    key = (cfg, meta)
+    if key not in _BLOB_PROGRAMS:
+        def fn(dy, dcb, dcr, ty, tcb, tcr, buf, out_slots):
+            ts = unpack_blob(buf, meta)
+
+            def step(carry, xs):
+                t, slot = xs
+                return decode_frame_device(*carry, t, slot, cfg), 0
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tcb, tcr),
+                                    (ts, out_slots))
+            return carry
+        _BLOB_PROGRAMS[key] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+    return _BLOB_PROGRAMS[key]

@@ -122,7 +122,27 @@ def build_tables(refs_y, refs_cb, refs_cr, use_pallas=False, bitdepth=8):
             build_tile_table_c(pcr, dt))
 
 
-def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
+def _pallas_interp():
+    """Mosaic on real TPU; interpreter on the CPU test backend."""
+    import jax
+    return jax.default_backend() != "tpu"
+
+
+def _taps32(th, tv, U, npad):
+    """Pack per-block tap vectors into the (N,32) int8 kernel input:
+    th in lanes [0,U), tv in lanes [16,16+U)."""
+    n = th.shape[0]
+    z = jnp.zeros((n, 16 - U), jnp.int8)
+    tap = jnp.concatenate([th.astype(jnp.int8), z,
+                           tv.astype(jnp.int8), z], axis=1)
+    if npad != n:
+        tap = jnp.concatenate(
+            [tap, jnp.zeros((npad - n, 32), jnp.int8)], axis=0)
+    return tap
+
+
+def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1,
+                    use_pallas=False):
     """One list's luma prediction for all N 4x4 blocks: (N,4,4) int32
     (14-bit intermediate scale).
 
@@ -130,7 +150,8 @@ def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
     128/64-lane slices: row element c*16+r, so win[:, 16u:16u+128] puts
     win[(u+j)*16+r] at lane j*16+r — both tap passes become aligned VPU
     multiply-adds with zero relayout (the earlier (N,16,16) middle-axis
-    slicing forced per-term lane shuffles and was ~3x slower on TPU)."""
+    slicing forced per-term lane shuffles and was ~3x slower on TPU).
+    use_pallas runs both passes in one VMEM kernel (pallas/mc_filter.py)."""
     x0 = jnp.clip(bx + (mvx >> 2) - 3, -14, W + 1)
     y0 = jnp.clip(by + (mvy >> 2) - 3, -14, H + 1)
     tx = (x0 + 16) >> 2
@@ -138,10 +159,22 @@ def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
     dx = (x0 + 16) & 3
     dy = (y0 + 16) & 3
     idx = (slot * nty + ty) * ntx + tx
-    win = table_y[idx]                          # (N, 256) i16, [c*16+r]
     from .lut import take_rows_small
     th = take_rows_small(TH_Y, (mvx & 3) * 4 + dx)          # (N,11)
     tv = take_rows_small(TH_Y, (mvy & 3) * 4 + dy)          # (N,11)
+    if use_pallas:
+        from .pallas.mc_filter import mc_taps_pallas, BLK
+        n = idx.shape[0]
+        npad = -(-n // BLK) * BLK
+        if npad != n:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros(npad - n, idx.dtype)])
+        win = table_y[idx]                      # (Npad, 256)
+        out = mc_taps_pallas(win, _taps32(th, tv, 11, npad),
+                             16, 11, 80, 64, shift1,
+                             interpret=_pallas_interp())[:n]
+        return out.reshape(-1, 4, 16)[:, :, :4].transpose(0, 2, 1)
+    win = table_y[idx]                          # (N, 256) i16, [c*16+r]
     # horizontal: lane j*16+r of tmp = sum_u win[(u+j)*16+r] * th[u]
     # (80 lanes: the vertical pass reads tmp lanes up to 10+63=73, and
     # 16*10+79=239 keeps every u-slice inside the 256-wide row)
@@ -156,7 +189,7 @@ def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1):
 
 
 def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
-                      shift1):
+                      shift1, use_pallas=False):
     """One list's chroma prediction for all N 2x2 blocks: (N,2,2) int32."""
     x0 = jnp.clip((bx >> 1) + (mvx >> 3) - 1, -7, Wc + 1)
     y0 = jnp.clip((by >> 1) + (mvy >> 3) - 1, -7, Hc + 1)
@@ -165,10 +198,22 @@ def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
     dx = (x0 + 8) & 3
     dy = (y0 + 8) & 3
     idx = (slot * nty + ty) * ntx + tx
-    win = table_c[idx]                          # (N, 64) i16, [c*8+r]
     from .lut import take_rows_small
     th = take_rows_small(TH_C, (mvx & 7) * 4 + dx)          # (N,7)
     tv = take_rows_small(TH_C, (mvy & 7) * 4 + dy)
+    if use_pallas:
+        from .pallas.mc_filter import mc_taps_pallas, BLK
+        n = idx.shape[0]
+        npad = -(-n // BLK) * BLK
+        if npad != n:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros(npad - n, idx.dtype)])
+        win = table_c[idx]                      # (Npad, 64)
+        out = mc_taps_pallas(win, _taps32(th, tv, 7, npad),
+                             8, 7, 16, 16, shift1,
+                             interpret=_pallas_interp())[:n]
+        return jnp.stack([out[:, 0:2], out[:, 8:10]], axis=2)
+    win = table_c[idx]                          # (N, 64) i16, [c*8+r]
     # flat-lane taps (see _luma_pred_tile): lane j*8+r, j<2 needed
     tmp = sum(win[:, 8 * u:8 * u + 16].astype(jnp.int32) * th[:, u, None]
               for u in range(7)) >> shift1                # (N,16)
@@ -205,7 +250,7 @@ def _combine(p0, p1, pf, wts, ex, ci, shift, maxv):
 
 
 def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
-                  strip=None, x0=0, bi=True):
+                  strip=None, x0=0, bi=True, use_pallas=False):
     """Motion-compensate every 4x4 block of a frame from tile tables.
 
     tables : (table_y, table_cb, table_cr) from build_tables
@@ -240,18 +285,18 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
     mvx0, mvy0, s0 = lane(0)
     mvx1, mvy1, s1 = lane(1)
     y0p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx0, mvy0, s0, H, W,
-                          shift1)
+                          shift1, use_pallas)
     y1p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx1, mvy1, s1, H, W,
-                          shift1) if bi else None
+                          shift1, use_pallas) if bi else None
     yv = _combine(y0p, y1p, pf, wts, ex, 0, shift, maxv)
     Wo = n_bx * 4
     planes = [yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3)
                 .reshape(H, Wo)]
     for ci, tab in ((1, table_cb), (2, table_cr)):
         c0 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx0, mvy0, s0,
-                               Hc, Wc, shift1)
+                               Hc, Wc, shift1, use_pallas)
         c1 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx1, mvy1, s1,
-                               Hc, Wc, shift1) if bi else None
+                               Hc, Wc, shift1, use_pallas) if bi else None
         cv = _combine(c0, c1, pf, wts, ex, ci, shift, maxv)
         planes.append(cv.reshape(n_by, n_bx, 2, 2)
                         .transpose(0, 2, 1, 3).reshape(Hc, Wo // 2))

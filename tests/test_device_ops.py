@@ -47,14 +47,14 @@ def test_device_mc_match(name):
     from libde265_tpu.reconstruct import reconstruct_frame
     from libde265_tpu.api import _RefShim
     import libde265_tpu.ops.inter_ref as iref
-    from libde265_tpu.ops.inter_jax import motion_compensate_frame_device
+    from libde265_tpu.ops.mc_tile_jax import motion_compensate_frame_tile
     plans = _plans(name)
     refs = _RefShim()
     for plan in plans:
         saved = iref.motion_compensate_frame
         planes_ref = reconstruct_frame(plan, dpb_images=refs)
         iref.motion_compensate_frame = \
-            lambda pl, planes, dpb: motion_compensate_frame_device(pl, planes, dpb)
+            lambda pl, planes, dpb: motion_compensate_frame_tile(pl, planes, dpb)
         refs2 = _RefShim(); refs2.pics = dict(refs.pics)
         planes_dev = reconstruct_frame(plan, dpb_images=refs2)
         iref.motion_compensate_frame = saved

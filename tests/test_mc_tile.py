@@ -63,3 +63,21 @@ def test_mc_tile_matches_dense(seed, bitdepth, weighted, wild_mv):
             raise AssertionError(
                 f"plane {ci}: {len(bad)} mismatches, first at {bad[0]} "
                 f"{aa[tuple(bad[0])]} vs {bb[tuple(bad[0])]}")
+
+
+@pytest.mark.parametrize("seed,bitdepth", [(0, 8), (1, 10)])
+def test_mc_pallas_filter_matches_xla(seed, bitdepth):
+    """The pallas tap-filter kernel (interpret mode on CPU) must agree
+    bit-for-bit with the XLA tap passes, incl. bi-pred and 10-bit."""
+    import jax.numpy as jnp
+    from libde265_tpu.ops.mc_tile_jax import build_tables, mc_frame_tile
+    refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex = _rand_case(
+        seed, 64, 128, 4, bitdepth, False, True)
+    tabs = build_tables(jnp.asarray(refs_y), jnp.asarray(refs_cb),
+                        jnp.asarray(refs_cr), bitdepth=bitdepth)
+    args = (tabs, (64, 128), jnp.asarray(mv), jnp.asarray(slot),
+            jnp.asarray(pf), jnp.asarray(wts), jnp.asarray(ex), bitdepth)
+    a = mc_frame_tile(*args, use_pallas=False)
+    b = mc_frame_tile(*args, use_pallas=True)
+    for ci in range(3):
+        assert (np.asarray(a[ci]) == np.asarray(b[ci])).all(), ci
