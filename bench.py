@@ -161,14 +161,14 @@ def main():
           f"all {len(pframes)} P-frame MD5s match dec265", file=sys.stderr)
 
     # ---- whole-stream scan program: stack plans on a frame axis and
-    # serialize the batch into ONE uint8 blob (single transfer per batch —
-    # the tunneled link pays a round-trip per array)
+    # serialize the batch into one flat buffer per dtype (~4 transfers per
+    # batch — the tunneled link pays a round-trip per array)
     from libde265_tpu.frame_program import (blob_meta, pack_blob,
                                             get_stream_program_blob)
     stacked = {k: np.stack([t[k] for t in packed])
                for k in packed[0]}
-    meta, total = blob_meta(stacked)
-    blob = pack_blob(stacked, meta, total)
+    meta, totals = blob_meta(stacked)
+    blob = pack_blob(stacked, meta, totals)
     sprog = get_stream_program_blob(cfg, meta)
     out_slots = np.array([fid_slot[p.frame_id] for p in pframes], np.int32)
     # untimed scan round (compiles) + bit-exactness vs the per-frame path:
@@ -211,11 +211,12 @@ def main():
                                            sd, slots_d)
     float(dy[1, 0, 0])
     dev_fps = n_done / (time.time() - t0)
-    nbytes = blob.nbytes
+    nbytes = sum(v.nbytes for v in blob.values())
     t0 = time.time()
     for r in range(2):
         sd2 = jax.device_put(blob)
-        float(sd2.ravel()[0])         # force the transfer to complete
+        for v in sd2.values():        # force every transfer to complete
+            float(v.ravel()[0])
     up_mbps = 2 * nbytes / (time.time() - t0) / 1e6
     baseline = 36.0
     print(json.dumps({

@@ -262,8 +262,9 @@ class DeviceStreamDecoder:
         jnp = self.jnp
         stacked = {k: np.stack([t[k] for (_, _, _, t) in run])
                    for k in run[0][3]}
-        meta, total = blob_meta(stacked)
-        buf = jnp.asarray(pack_blob(stacked, meta, total))
+        meta, totals = blob_meta(stacked)
+        buf = {k: jnp.asarray(v)
+               for k, v in pack_blob(stacked, meta, totals).items()}
         slots = jnp.asarray([s for (_, _, s, _) in run], dtype=jnp.int32)
         sprog = get_stream_program_blob(self.cfg, meta)
         (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = sprog(

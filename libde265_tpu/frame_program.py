@@ -52,6 +52,12 @@ class ProgramCfg:
                                       # 8-aligned: motion grids upload at
                                       # 8x8 granularity (4x fewer bytes)
                                       # and expand on device
+    pallas_taps: bool = False         # run the MC tap filters in the
+                                      # pallas kernel (pallas/mc_filter.py)
+                                      # instead of XLA lane slices; measured
+                                      # slower on v5e (see COMPONENTS.md),
+                                      # kept for A/B (use_pallas covers only
+                                      # the table BUILDER, mandatory on TPU)
 
     @property
     def fcfg(self):
@@ -456,7 +462,7 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
         ex = jnp.zeros((N,), bool)
 
     mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
-                        bi=cfg.has_bi, use_pallas=cfg.use_pallas)
+                        bi=cfg.has_bi, use_pallas=cfg.pallas_taps)
 
     inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
@@ -543,45 +549,44 @@ def get_program(cfg: ProgramCfg):
 # ---------------------------------------------------- monolithic upload
 def blob_meta(stacked):
     """Static layout for serializing a dict of stacked plan tensors into
-    ONE contiguous uint8 buffer: the tunneled host->device link pays a
-    round-trip per array, so a scan batch ships as a single transfer.
-    Returns a hashable ((key, dtype, shape, offset), ..., total) tuple."""
+    one flat buffer PER DTYPE: the tunneled host->device link pays a
+    round-trip per array, so a scan batch ships as ~4 transfers instead
+    of ~20. Grouping by dtype keeps the device-side unpack to static
+    slice+reshape only (no bitcasts — layout-heavy reinterpret casts have
+    wedged the axon remote compiler before).
+    Returns a hashable ((key, dtype, shape, offset_elems), ...) tuple and
+    a {dtype_str: total_elems} dict."""
     meta = []
-    off = 0
+    totals = {}
     for k in sorted(stacked):
         a = stacked[k]
-        off = -(-off // 128) * 128
-        meta.append((k, a.dtype.str, a.shape, off))
-        off += a.nbytes
-    return tuple(meta), off
+        dt = a.dtype.str
+        off = totals.get(dt, 0)
+        meta.append((k, dt, a.shape, off))
+        totals[dt] = off + int(a.size)
+    return tuple(meta), totals
 
 
-def pack_blob(stacked, meta, total):
-    buf = np.zeros(total, np.uint8)
+def pack_blob(stacked, meta, totals):
+    """Host: {dtype_str: flat numpy array} — bools pack as uint8."""
+    bufs = {dt: np.zeros(n, np.dtype(dt) if np.dtype(dt).kind != "b"
+                         else np.uint8) for dt, n in totals.items()}
     for k, dt, shape, off in meta:
         a = stacked[k]
-        buf[off:off + a.nbytes] = np.ascontiguousarray(a).view(np.uint8) \
-            .reshape(-1)
-    return buf
+        bufs[dt][off:off + a.size] = a.reshape(-1)
+    return bufs
 
 
-def unpack_blob(buf, meta):
-    """Device: slice/bitcast the blob back into the tensor dict (static
-    offsets — fused, no copies beyond the lazy slices XLA folds)."""
-    import jax.numpy as jnp
+def unpack_blob(bufs, meta):
+    """Device: static slice + reshape back into the tensor dict (XLA
+    folds these into the consumers — no materialized copies)."""
     out = {}
     for k, dt, shape, off in meta:
-        d = np.dtype(dt)
         n = int(np.prod(shape)) if shape else 1
-        raw = jax.lax.dynamic_slice(buf, (off,), (n * d.itemsize,))
-        tgt = jnp.dtype(d.str.lstrip("<>="))
-        if d.itemsize == 1:
-            a = raw if d.kind == "u" else (raw != 0) if d.kind == "b" \
-                else jax.lax.bitcast_convert_type(raw, tgt)
-        else:
-            a = jax.lax.bitcast_convert_type(
-                raw.reshape(n, d.itemsize), tgt)
-        out[k] = a.reshape(shape)
+        raw = bufs[dt][off:off + n]
+        if np.dtype(dt).kind == "b":
+            raw = raw != 0
+        out[k] = raw.reshape(shape)
     return out
 
 
@@ -612,8 +617,8 @@ _BLOB_PROGRAMS = {}
 
 
 def get_stream_program_blob(cfg: ProgramCfg, meta):
-    """get_stream_program variant taking the scan batch as ONE uint8 blob
-    (+ (F,) out_slots): a single host->device transfer per batch instead
+    """get_stream_program variant taking the scan batch as per-dtype flat
+    blobs (+ (F,) out_slots): ~4 host->device transfers per batch instead
     of ~20, which matters on latency-bound links. meta from blob_meta."""
     key = (cfg, meta)
     if key not in _BLOB_PROGRAMS:

@@ -192,7 +192,7 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
         ex = jnp.zeros((N,), bool)
 
     mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
-                        strip=Ws, x0=x0, use_pallas=cfg.use_pallas)
+                        strip=Ws, x0=x0, use_pallas=cfg.pallas_taps)
     inter_m = t["pm"][:, c].astype(jnp.int32) == 0
     Y = jnp.where(_expand_mask_strip(inter_m, 4, H, Ws), mcp[0], 0)
     Cb = jnp.where(_expand_mask_strip(inter_m, 2, Hc, Wsc), mcp[1], 0)

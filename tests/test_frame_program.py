@@ -150,3 +150,15 @@ def test_stream_scan_program_matches_per_frame():
     state = sprog(*fresh(), stacked, slots)
     for a, b in zip(ref_state, state):
         assert (a == np.asarray(b)).all()
+
+    # per-dtype-blob upload variant: same end state
+    from libde265_tpu.frame_program import (blob_meta, pack_blob,
+                                            get_stream_program_blob)
+    stacked_np = {k: np.stack([t[k] for t in packed]) for k in packed[0]}
+    meta, totals = blob_meta(stacked_np)
+    bufs = {k: jnp.asarray(v)
+            for k, v in pack_blob(stacked_np, meta, totals).items()}
+    bprog = get_stream_program_blob(cfg, meta)
+    state = bprog(*fresh(), bufs, slots)
+    for a, b in zip(ref_state, state):
+        assert (a == np.asarray(b)).all()
