@@ -175,24 +175,18 @@ def _luma_pred_tile(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1,
                              interpret=_pallas_interp())[:n]
         return out.reshape(-1, 4, 16)[:, :, :4].transpose(0, 2, 1)
     win = table_y[idx]                          # (N, 256) i16, [c*16+r]
-    # Both passes run in f32: native VPU FMAs vs emulated int32 multiplies.
-    # Bit-exact (pallas/mc_filter.py header): samples <= 1023, |taps| <= 58
-    # keep every product < 2^17 and every accumulation < 2^24 inside f32's
-    # 24-bit mantissa; the in-spec arithmetic shifts run in int32.
     # horizontal: lane j*16+r of tmp = sum_u win[(u+j)*16+r] * th[u]
     # (80 lanes: the vertical pass reads tmp lanes up to 10+63=73, and
     # 16*10+79=239 keeps every u-slice inside the 256-wide row)
-    wf = win.astype(jnp.float32)
-    thf = th.astype(jnp.float32)
-    tvf = tv.astype(jnp.float32)
-    tmp = sum(wf[:, 16 * u:16 * u + 80] * thf[:, u, None]
-              for u in range(11))                         # (N,80)
-    if shift1:
-        tmp = (tmp.astype(jnp.int32) >> shift1).astype(jnp.float32)
+    # (int32 VPU math measured fastest on v5e: an f32-FMA variant cost
+    # MORE — the int16->f32 relayout dominates — and the pallas kernel
+    # fed by an external gather was 1.7x slower end to end)
+    tmp = sum(win[:, 16 * u:16 * u + 80].astype(jnp.int32) * th[:, u, None]
+              for u in range(11)) >> shift1               # (N,80)
     # vertical: lane j*16+i of out = sum_u tmp[j*16+(i+u)] * tv[u]
     # (i<4, u<11 -> i+u<=13<16: no cross-column contamination)
-    out = sum(tmp[:, u:u + 64] * tvf[:, u, None]
-              for u in range(11)).astype(jnp.int32) >> 6  # (N,64)
+    out = sum(tmp[:, u:u + 64] * tv[:, u, None]
+              for u in range(11)) >> 6                    # (N,64)
     # lane j*16+i -> (N, i, j)
     return out.reshape(-1, 4, 16)[:, :, :4].transpose(0, 2, 1)
 
@@ -223,20 +217,14 @@ def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
                              interpret=_pallas_interp())[:n]
         return jnp.stack([out[:, 0:2], out[:, 8:10]], axis=2)
     win = table_c[idx]                          # (N, 64) i16, [c*8+r]
-    # f32 passes, same exactness bounds as _luma_pred_tile
     # flat-lane taps (see _luma_pred_tile): lane j*8+r, j<2 needed
-    wf = win.astype(jnp.float32)
-    thf = th.astype(jnp.float32)
-    tvf = tv.astype(jnp.float32)
-    tmp = sum(wf[:, 8 * u:8 * u + 16] * thf[:, u, None]
-              for u in range(7))                          # (N,16)
-    if shift1:
-        tmp = (tmp.astype(jnp.int32) >> shift1).astype(jnp.float32)
+    tmp = sum(win[:, 8 * u:8 * u + 16].astype(jnp.int32) * th[:, u, None]
+              for u in range(7)) >> shift1                # (N,16)
     # i<2, u<7 -> i+u<=7: stays within the 8-row column group; only lanes
     # {0,1,8,9} (= j*8+i) are consumed, so a 10-lane window keeps every
     # u-slice inside tmp's 16 lanes
-    out = sum(tmp[:, u:u + 10] * tvf[:, u, None]
-              for u in range(7)).astype(jnp.int32) >> 6   # (N,10)
+    out = sum(tmp[:, u:u + 10] * tv[:, u, None]
+              for u in range(7)) >> 6                     # (N,10)
     # lanes j*8+i -> (N, i, j)
     return jnp.stack([out[:, 0:2], out[:, 8:10]], axis=2)
 

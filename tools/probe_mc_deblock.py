@@ -131,6 +131,61 @@ def main():
                             cfg.bitdepth, bi=cfg.has_bi)
         return sum(p.sum() for p in mcp)
 
+    # ---- luma tap-pass arithmetic experiments (8-bit only): the h-pass
+    # accumulation fits int16 (255 * sum|taps| = 28560 < 2^15) and the
+    # v-pass fits f32's 24-bit mantissa (28560 * 112 = 3.2M < 2^24), so
+    # both narrower forms are bit-exact; the question is VPU cost.
+    def _luma_pre(t):
+        mv, slot, pf, wts, ex = mc_inputs(t)
+        mvx, mvy, s0 = mv[:, 0, 0], mv[:, 0, 1], slot[:, 0]
+        x0 = jnp.clip(bx + (mvx >> 2) - 3, -14, W + 1)
+        y0 = jnp.clip(by + (mvy >> 2) - 3, -14, H + 1)
+        tx = (x0 + 16) >> 2
+        ty2 = (y0 + 16) >> 2
+        dx = (x0 + 16) & 3
+        dy2 = (y0 + 16) & 3
+        idx = (s0 * nty + ty2) * ntx + tx
+        from libde265_tpu.ops.lut import take_rows_small
+        from libde265_tpu.ops.mc_tile_jax import TH_Y
+        th = take_rows_small(TH_Y, (mvx & 3) * 4 + dx)
+        tv = take_rows_small(TH_Y, (mvy & 3) * 4 + dy2)
+        return idx, th, tv
+
+    def v_mc_luma_h16f32(tab3, t):
+        """h-pass int16, v-pass f32."""
+        idx, th, tv = _luma_pre(t)
+        w16 = tab3[0][idx].astype(jnp.int16)
+        th16 = th.astype(jnp.int16)
+        tvf = tv.astype(jnp.float32)
+        tmp = sum(w16[:, 16 * u:16 * u + 80] * th16[:, u, None]
+                  for u in range(11))
+        tf = tmp.astype(jnp.float32)
+        out = sum(tf[:, u:u + 64] * tvf[:, u, None]
+                  for u in range(11)).astype(jnp.int32) >> 6
+        return out.sum()
+
+    def v_mc_luma_h16i32(tab3, t):
+        """h-pass int16, v-pass int32."""
+        idx, th, tv = _luma_pre(t)
+        w16 = tab3[0][idx].astype(jnp.int16)
+        th16 = th.astype(jnp.int16)
+        tmp = sum(w16[:, 16 * u:16 * u + 80] * th16[:, u, None]
+                  for u in range(11))
+        t32 = tmp.astype(jnp.int32)
+        out = sum(t32[:, u:u + 64] * tv[:, u, None]
+                  for u in range(11)) >> 6
+        return out.sum()
+
+    def v_mc_luma_pre32(tab3, t):
+        """baseline but window converted to int32 ONCE before slicing."""
+        idx, th, tv = _luma_pre(t)
+        w32 = tab3[0][idx].astype(jnp.int32)
+        tmp = sum(w32[:, 16 * u:16 * u + 80] * th[:, u, None]
+                  for u in range(11))
+        out = sum(tmp[:, u:u + 64] * tv[:, u, None]
+                  for u in range(11)) >> 6
+        return out.sum()
+
     def v_dbk_plan(tab3, t):
         lm, cm = plan_deblock_device(expand_t(t), cfg.fcfg)
         s = sum(m.sum() for d in lm for m in d)
@@ -165,6 +220,9 @@ def main():
         return Y.sum() + Cb.sum() + Cr.sum()
 
     variants = [("mc_gather", v_mc_gather), ("mc_luma", v_mc_luma),
+                ("mc_luma_h16f32", v_mc_luma_h16f32),
+                ("mc_luma_h16i32", v_mc_luma_h16i32),
+                ("mc_luma_pre32", v_mc_luma_pre32),
                 ("mc_full", v_mc_full), ("dbk_plan", v_dbk_plan),
                 ("dbk_luma", v_dbk_luma), ("dbk_full", v_dbk_full)]
     only = [a.split("=", 1)[1].split(",") for a in sys.argv
