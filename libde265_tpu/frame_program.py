@@ -58,6 +58,10 @@ class ProgramCfg:
                                       # slower on v5e (see COMPONENTS.md),
                                       # kept for A/B (use_pallas covers only
                                       # the table BUILDER, mandatory on TPU)
+    mc_caps: tuple = ()               # ((16,) h-class, (16,) v-class)
+                                      # static capacities for the class-
+                                      # sorted MXU luma MC (mc_mxu_jax);
+                                      # () = VPU tap path
 
     @property
     def fcfg(self):
@@ -153,6 +157,32 @@ def stream_cfg(plans, sps, use_pallas=False):
         smax = max(smax, len(plan.slice_headers))
         has_w = has_w or any(s.pred_weight is not None
                              for s in plan.slice_headers)
+    # class-sorted MXU MC capacities: per-(h,v)-class max counts over
+    # every compatible frame and every lane the program will run, using
+    # the SAME numpy geometry the device traces (mc_mxu_jax.luma_geom)
+    from .ops.mc_mxu_jax import NCLS, caps_from_counts, luma_class_counts
+    H_, W_ = sps.pic_height_in_luma_samples, sps.pic_width_in_luma_samples
+    hmax = np.zeros(NCLS, np.int64)
+    vmax = np.zeros(NCLS, np.int64)
+    any_mc = False
+    for plan in plans:
+        if plan.nal_type == -1 or not frame_compatible(plan):
+            continue
+        any_mc = True
+        mv = np.asarray(plan.mv, np.int64)          # (gh,gw,2,2)
+        pf = np.asarray(plan.pred_flag)
+        N = mv.shape[0] * mv.shape[1]
+        swap = (pf[:, :, 0] == 0)[..., None]
+        lanes = [np.where(swap, mv[:, :, 1, :], mv[:, :, 0, :])
+                 .reshape(N, 2)]
+        if has_bi:
+            lanes.append(mv[:, :, 1, :].reshape(N, 2))
+        for lane_mv in lanes:
+            hc, vc = luma_class_counts(lane_mv, H_, W_)
+            hmax = np.maximum(hmax, hc)
+            vmax = np.maximum(vmax, vc)
+    mc_caps = caps_from_counts(hmax, vmax) if any_mc else ()
+
     pps = plans[0].pps if plans else None
     order = sorted(kmax.items())
     return ProgramCfg(
@@ -168,7 +198,8 @@ def stream_cfg(plans, sps, use_pallas=False):
         buckets=tuple((c, l, _ceil_sched(ke[0])) for (c, l), ke in order),
         escapes=tuple(_ceil_sched(ke[1]) if ke[1] else 0
                       for (c, l), ke in order),
-        r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8)
+        r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8,
+        mc_caps=mc_caps)
 
 
 def table_geom(cfg: ProgramCfg):
@@ -462,7 +493,8 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
         ex = jnp.zeros((N,), bool)
 
     mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
-                        bi=cfg.has_bi, use_pallas=cfg.pallas_taps)
+                        bi=cfg.has_bi, use_pallas=cfg.pallas_taps,
+                        mc_caps=cfg.mc_caps or None)
 
     inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)

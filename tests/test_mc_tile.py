@@ -81,3 +81,43 @@ def test_mc_pallas_filter_matches_xla(seed, bitdepth):
     b = mc_frame_tile(*args, use_pallas=True)
     for ci in range(3):
         assert (np.asarray(a[ci]) == np.asarray(b[ci])).all(), ci
+
+
+@pytest.mark.parametrize("seed,bitdepth,weighted", [
+    (0, 8, False), (1, 8, True), (2, 10, False),
+])
+def test_mc_mxu_matches_vpu(seed, bitdepth, weighted):
+    """The class-sorted MXU luma MC (ops/mc_mxu_jax) must agree
+    bit-for-bit with the VPU tap passes, incl. wild MVs (edge clamp),
+    bi-pred, weighted pred, 10-bit, and per-stream class capacities."""
+    import jax.numpy as jnp
+    from libde265_tpu.ops.mc_tile_jax import build_tables, mc_frame_tile
+    from libde265_tpu.ops.mc_mxu_jax import (caps_from_counts,
+                                             luma_class_counts)
+    H, W = 64, 128
+    refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex = _rand_case(
+        seed, H, W, 4, bitdepth, weighted, True)
+    N = mv.shape[0]
+    # replicate the device's lane-0 swap for the capacity analysis
+    swap = (pf[:, 0] == 0)[:, None]
+    l0 = np.where(swap, mv[:, 1, :], mv[:, 0, :])
+    hmax = np.zeros(16, np.int64)
+    vmax = np.zeros(16, np.int64)
+    for lane_mv in (l0, mv[:, 1, :]):
+        hc, vc = luma_class_counts(lane_mv.astype(np.int64), H, W)
+        hmax = np.maximum(hmax, hc)
+        vmax = np.maximum(vmax, vc)
+    caps = caps_from_counts(hmax, vmax)
+    tabs = build_tables(jnp.asarray(refs_y), jnp.asarray(refs_cb),
+                        jnp.asarray(refs_cr), bitdepth=bitdepth)
+    args = (tabs, (H, W), jnp.asarray(mv), jnp.asarray(slot),
+            jnp.asarray(pf), jnp.asarray(wts), jnp.asarray(ex), bitdepth)
+    a = mc_frame_tile(*args)
+    b = mc_frame_tile(*args, mc_caps=caps)
+    for ci in range(3):
+        aa, bb = np.asarray(a[ci]), np.asarray(b[ci])
+        if not np.array_equal(aa, bb):
+            bad = np.argwhere(aa != bb)
+            raise AssertionError(
+                f"plane {ci}: {len(bad)} mismatches, first at {bad[0]} "
+                f"{aa[tuple(bad[0])]} vs {bb[tuple(bad[0])]}")
