@@ -90,6 +90,11 @@ class EncoderConfig:
     inter_mode: str = "skip"          # skip | mv | mixed | gmv
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
                           (13, 21), (-2, -2))
+    mv_jitter: int = 0                # gmv mode: add a deterministic
+                                      # per-CU qpel jitter in [-J, J] to
+                                      # global_mv — spreads MVs over every
+                                      # fractional phase / alignment class
+                                      # (realistic-motion MC benchmarks)
     global_mv: tuple = (0, 0)         # qpel MV for inter_mode="gmv": every
                                       # CU codes this true motion (mvd =
                                       # gmv - AMVP predictor), residual
@@ -694,6 +699,11 @@ class Encoder:
         Produces realistically sparse streams (pan-shot class)."""
         from types import SimpleNamespace
         gmv = self.cfg.global_mv
+        J = self.cfg.mv_jitter
+        if J:
+            hsh = x0 * 7 + y0 * 13 + self.frame.poc * 29
+            gmv = (gmv[0] + hsh % (2 * J + 1) - J,
+                   gmv[1] + (hsh // 31) % (2 * J + 1) - J)
         size = 1 << log2_size
         pred = self.motion._amvp_predictors(sw, x0, y0, size, size, 0, 0)[0]
         dec = SimpleNamespace(inter_dir=0, ref_idx=0,

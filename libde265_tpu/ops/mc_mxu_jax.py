@@ -115,6 +115,37 @@ def caps_from_counts(hmax, vmax):
     return (tuple(pad(h) for h in hmax), tuple(pad(v) for v in vmax))
 
 
+_CHUNK = 1024
+
+
+def _rank_in_class(cls):
+    """(n,) class ids in [0,16] (16 = padding sentinel) -> 0-based rank
+    among earlier same-class rows, via chunked triangular bf16 matmuls:
+    prefix-sum of the one-hot = one-hot @ upper-triangular ones, exact
+    in the f32 accumulator (values are 0/1, counts <= n < 2^24). XLA's
+    native cumsum lowers to ~20 shifted-add passes over the (n,16)
+    one-hot (~9 ms/4K-frame on v5e); this is ~0.2 ms of MXU work.
+    Sentinel rows get rank 0 (their one-hot is all-zero; callers route
+    them to drop slots anyway)."""
+    n = cls.shape[0]
+    G = -(-n // _CHUNK)
+    npad = G * _CHUNK
+    cp = jnp.concatenate([cls, jnp.full(npad - n, NCLS, cls.dtype)]) \
+        if npad != n else cls
+    oh = (cp[None, :] == jnp.arange(NCLS, dtype=cls.dtype)[:, None])
+    oh3 = oh.astype(jnp.bfloat16).reshape(NCLS, G, _CHUNK)
+    tri = jnp.asarray(np.triu(np.ones((_CHUNK, _CHUNK), np.float32)),
+                      jnp.bfloat16)                  # tri[c,j] = c <= j
+    pref = jnp.einsum("xgc,cj->xgj", oh3, tri,
+                      preferred_element_type=jnp.float32)
+    totals = pref[:, :, -1].astype(jnp.int32)        # (16, G) chunk counts
+    offs = jnp.cumsum(totals, axis=1) - totals       # exclusive, tiny
+    rank = pref.astype(jnp.int32) - 1 + offs[:, :, None]
+    rank_n = (rank * oh.reshape(NCLS, G, _CHUNK).astype(jnp.int32)) \
+        .sum(axis=0).reshape(npad)
+    return rank_n[:n]
+
+
 def _sort_dest(cls, caps):
     """(n,) class ids in [0,16] (16 = padding sentinel) -> destination
     row in the class-sorted layout. Real ids land at
@@ -123,9 +154,7 @@ def _sort_dest(cls, caps):
     n = cls.shape[0]
     base = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
     L = int(base[-1])
-    oh = (cls[:, None] == jnp.arange(NCLS, dtype=cls.dtype)[None, :]) \
-        .astype(jnp.int32)
-    rank = (jnp.cumsum(oh, axis=0) * oh).sum(axis=1) - 1
+    rank = _rank_in_class(cls)
     d = jnp.asarray(base[:-1], jnp.int32)[jnp.clip(cls, 0, NCLS - 1)] + rank
     return jnp.where(cls < NCLS, d,
                      L + jnp.arange(n, dtype=jnp.int32)), L
@@ -137,22 +166,31 @@ def mc_luma_mxu(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1,
     (14-bit scale). Drop-in for mc_tile_jax._luma_pred_tile; caps =
     (hcaps, vcaps) from caps_from_counts via ProgramCfg.mc_caps."""
     hcaps, vcaps = caps
+    N = bx.shape[0]
+    nh = sum(1 for c in hcaps if c)
+    nv = sum(1 for c in vcaps if c)
     idx, hcls, vcls = luma_geom(jnp, bx, by, mvx, mvy, slot, nty, ntx, H, W)
-
-    # counting sort by h-class: permute the gather indices
-    dest1, Lh = _sort_dest(hcls.astype(jnp.int32), hcaps)
-    idx1 = jnp.zeros(Lh, idx.dtype).at[dest1].set(idx,
-                                                  unique_indices=True)
-    vcls1 = jnp.full(Lh, NCLS, jnp.int32).at[dest1].set(
-        vcls.astype(jnp.int32), unique_indices=True)
-
-    win = table_y[idx1]                                   # (Lh, 256)
     in_dt = jnp.bfloat16 if bitdepth == 8 else jnp.float32
     prec = jax.lax.Precision.HIGHEST
+
+    # counting sort by h-class: permute the gather indices. A single
+    # populated class (constant-phase stream, e.g. global-pan content)
+    # needs no sort at all — every row takes the same matrix.
+    if nh > 1:
+        dest1, Lh = _sort_dest(hcls.astype(jnp.int32), hcaps)
+        idx1 = jnp.zeros(Lh, idx.dtype).at[dest1].set(idx,
+                                                      unique_indices=True)
+        vcls1 = jnp.full(Lh, NCLS, jnp.int32).at[dest1].set(
+            vcls.astype(jnp.int32), unique_indices=True)
+    else:
+        dest1, Lh = None, N
+        idx1, vcls1 = idx, vcls.astype(jnp.int32)
+
+    win = table_y[idx1]                                   # (Lh, 256)
     tmps = []
     off = 0
     for h in range(NCLS):
-        c = hcaps[h]
+        c = hcaps[h] if nh > 1 else (Lh if hcaps[h] else 0)
         if c == 0:
             continue
         tmps.append(jnp.matmul(win[off:off + c].astype(in_dt),
@@ -160,26 +198,35 @@ def mc_luma_mxu(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1,
                                preferred_element_type=jnp.float32,
                                precision=prec))           # (c, 80) f32
         off += c
-    tmp = jnp.concatenate(tmps)                           # (Lh, 80)
+    tmp = jnp.concatenate(tmps) if len(tmps) > 1 else tmps[0]   # (Lh, 80)
     if shift1:
         tmp = (tmp.astype(jnp.int32) >> shift1).astype(jnp.float32)
 
-    # second counting sort: re-permute the f32 rows by v-class
-    dest2, Lv = _sort_dest(vcls1, vcaps)
-    tmp2 = jnp.zeros((Lv, 80), jnp.float32).at[dest2].set(
-        tmp, mode="drop", unique_indices=True)
-    outs = []
-    off = 0
-    for v in range(NCLS):
-        c = vcaps[v]
-        if c == 0:
-            continue
-        outs.append(jnp.matmul(tmp2[off:off + c],
-                               jnp.asarray(MV_NP[v], jnp.float32),
-                               precision=prec))           # (c, 16)
-        off += c
-    out_sorted = jnp.concatenate(outs)                    # (Lv, 16)
-    pos = dest2[dest1]                                    # (N,)
-    out = out_sorted[pos].astype(jnp.int32) >> 6          # (N, 16)
+    # second counting sort: re-permute the f32 rows by v-class (skipped
+    # when a single v-class covers every row — order is irrelevant then)
+    if nv > 1:
+        dest2, Lv = _sort_dest(vcls1, vcaps)
+        tmp2 = jnp.zeros((Lv, 80), jnp.float32).at[dest2].set(
+            tmp, mode="drop", unique_indices=True)
+        outs = []
+        off = 0
+        for v in range(NCLS):
+            c = vcaps[v]
+            if c == 0:
+                continue
+            outs.append(jnp.matmul(tmp2[off:off + c],
+                                   jnp.asarray(MV_NP[v], jnp.float32),
+                                   precision=prec))       # (c, 16)
+            off += c
+        out_sorted = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        pos = dest2[dest1] if dest1 is not None else dest2[:N]
+    else:
+        v_only = next(v for v in range(NCLS) if vcaps[v])
+        out_sorted = jnp.matmul(tmp, jnp.asarray(MV_NP[v_only],
+                                                 jnp.float32),
+                                precision=prec)           # (Lh, 16)
+        pos = dest1
+    gathered = out_sorted if pos is None else out_sorted[pos]
+    out = gathered[:N].astype(jnp.int32) >> 6             # (N, 16)
     # lane j*4+i -> (N, i, j)
     return out.reshape(-1, 4, 4).transpose(0, 2, 1)

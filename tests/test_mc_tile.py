@@ -121,3 +121,41 @@ def test_mc_mxu_matches_vpu(seed, bitdepth, weighted):
             raise AssertionError(
                 f"plane {ci}: {len(bad)} mismatches, first at {bad[0]} "
                 f"{aa[tuple(bad[0])]} vs {bb[tuple(bad[0])]}")
+
+
+@pytest.mark.parametrize("mode", ["const", "hconst", "vconst"])
+def test_mc_mxu_single_class_shortcuts(mode):
+    """Constant-phase streams take the sort-free MXU shortcuts; they
+    must stay bit-exact vs the VPU path."""
+    import jax.numpy as jnp
+    from libde265_tpu.ops.mc_tile_jax import build_tables, mc_frame_tile
+    from libde265_tpu.ops.mc_mxu_jax import (caps_from_counts,
+                                             luma_class_counts)
+    H, W = 64, 128
+    refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex = _rand_case(
+        5, H, W, 2, 8, False, False)
+    if mode == "const":
+        mv[:, :, 0] = -21          # one global qpel MV
+        mv[:, :, 1] = 13
+    elif mode == "hconst":
+        mv[:, :, 0] = 8            # constant full-pel x -> single h-class
+    else:
+        mv[:, :, 1] = -12          # constant full-pel y -> single v-class
+    hmax = np.zeros(16, np.int64)
+    vmax = np.zeros(16, np.int64)
+    for lane_mv in (mv[:, 0, :], mv[:, 1, :]):
+        hc, vc = luma_class_counts(lane_mv.astype(np.int64), H, W)
+        hmax = np.maximum(hmax, hc)
+        vmax = np.maximum(vmax, vc)
+    caps = caps_from_counts(hmax, vmax)
+    if mode == "const":
+        assert sum(1 for c in caps[0] if c) == 1
+        assert sum(1 for c in caps[1] if c) == 1
+    tabs = build_tables(jnp.asarray(refs_y), jnp.asarray(refs_cb),
+                        jnp.asarray(refs_cr), bitdepth=8)
+    args = (tabs, (H, W), jnp.asarray(mv), jnp.asarray(slot),
+            jnp.asarray(pf), jnp.asarray(wts), jnp.asarray(ex), 8)
+    a = mc_frame_tile(*args)
+    b = mc_frame_tile(*args, mc_caps=caps)
+    for ci in range(3):
+        assert (np.asarray(a[ci]) == np.asarray(b[ci])).all(), ci

@@ -80,23 +80,29 @@ def make_frames_light(n, w, h, seed=12):
 def main():
     nf = int(sys.argv[1]) if len(sys.argv) > 1 else 9
     light = "--light" in sys.argv
+    mixed = "--mixed" in sys.argv
     w, h = 3840, 2160
     # light: true-motion encode of the pan (content rolls by (3,5)/frame
     # => MV (-20,-12) qpel) so residual coding is sparse like a real
-    # broadcast stream; heavy: arbitrary MVDs force dense residuals
-    cfg = EncoderConfig(width=w, height=h, qp=37 if light else 34,
-                        inter_mode="gmv" if light else "mv",
+    # broadcast stream; mixed: same content but every CU's MV gets a
+    # deterministic qpel jitter covering all 16 fractional-phase x 4
+    # alignment classes per axis — the hardest MC shape (no constant-
+    # class shortcuts, full class-sort machinery); heavy: arbitrary MVDs
+    # force dense residuals
+    cfg = EncoderConfig(width=w, height=h, qp=37 if (light or mixed) else 34,
+                        inter_mode="gmv" if (light or mixed) else "mv",
                         global_mv=(-20, -12),
+                        mv_jitter=6 if mixed else 0,
                         inter_residual=True, log2_ctb=6, cu_log2=4,
                         num_ref_l0=2, temporal_mvp=True,
                         disable_deblocking=False, sao=True)
     enc = Encoder(cfg)
-    frames = (make_frames_light if light else make_frames)(nf, w, h)
+    frames = (make_frames_light if (light or mixed) else make_frames)(nf, w, h)
     t0 = time.time()
     stream = enc.encode(frames)
     print(f"encoded {nf} frames in {time.time()-t0:.0f}s, "
           f"{len(stream)} bytes", flush=True)
-    name = "ld4k_light" if light else "ld4k"
+    name = "ld4k_mixed" if mixed else ("ld4k_light" if light else "ld4k")
     bit = os.path.join(DATA, name + ".bin")
     open(bit, "wb").write(stream)
     gold = os.path.join(DATA, name + "_gold.yuv")
