@@ -494,7 +494,9 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
 
     mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
                         bi=cfg.has_bi, use_pallas=cfg.pallas_taps,
-                        mc_caps=cfg.mc_caps or None)
+                        mc_caps=cfg.mc_caps or None,
+                        luma_only="mc_luma_only" in stages,
+                        weighted=cfg.has_weights)
 
     inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
@@ -549,8 +551,15 @@ def _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg, stages,
     if cfg.sao_enabled and "sao" in stages:
         outs = []
         for ci, P in enumerate((Y, Cb, Cr)):
-            maps = plan_sao_device(t, cfg.scfg, ci)
-            outs.append(sao_apply(P, *maps, bitdepth=bd))
+            if cfg.use_pallas:
+                # single-pass Mosaic kernel (~25 XLA plane passes folded)
+                from .ops.filter_plan_jax import plan_sao_compact
+                from .ops.pallas.sao_filter import sao_pallas
+                mode, aux, offs = plan_sao_compact(t, cfg.scfg, ci)
+                outs.append(sao_pallas(P, mode, aux, offs, bitdepth=bd))
+            else:
+                maps = plan_sao_device(t, cfg.scfg, ci)
+                outs.append(sao_apply(P, *maps, bitdepth=bd))
         Y, Cb, Cr = outs
 
     # ---- DPB + tile-table insert

@@ -334,3 +334,19 @@ def plan_sao_device(grids, cfg, cidx, xoff=0):
         (~at_d[:, None]) | ok[3],
     ])
     return type_map, eo_map, band_map, off_maps, skip, avail
+
+
+def plan_sao_compact(grids, cfg, cidx, xoff=0):
+    """Fold plan_sao_device's per-sample maps into the three compact
+    int8 maps the pallas SAO kernel consumes (pallas/sao_filter.py):
+    mode (0 off / 1 band / 2 edge, with skip + availability + picture
+    boundary folded into 0), aux (band position or EO class), offs
+    (4, H, W). XLA fuses the folds into the map materialization."""
+    maps = plan_sao_device(grids, cfg, cidx, xoff)
+    t, eo, band, offs, skip, avail = maps
+    okh = avail[0] & avail[1]
+    okv = avail[2] & avail[3]
+    ok = jnp.where(eo == 0, okh, jnp.where(eo == 1, okv, okh & okv))
+    mode = jnp.where(skip | ((t == 2) & ~ok), 0, t).astype(jnp.int8)
+    aux = jnp.where(t == 1, band, eo).astype(jnp.int8)
+    return mode, aux, offs

@@ -229,32 +229,9 @@ def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
     return jnp.stack([out[:, 0:2], out[:, 8:10]], axis=2)
 
 
-def _combine(p0, p1, pf, wts, ex, ci, shift, maxv):
-    """Uni/bi + default/explicit weighted combine (spec 8.5.3.3.3/4).
-    Lane 0 always carries the single prediction of uni-pred blocks.
-    p1 may be None (stream statically known uni-pred only)."""
-    w0 = wts[:, ci, 0][:, None, None]
-    o0 = wts[:, ci, 1][:, None, None]
-    l2 = wts[:, ci, 4][:, None, None]
-    uni = jnp.clip((p0 + (1 << (shift - 1))) >> shift, 0, maxv)
-    euni = jnp.clip(((p0 * w0 + (1 << jnp.maximum(l2 - 1, 0)) *
-                      (l2 >= 1)) >> l2) + o0, 0, maxv)
-    if p1 is None:
-        return jnp.where(ex[:, None, None], euni, uni)
-    has1 = (pf[:, 0] * pf[:, 1])[:, None, None] != 0
-    w1 = wts[:, ci, 2][:, None, None]
-    o1 = wts[:, ci, 3][:, None, None]
-    bi = jnp.clip((p0 + p1 + (1 << shift)) >> (shift + 1), 0, maxv)
-    dflt = jnp.where(has1, bi, uni)
-    ebi = jnp.clip((p0 * w0 + p1 * w1 + ((o0 + o1 + 1) << l2)) >> (l2 + 1),
-                   0, maxv)
-    expl = jnp.where(has1, ebi, euni)
-    return jnp.where(ex[:, None, None], expl, dflt)
-
-
 def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
                   strip=None, x0=0, bi=True, use_pallas=False,
-                  mc_caps=None):
+                  mc_caps=None, luma_only=False, weighted=True):
     """Motion-compensate every 4x4 block of a frame from tile tables.
 
     tables : (table_y, table_cb, table_cr) from build_tables
@@ -302,18 +279,58 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
                               H, W, shift1, use_pallas)
         y1p = _luma_pred_tile(table_y, nty, ntx, bx, by, mvx1, mvy1, s1,
                               H, W, shift1, use_pallas) if bi else None
-    yv = _combine(y0p, y1p, pf, wts, ex, 0, shift, maxv)
+    # ---- plane-space combine: per-block tensors relayout to raster
+    # planes BEFORE the uni/bi/weighted math. Elementwise ops on
+    # (N,4,4)/(N,2,2) run at <13% VPU lane occupancy (minor dims 4/2 of
+    # the 128-lane tile); on (H,W) they run full — measured several
+    # ms/4K frame.
+    def to_plane(p, s):
+        return p.reshape(n_by, n_bx, s, s).transpose(0, 2, 1, 3) \
+                .reshape(n_by * s, n_bx * s)
+
+    def expand(a, s):
+        g = a.reshape(n_by, n_bx)
+        return jnp.broadcast_to(g[:, None, :, None],
+                                (n_by, s, n_bx, s)) \
+            .reshape(n_by * s, n_bx * s)
+
+    def combine_plane(p0, p1, s, ci):
+        P0 = to_plane(p0, s)
+        P1 = to_plane(p1, s) if p1 is not None else None
+        uni = jnp.clip((P0 + (1 << (shift - 1))) >> shift, 0, maxv)
+        if P1 is None:
+            dflt = uni
+        else:
+            has1 = expand(pf[:, 0] * pf[:, 1], s) != 0
+            bi_ = jnp.clip((P0 + P1 + (1 << shift)) >> (shift + 1), 0, maxv)
+            dflt = jnp.where(has1, bi_, uni)
+        if not weighted:
+            return dflt
+        w0 = expand(wts[:, ci, 0], s)
+        o0 = expand(wts[:, ci, 1], s)
+        l2 = expand(wts[:, ci, 4], s)
+        euni = jnp.clip(((P0 * w0 + (1 << jnp.maximum(l2 - 1, 0)) *
+                          (l2 >= 1)) >> l2) + o0, 0, maxv)
+        exm = expand(ex.astype(jnp.int32), s) != 0
+        if P1 is None:
+            return jnp.where(exm, euni, uni)
+        w1 = expand(wts[:, ci, 2], s)
+        o1 = expand(wts[:, ci, 3], s)
+        ebi = jnp.clip((P0 * w0 + P1 * w1 + ((o0 + o1 + 1) << l2))
+                       >> (l2 + 1), 0, maxv)
+        return jnp.where(exm, jnp.where(has1, ebi, euni), dflt)
+
     Wo = n_bx * 4
-    planes = [yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3)
-                .reshape(H, Wo)]
+    planes = [combine_plane(y0p, y1p, 4, 0)]
+    if luma_only:                      # profiling ablation only
+        z = jnp.zeros((Hc, Wo // 2), jnp.int32)
+        return planes + [z, z]
     for ci, tab in ((1, table_cb), (2, table_cr)):
         c0 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx0, mvy0, s0,
                                Hc, Wc, shift1, use_pallas)
         c1 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx1, mvy1, s1,
                                Hc, Wc, shift1, use_pallas) if bi else None
-        cv = _combine(c0, c1, pf, wts, ex, ci, shift, maxv)
-        planes.append(cv.reshape(n_by, n_bx, 2, 2)
-                        .transpose(0, 2, 1, 3).reshape(Hc, Wo // 2))
+        planes.append(combine_plane(c0, c1, 2, ci))
     return planes
 
 

@@ -32,3 +32,18 @@ def test_big_stream_native(name):
         got = [pic.plane_md5(c) for c in range(3)]
         want = [m["md5"][i][k] for k in ("y", "u", "v")]
         assert got == want, f"{name} frame {i}"
+
+
+@pytest.mark.slow
+def test_mixedmv_device_general_sort_path():
+    """720p stream whose per-CU qpel MVs cover every (phase, alignment)
+    class: the class-sorted MXU MC takes the full two-sort general path
+    inside the fused device program; must be bit-exact vs dec265."""
+    from libde265_tpu.api import decode_stream_native
+    m, data = _case("mixedmv_720p")
+    pics = decode_stream_native(data, backend="device")
+    assert len(pics) == m["frames"]
+    for i, pic in enumerate(pics):
+        got = [pic.plane_md5(c) for c in range(3)]
+        want = [m["md5"][i][k] for k in ("y", "u", "v")]
+        assert got == want, f"mixedmv_720p frame {i}"

@@ -159,3 +159,25 @@ def test_mc_mxu_single_class_shortcuts(mode):
     b = mc_frame_tile(*args, mc_caps=caps)
     for ci in range(3):
         assert (np.asarray(a[ci]) == np.asarray(b[ci])).all(), ci
+
+
+@pytest.mark.parametrize("T,dt", [(16, "uint8"), (8, "uint8"), (16, "int16")])
+def test_pallas_table_builder_matches_xla(T, dt):
+    """The Mosaic tile-table builder (interpret mode on CPU) must emit
+    exactly the XLA builder's layout for both tile sides and dtypes,
+    including the multi-band-per-step batching."""
+    import jax.numpy as jnp
+    from libde265_tpu.ops.mc_tile_jax import (build_tile_table_y,
+                                              build_tile_table_c)
+    from libde265_tpu.ops.pallas.mc_tables import build_tile_table_pallas
+    rng = np.random.RandomState(3)
+    H, W = (72, 136)
+    pad = 16 if T == 16 else 8
+    padded = jnp.asarray(rng.randint(
+        0, 256, (2, H + 2 * pad, W + 2 * pad)).astype(np.int16))
+    ref_fn = build_tile_table_y if T == 16 else build_tile_table_c
+    want = np.asarray(ref_fn(padded, getattr(jnp, dt)))
+    got = np.asarray(build_tile_table_pallas(
+        padded, T, out_dtype=getattr(jnp, dt), interpret=True))
+    assert got.shape == want.shape
+    assert (got == want).all()

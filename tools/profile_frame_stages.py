@@ -24,6 +24,7 @@ DATA = os.path.join(REPO, "tests", "data")
 VARIANTS = [
     ("none", ()),                            # scan + DPB-insert overhead
     ("tables", ("tables",)),                 # + insert-time tile-table build
+    ("mc_luma", ("mc", "mc_luma_only")),     # + luma MC only
     ("mc", ("mc",)),                         # + MC gather + filters
     ("mc_res", ("mc", "res")),               # + residual batches
     ("mc_res_dbk", ("mc", "res", "dbk")),    # + deblock V/H
@@ -118,6 +119,9 @@ def main():
     attr = {
         "scan_dpb_overhead": results.get("none"),
         "mc_table_build": results.get("tables", 0) - results.get("none", 0),
+        "mc_luma": results.get("mc_luma", 0) - results.get("none", 0),
+        "mc_chroma_combine": results.get("mc", 0)
+                             - results.get("mc_luma", 0),
         "mc_gather_filter": results.get("mc", 0) - results.get("none", 0),
         "residuals": results.get("mc_res", 0) - results.get("mc", 0),
         "deblock": results.get("mc_res_dbk", 0) - results.get("mc_res", 0),
