@@ -62,6 +62,16 @@ class ProgramCfg:
                                       # static capacities for the class-
                                       # sorted MXU luma MC (mc_mxu_jax);
                                       # () = VPU tap path
+    mc_caps_c: tuple = ()             # ((32,),(32,)) chroma class caps
+                                      # for the paired Cb|Cr MXU pipeline
+    pack_bits: bool = True            # 0/1 4x4 grids upload bit-packed
+                                      # (8x fewer bytes on the dominant
+                                      # per-frame tensors); device unpacks
+                                      # with shifts
+    qp_grid8: bool = False            # qp constant within 8x8: upload the
+                                      # subsampled grid (4x fewer bytes)
+    lane0: bool = False               # single-list stream: motion grids
+                                      # upload as one pre-swapped lane
 
     @property
     def fcfg(self):
@@ -160,15 +170,23 @@ def stream_cfg(plans, sps, use_pallas=False):
     # class-sorted MXU MC capacities: per-(h,v)-class max counts over
     # every compatible frame and every lane the program will run, using
     # the SAME numpy geometry the device traces (mc_mxu_jax.luma_geom)
-    from .ops.mc_mxu_jax import NCLS, caps_from_counts, luma_class_counts
+    from .ops.mc_mxu_jax import (NCLS, NCLS_C, caps_from_counts,
+                                 luma_class_counts, chroma_class_counts)
     H_, W_ = sps.pic_height_in_luma_samples, sps.pic_width_in_luma_samples
     hmax = np.zeros(NCLS, np.int64)
     vmax = np.zeros(NCLS, np.int64)
+    hmax_c = np.zeros(NCLS_C, np.int64)
+    vmax_c = np.zeros(NCLS_C, np.int64)
     any_mc = False
+    qp8 = True
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
             continue
         any_mc = True
+        if qp8:
+            q = np.asarray(plan.qp_y)
+            qs = np.repeat(np.repeat(q[::2, ::2], 2, 0), 2, 1)
+            qp8 = bool(np.array_equal(qs[:q.shape[0], :q.shape[1]], q))
         mv = np.asarray(plan.mv, np.int64)          # (gh,gw,2,2)
         pf = np.asarray(plan.pred_flag)
         N = mv.shape[0] * mv.shape[1]
@@ -181,7 +199,11 @@ def stream_cfg(plans, sps, use_pallas=False):
             hc, vc = luma_class_counts(lane_mv, H_, W_)
             hmax = np.maximum(hmax, hc)
             vmax = np.maximum(vmax, vc)
+            hcc, vcc = chroma_class_counts(lane_mv, H_, W_)
+            hmax_c = np.maximum(hmax_c, hcc)
+            vmax_c = np.maximum(vmax_c, vcc)
     mc_caps = caps_from_counts(hmax, vmax) if any_mc else ()
+    mc_caps_c = caps_from_counts(hmax_c, vmax_c) if any_mc else ()
 
     pps = plans[0].pps if plans else None
     order = sorted(kmax.items())
@@ -199,7 +221,8 @@ def stream_cfg(plans, sps, use_pallas=False):
         escapes=tuple(_ceil_sched(ke[1]) if ke[1] else 0
                       for (c, l), ke in order),
         r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8,
-        mc_caps=mc_caps)
+        mc_caps=mc_caps, mc_caps_c=mc_caps_c, qp_grid8=qp8 and any_mc,
+        lane0=not has_bi and not has_w and any_mc)
 
 
 def table_geom(cfg: ProgramCfg):
@@ -379,10 +402,50 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
                 (rows[:, 1] >> log2)
         t[f"rq_{cidx}_{log2}"] = qp
         t[f"rs_{cidx}_{log2}"] = slots
+
+    if real_slots and cfg.pack_bits:
+        # 0/1 4x4-granular grids ship bit-packed (row-major bits,
+        # numpy 'big' bit order); 2-bit edge masks (bit0 left, bit1 top)
+        # ship as two stacked bit-planes; decode_frame_device unpacks
+        for k in BIT_KEYS:
+            t[k] = np.packbits(t[k].astype(bool), axis=1)
+        for k in BIT2_KEYS:
+            a = t[k]
+            t[k] = np.packbits(
+                np.stack([a & 1, (a >> 1) & 1]).astype(bool), axis=2)
+        if cfg.qp_grid8:
+            t["qp"] = np.ascontiguousarray(t["qp"][::2, ::2])
+    if real_slots and cfg.lane0:
+        # single-list stream: collapse the motion grids to ONE lane on
+        # host (the swap the device would do anyway), halving the
+        # dominant remaining upload tensors; the device re-widens with
+        # a duplicate lane1 + pf1=0, which is semantics-neutral (the
+        # deblock bS planner's single-vector path selects by pf and
+        # every block has at most one vector)
+        sw = t["pf"][:, :, 0] == 0
+        t["mv"] = np.where(sw[:, :, None], t["mv"][:, :, 1, :],
+                           t["mv"][:, :, 0, :])
+        for k in ("poc", "slot"):
+            t[k] = np.where(sw, t[k][:, :, 1], t[k][:, :, 0])
+        t["pf"] = (t["pf"][:, :, 0] | t["pf"][:, :, 1])
     return t
 
 
 # ----------------------------------------------------------- device pieces
+BIT_KEYS = ("pm", "cbf", "off")          # 0/1 grids
+BIT2_KEYS = ("tucb", "edgeall")          # 2-bit edge masks
+
+
+def _unpack_bits(a, w):
+    """(gh, ceil(w/8)) uint8 packed bits -> (gh, w) int32 0/1 (device).
+    Matches numpy packbits' big bit order."""
+    import jax.numpy as jnp
+    gh, gwb = a.shape
+    bits = (a[:, :, None].astype(jnp.int32)
+            >> (7 - jnp.arange(8, dtype=jnp.int32))[None, None, :]) & 1
+    return bits.reshape(gh, gwb * 8)[:, :w]
+
+
 def _expand_ctb4(a, cfg):
     """CTB grid -> 4x4-block grid (device): broadcast-repeat + crop (no
     gather — XLA serializes axis-1 gathers on TPU)."""
@@ -445,8 +508,24 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
     gh, gw = H // 4, W // 4
     N = gh * gw
 
+    t = dict(t)
+    if cfg.pack_bits:
+        for k in BIT_KEYS:
+            t[k] = _unpack_bits(t[k], gw)
+        for k in BIT2_KEYS:
+            a = t[k]
+            t[k] = _unpack_bits(a[0], gw) | (_unpack_bits(a[1], gw) << 1)
+        if cfg.qp_grid8:
+            t["qp"] = _expand_grid2(t["qp"], gh, gw)
+    if cfg.lane0:
+        # re-widen the host-collapsed motion grids: duplicate lane1
+        # (never consulted — pf1=0 keeps both MC and the bS planner on
+        # their single-vector paths)
+        t["mv"] = jnp.stack([t["mv"], t["mv"]], axis=2)
+        for k in ("poc", "slot"):
+            t[k] = jnp.stack([t[k], t[k]], axis=-1)
+        t["pf"] = jnp.stack([t["pf"], jnp.zeros_like(t["pf"])], axis=-1)
     if cfg.pu_grid8:
-        t = dict(t)
         for k in (("mv", "poc", "pf", "slot", "ref_idx")
                   if cfg.has_weights else ("mv", "poc", "pf", "slot")):
             t[k] = _expand_grid2(t[k], gh, gw)
@@ -495,6 +574,7 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
     mcp = mc_frame_tile(tables, (H, W), mv, slot, pf, wts, ex, bd,
                         bi=cfg.has_bi, use_pallas=cfg.pallas_taps,
                         mc_caps=cfg.mc_caps or None,
+                        mc_caps_c=cfg.mc_caps_c or None,
                         luma_only="mc_luma_only" in stages,
                         weighted=cfg.has_weights)
 

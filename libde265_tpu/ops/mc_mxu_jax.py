@@ -118,45 +118,45 @@ def caps_from_counts(hmax, vmax):
 _CHUNK = 1024
 
 
-def _rank_in_class(cls):
-    """(n,) class ids in [0,16] (16 = padding sentinel) -> 0-based rank
-    among earlier same-class rows, via chunked triangular bf16 matmuls:
-    prefix-sum of the one-hot = one-hot @ upper-triangular ones, exact
-    in the f32 accumulator (values are 0/1, counts <= n < 2^24). XLA's
-    native cumsum lowers to ~20 shifted-add passes over the (n,16)
-    one-hot (~9 ms/4K-frame on v5e); this is ~0.2 ms of MXU work.
-    Sentinel rows get rank 0 (their one-hot is all-zero; callers route
-    them to drop slots anyway)."""
+def _rank_in_class(cls, ncls=NCLS):
+    """(n,) class ids in [0,ncls] (ncls = padding sentinel) -> 0-based
+    rank among earlier same-class rows, via chunked triangular bf16
+    matmuls: prefix-sum of the one-hot = one-hot @ upper-triangular
+    ones, exact in the f32 accumulator (values are 0/1, counts <= n <
+    2^24). XLA's native cumsum lowers to ~20 shifted-add passes over
+    the (n,ncls) one-hot (~9 ms/4K-frame on v5e); this is ~0.2 ms of
+    MXU work. Sentinel rows get rank 0 (their one-hot is all-zero;
+    callers route them to drop slots anyway)."""
     n = cls.shape[0]
     G = -(-n // _CHUNK)
     npad = G * _CHUNK
-    cp = jnp.concatenate([cls, jnp.full(npad - n, NCLS, cls.dtype)]) \
+    cp = jnp.concatenate([cls, jnp.full(npad - n, ncls, cls.dtype)]) \
         if npad != n else cls
-    oh = (cp[None, :] == jnp.arange(NCLS, dtype=cls.dtype)[:, None])
-    oh3 = oh.astype(jnp.bfloat16).reshape(NCLS, G, _CHUNK)
+    oh = (cp[None, :] == jnp.arange(ncls, dtype=cls.dtype)[:, None])
+    oh3 = oh.astype(jnp.bfloat16).reshape(ncls, G, _CHUNK)
     tri = jnp.asarray(np.triu(np.ones((_CHUNK, _CHUNK), np.float32)),
                       jnp.bfloat16)                  # tri[c,j] = c <= j
     pref = jnp.einsum("xgc,cj->xgj", oh3, tri,
                       preferred_element_type=jnp.float32)
-    totals = pref[:, :, -1].astype(jnp.int32)        # (16, G) chunk counts
+    totals = pref[:, :, -1].astype(jnp.int32)        # (ncls,G) chunk counts
     offs = jnp.cumsum(totals, axis=1) - totals       # exclusive, tiny
     rank = pref.astype(jnp.int32) - 1 + offs[:, :, None]
-    rank_n = (rank * oh.reshape(NCLS, G, _CHUNK).astype(jnp.int32)) \
+    rank_n = (rank * oh.reshape(ncls, G, _CHUNK).astype(jnp.int32)) \
         .sum(axis=0).reshape(npad)
     return rank_n[:n]
 
 
-def _sort_dest(cls, caps):
-    """(n,) class ids in [0,16] (16 = padding sentinel) -> destination
-    row in the class-sorted layout. Real ids land at
+def _sort_dest(cls, caps, ncls=NCLS):
+    """(n,) class ids in [0,ncls] (ncls = padding sentinel) ->
+    destination row in the class-sorted layout. Real ids land at
     base[cls] + rank-within-class; sentinels land at unique
     out-of-bounds slots (>= L) for mode='drop' scatters."""
     n = cls.shape[0]
     base = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
     L = int(base[-1])
-    rank = _rank_in_class(cls)
-    d = jnp.asarray(base[:-1], jnp.int32)[jnp.clip(cls, 0, NCLS - 1)] + rank
-    return jnp.where(cls < NCLS, d,
+    rank = _rank_in_class(cls, ncls)
+    d = jnp.asarray(base[:-1], jnp.int32)[jnp.clip(cls, 0, ncls - 1)] + rank
+    return jnp.where(cls < ncls, d,
                      L + jnp.arange(n, dtype=jnp.int32)), L
 
 
@@ -230,3 +230,149 @@ def mc_luma_mxu(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1,
     out = gathered[:N].astype(jnp.int32) >> 6             # (N, 16)
     # lane j*4+i -> (N, i, j)
     return out.reshape(-1, 4, 4).transpose(0, 2, 1)
+
+
+# ------------------------------------------------------------- chroma
+# Same class-sorted design for the 2x2 chroma blocks, with two twists:
+# 32 classes (8 eighth-pel phases x 4 tile misalignments) and BOTH
+# planes ride one pipeline: Cb|Cr windows concatenate on lanes to a
+# (., 128) block and the per-class matrices are block-diagonal pairs,
+# so one h-matmul (c,128)@(128,32) and one v-matmul (c,32)@(32,8)
+# produce both planes (the class geometry is identical for Cb and Cr).
+# Reference: epel SSE paths acceleration.h:115-201, mc_chroma
+# motion.cc:172-223.
+from .mc_tile_jax import TH_C
+
+NCLS_C = 32
+
+
+def _mk_class_mats_c():
+    """MHC2[p]: (128,32) h-pass, per plane tmp[j*8+r] =
+    sum_u win[(u+j)*8+r] * TH_C[p][u] (j<2, r<8).  MVC2[p]: (32,8)
+    v-pass, per plane out[j*2+i] = sum_u tmp[j*8+(i+u)] * TH_C[p][u]
+    (j<2, i<2). Both are two copies of the single-plane matrix on the
+    block diagonal."""
+    MHC = np.zeros((NCLS_C, 64, 16), np.int32)
+    MVC = np.zeros((NCLS_C, 16, 4), np.int32)
+    for p in range(NCLS_C):
+        for j in range(2):
+            for r in range(8):
+                for u in range(7):
+                    MHC[p, (u + j) * 8 + r, j * 8 + r] = TH_C[p, u]
+        for j in range(2):
+            for i in range(2):
+                for u in range(7):
+                    MVC[p, j * 8 + (i + u), j * 2 + i] = TH_C[p, u]
+    MHC2 = np.zeros((NCLS_C, 128, 32), np.int32)
+    MVC2 = np.zeros((NCLS_C, 32, 8), np.int32)
+    MHC2[:, :64, :16] = MHC
+    MHC2[:, 64:, 16:] = MHC
+    MVC2[:, :16, :4] = MVC
+    MVC2[:, 16:, 4:] = MVC
+    return MHC2, MVC2
+
+
+MHC2_NP, MVC2_NP = _mk_class_mats_c()
+
+
+def chroma_geom(xp, bx, by, mvx, mvy, slot, nty, ntx, Hc, Wc):
+    """Table row index + h/v class per 2x2 chroma block; mirrors
+    mc_tile_jax._chroma_pred_tile's window geometry. bx/by are LUMA
+    block origins (as in mc_frame_tile)."""
+    x0 = xp.clip((bx >> 1) + (mvx >> 3) - 1, -7, Wc + 1)
+    y0 = xp.clip((by >> 1) + (mvy >> 3) - 1, -7, Hc + 1)
+    tx = (x0 + 8) >> 2
+    ty = (y0 + 8) >> 2
+    dx = (x0 + 8) & 3
+    dy = (y0 + 8) & 3
+    idx = (slot * nty + ty) * ntx + tx
+    hcls = (mvx & 7) * 4 + dx
+    vcls = (mvy & 7) * 4 + dy
+    return idx, hcls, vcls
+
+
+def chroma_class_counts(mv_lane, H, W):
+    """Host: (N,2) (mvx,mvy) for ONE lane, luma geometry H/W ->
+    ((32,) h counts, (32,) v counts)."""
+    N = mv_lane.shape[0]
+    n_bx = W // 4
+    bx = (np.arange(N, dtype=np.int64) % n_bx) * 4
+    by = (np.arange(N, dtype=np.int64) // n_bx) * 4
+    Hc, Wc = H // 2, W // 2
+    nty, ntx = (Hc + 12) // 4, (Wc + 12) // 4
+    _, hcls, vcls = chroma_geom(np, bx, by,
+                                mv_lane[:, 0].astype(np.int64),
+                                mv_lane[:, 1].astype(np.int64),
+                                np.zeros(N, np.int64), nty, ntx, Hc, Wc)
+    return (np.bincount(hcls, minlength=NCLS_C),
+            np.bincount(vcls, minlength=NCLS_C))
+
+
+def mc_chroma_mxu(table_cb, table_cr, nty, ntx, bx, by, mvx, mvy, slot,
+                  Hc, Wc, shift1, caps, bitdepth=8):
+    """One list's Cb AND Cr predictions for all N 2x2 blocks:
+    ((N,2,2), (N,2,2)) int32 (14-bit scale). Drop-in pair for two
+    mc_tile_jax._chroma_pred_tile calls; caps = ProgramCfg.mc_caps_c."""
+    hcaps, vcaps = caps
+    N = bx.shape[0]
+    nh = sum(1 for c in hcaps if c)
+    nv = sum(1 for c in vcaps if c)
+    idx, hcls, vcls = chroma_geom(jnp, bx, by, mvx, mvy, slot, nty, ntx,
+                                  Hc, Wc)
+    in_dt = jnp.bfloat16 if bitdepth == 8 else jnp.float32
+    prec = jax.lax.Precision.HIGHEST
+
+    if nh > 1:
+        dest1, Lh = _sort_dest(hcls.astype(jnp.int32), hcaps, NCLS_C)
+        idx1 = jnp.zeros(Lh, idx.dtype).at[dest1].set(idx,
+                                                      unique_indices=True)
+        vcls1 = jnp.full(Lh, NCLS_C, jnp.int32).at[dest1].set(
+            vcls.astype(jnp.int32), unique_indices=True)
+    else:
+        dest1, Lh = None, N
+        idx1, vcls1 = idx, vcls.astype(jnp.int32)
+
+    win = jnp.concatenate([table_cb[idx1], table_cr[idx1]], axis=1)
+    tmps = []
+    off = 0
+    for h in range(NCLS_C):
+        c = hcaps[h] if nh > 1 else (Lh if hcaps[h] else 0)
+        if c == 0:
+            continue
+        tmps.append(jnp.matmul(win[off:off + c].astype(in_dt),
+                               jnp.asarray(MHC2_NP[h], in_dt),
+                               preferred_element_type=jnp.float32,
+                               precision=prec))           # (c, 32) f32
+        off += c
+    tmp = jnp.concatenate(tmps) if len(tmps) > 1 else tmps[0]   # (Lh, 32)
+    if shift1:
+        tmp = (tmp.astype(jnp.int32) >> shift1).astype(jnp.float32)
+
+    if nv > 1:
+        dest2, Lv = _sort_dest(vcls1, vcaps, NCLS_C)
+        tmp2 = jnp.zeros((Lv, 32), jnp.float32).at[dest2].set(
+            tmp, mode="drop", unique_indices=True)
+        outs = []
+        off = 0
+        for v in range(NCLS_C):
+            c = vcaps[v]
+            if c == 0:
+                continue
+            outs.append(jnp.matmul(tmp2[off:off + c],
+                                   jnp.asarray(MVC2_NP[v], jnp.float32),
+                                   precision=prec))       # (c, 8)
+            off += c
+        out_sorted = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        pos = dest2[dest1] if dest1 is not None else dest2[:N]
+    else:
+        v_only = next(v for v in range(NCLS_C) if vcaps[v])
+        out_sorted = jnp.matmul(tmp, jnp.asarray(MVC2_NP[v_only],
+                                                 jnp.float32),
+                                precision=prec)           # (Lh, 8)
+        pos = dest1
+    gathered = out_sorted if pos is None else out_sorted[pos]
+    g = gathered[:N].astype(jnp.int32) >> 6               # (N, 8)
+    # plane lanes [4*pl + j*2 + i] -> (N, i, j)
+    cb = g[:, :4].reshape(-1, 2, 2).transpose(0, 2, 1)
+    cr = g[:, 4:].reshape(-1, 2, 2).transpose(0, 2, 1)
+    return cb, cr

@@ -231,7 +231,8 @@ def _chroma_pred_tile(table_c, nty, ntx, bx, by, mvx, mvy, slot, Hc, Wc,
 
 def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
                   strip=None, x0=0, bi=True, use_pallas=False,
-                  mc_caps=None, luma_only=False, weighted=True):
+                  mc_caps=None, mc_caps_c=None, luma_only=False,
+                  weighted=True):
     """Motion-compensate every 4x4 block of a frame from tile tables.
 
     tables : (table_y, table_cb, table_cr) from build_tables
@@ -325,6 +326,19 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
     if luma_only:                      # profiling ablation only
         z = jnp.zeros((Hc, Wo // 2), jnp.int32)
         return planes + [z, z]
+    if mc_caps_c:
+        # one class-sorted MXU pipeline yields BOTH planes per lane
+        from .mc_mxu_jax import mc_chroma_mxu
+        cb0, cr0 = mc_chroma_mxu(table_cb, table_cr, ntyc, ntxc, bx, by,
+                                 mvx0, mvy0, s0, Hc, Wc, shift1,
+                                 mc_caps_c, bitdepth)
+        cb1, cr1 = mc_chroma_mxu(table_cb, table_cr, ntyc, ntxc, bx, by,
+                                 mvx1, mvy1, s1, Hc, Wc, shift1,
+                                 mc_caps_c, bitdepth) if bi else (None,
+                                                                  None)
+        planes.append(combine_plane(cb0, cb1, 2, 1))
+        planes.append(combine_plane(cr0, cr1, 2, 2))
+        return planes
     for ci, tab in ((1, table_cb), (2, table_cr)):
         c0 = _chroma_pred_tile(tab, ntyc, ntxc, bx, by, mvx0, mvy0, s0,
                                Hc, Wc, shift1, use_pallas)

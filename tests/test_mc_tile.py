@@ -181,3 +181,41 @@ def test_pallas_table_builder_matches_xla(T, dt):
         padded, T, out_dtype=getattr(jnp, dt), interpret=True))
     assert got.shape == want.shape
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("seed,bitdepth,weighted", [
+    (0, 8, False), (1, 8, True), (2, 10, False), (3, 8, False),
+])
+def test_mc_chroma_mxu_matches_vpu(seed, bitdepth, weighted):
+    """The paired Cb|Cr class-sorted MXU chroma MC (ops/mc_mxu_jax
+    .mc_chroma_mxu) must agree bit-for-bit with the VPU epel passes,
+    incl. wild MVs (edge clamp), bi-pred, weighted pred, 10-bit."""
+    import jax.numpy as jnp
+    from libde265_tpu.ops.mc_tile_jax import build_tables, mc_frame_tile
+    from libde265_tpu.ops.mc_mxu_jax import (caps_from_counts,
+                                             chroma_class_counts, NCLS_C)
+    H, W = 64, 128
+    refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex = _rand_case(
+        seed, H, W, 4, bitdepth, weighted, True)
+    swap = (pf[:, 0] == 0)[:, None]
+    l0 = np.where(swap, mv[:, 1, :], mv[:, 0, :])
+    hmax = np.zeros(NCLS_C, np.int64)
+    vmax = np.zeros(NCLS_C, np.int64)
+    for lane_mv in (l0, mv[:, 1, :]):
+        hc, vc = chroma_class_counts(lane_mv.astype(np.int64), H, W)
+        hmax = np.maximum(hmax, hc)
+        vmax = np.maximum(vmax, vc)
+    caps_c = caps_from_counts(hmax, vmax)
+    tabs = build_tables(jnp.asarray(refs_y), jnp.asarray(refs_cb),
+                        jnp.asarray(refs_cr), bitdepth=bitdepth)
+    args = (tabs, (H, W), jnp.asarray(mv), jnp.asarray(slot),
+            jnp.asarray(pf), jnp.asarray(wts), jnp.asarray(ex), bitdepth)
+    a = mc_frame_tile(*args)
+    b = mc_frame_tile(*args, mc_caps_c=caps_c)
+    for ci in range(3):
+        aa, bb = np.asarray(a[ci]), np.asarray(b[ci])
+        if not np.array_equal(aa, bb):
+            bad = np.argwhere(aa != bb)
+            raise AssertionError(
+                f"plane {ci}: {len(bad)} mismatches, first at {bad[0]} "
+                f"{aa[tuple(bad[0])]} vs {bb[tuple(bad[0])]}")
