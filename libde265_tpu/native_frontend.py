@@ -78,11 +78,12 @@ class NativeFrontend:
         plan.max_num_reorder = max_reorder
         assert plan.gw == gw and plan.gh == gh, (plan.gw, gw, plan.gh, gh)
 
-        mv = np.zeros((gh, gw, 2, 2), np.int16)
-        ref_idx = np.zeros((gh, gw, 2), np.int8)
-        pred_flag = np.zeros((gh, gw, 2), np.uint8)
-        refpoc = np.zeros((gh, gw, 2), np.int32)
-        ref_lt = np.zeros((gh, gw, 2), np.uint8)
+        # np.empty: fe_get_grids memcpy-fills every element
+        mv = np.empty((gh, gw, 2, 2), np.int16)
+        ref_idx = np.empty((gh, gw, 2), np.int8)
+        pred_flag = np.empty((gh, gw, 2), np.uint8)
+        refpoc = np.empty((gh, gw, 2), np.int32)
+        ref_lt = np.empty((gh, gw, 2), np.uint8)
         r = lib.fe_get_grids(
             C.c_void_p(self.h), idx,
             _arr(plan.pred_mode), _arr(plan.skip_flag), _arr(plan.intra_mode_y),
@@ -98,12 +99,12 @@ class NativeFrontend:
         plan.ref_poc = refpoc
         plan.ref_lt = ref_lt
 
-        slice_addr = np.zeros((nctby, nctbx), np.int32)
-        slice_seg = np.zeros((nctby, nctbx), np.int32)
-        sao_type = np.zeros((nctby, nctbx, 3), np.uint8)
-        sao_eo = np.zeros((nctby, nctbx, 3), np.uint8)
-        sao_band = np.zeros((nctby, nctbx, 3), np.uint8)
-        sao_off = np.zeros((nctby, nctbx, 3, 4), np.int16)
+        slice_addr = np.empty((nctby, nctbx), np.int32)
+        slice_seg = np.empty((nctby, nctbx), np.int32)
+        sao_type = np.empty((nctby, nctbx, 3), np.uint8)
+        sao_eo = np.empty((nctby, nctbx, 3), np.uint8)
+        sao_band = np.empty((nctby, nctbx, 3), np.uint8)
+        sao_off = np.empty((nctby, nctbx, 3, 4), np.int16)
         r = lib.fe_get_ctb_grids(C.c_void_p(self.h), idx, _arr(slice_addr),
                                  _arr(slice_seg), _arr(sao_type), _arr(sao_eo),
                                  _arr(sao_band), _arr(sao_off))
@@ -115,16 +116,22 @@ class NativeFrontend:
         plan.sao.band_pos = sao_band
         plan.sao.offsets = sao_off
 
-        tu_meta = np.zeros((max(1, n_tus), 10), np.int32)
-        coeffs = np.zeros(max(1, clen), np.int16)
-        pcm = np.zeros(max(1, plen), np.int16)
+        # empty when the native side fills every row; zeros for the
+        # placeholder row of an empty list
+        def buf(n, cols, dt=np.int32):
+            shape = (n, cols) if cols else (n,)
+            return np.empty(shape, dt) if n else np.zeros(
+                (1, cols) if cols else (1,), dt)
+        tu_meta = buf(n_tus, 10)
+        coeffs = buf(clen, 0, np.int16)
+        pcm = buf(plen, 0, np.int16)
         r = lib.fe_get_tus(C.c_void_p(self.h), idx, _arr(tu_meta), _arr(coeffs),
                            _arr(pcm))
         assert r == 0
-        pu_meta = np.zeros((max(1, n_pus), 17), np.int32)
+        pu_meta = buf(n_pus, 17)
         r = lib.fe_get_pus(C.c_void_p(self.h), idx, _arr(pu_meta))
         assert r == 0
-        sl = np.zeros((max(1, n_slices), 16), np.int32)
+        sl = buf(n_slices, 16)
         r = lib.fe_get_slices(C.c_void_p(self.h), idx, _arr(sl))
         assert r == 0
 

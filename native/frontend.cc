@@ -19,6 +19,8 @@
 #include <algorithm>
 #include <string>
 #include <memory>
+#include <mutex>
+#include <condition_variable>
 #include <atomic>
 #include <thread>
 
@@ -2568,30 +2570,78 @@ bool Context::flush_jobs() {
     j.slices.clear();
     j.slices.shrink_to_fit();
   };
+  auto prof_now = []() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+  };
+  double t_pool0 = prof_now();
+  double t_dm = 0, t_cm = 0;
   if (nt <= 1) {
-    for (size_t i = begin; i < end; i++)
+    // serial: parse then replay per frame (replay order = decode order)
+    for (size_t i = begin; i < end; i++) {
       run_job(*jobs[i], jobs[i]->f, jobs[i]->f->slices);
+      if (jobs[i]->failed) { error = "slice data decode failed"; return false; }
+      double a = prof_now();
+      derive_motion(*jobs[i]->f);
+      double b = prof_now();
+      jobs[i]->f->compress_motion();
+      t_dm += b - a;
+      t_cm += prof_now() - b;
+    }
   } else {
+    // CABAC parse jobs fan out over the pool; the motion replay
+    // (merge/AMVP/TMVP derivation + TMVP compression, which must run
+    // in decode order — frame N's TMVP reads its refs' compressed
+    // motion) runs CONCURRENTLY on a consumer thread that follows the
+    // pool's per-job completion flags, instead of after the whole
+    // batch: the serial replay chain hides under the parse wall.
     std::atomic<size_t> next{begin};
+    std::unique_ptr<std::atomic<int>[]> done(
+        new std::atomic<int>[end - begin]);
+    for (size_t i = 0; i < end - begin; i++) done[i].store(0);
+    std::mutex m;
+    std::condition_variable cv;
     auto worker = [&]() {
       for (;;) {
         size_t i = next.fetch_add(1);
         if (i >= end) break;
         run_job(*jobs[i], jobs[i]->f, jobs[i]->f->slices);
+        done[i - begin].store(1, std::memory_order_release);
+        { std::lock_guard<std::mutex> lk(m); }
+        cv.notify_one();
+      }
+    };
+    bool replay_failed = false;
+    auto consumer = [&]() {
+      for (size_t i = begin; i < end; i++) {
+        if (!done[i - begin].load(std::memory_order_acquire)) {
+          std::unique_lock<std::mutex> lk(m);
+          cv.wait(lk, [&] {
+            return done[i - begin].load(std::memory_order_acquire) != 0;
+          });
+        }
+        if (jobs[i]->failed) { replay_failed = true; return; }
+        double a = prof_now();
+        derive_motion(*jobs[i]->f);
+        double b = prof_now();
+        jobs[i]->f->compress_motion();
+        t_dm += b - a;
+        t_cm += prof_now() - b;
       }
     };
     std::vector<std::thread> pool;
-    for (int t = 0; t < nt - 1; t++) pool.emplace_back(worker);
-    worker();
+    for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+    consumer();
     for (auto& th : pool) th.join();
+    for (size_t i = begin; i < end; i++)
+      if (jobs[i]->failed) replay_failed = true;
+    if (replay_failed) { error = "slice data decode failed"; return false; }
   }
-  // motion derivation + TMVP motion compression replay serially in decode
-  // order (frame N's TMVP reads its ref frames' compressed motion)
-  for (size_t i = begin; i < end; i++) {
-    if (jobs[i]->failed) { error = "slice data decode failed"; return false; }
-    derive_motion(*jobs[i]->f);
-    jobs[i]->f->compress_motion();
-  }
+  if (getenv("FE_PROF"))
+    fprintf(stderr,
+            "# FE_PROF frames=%zu threads=%d parse+replay=%.3fs "
+            "derive_motion=%.3fs compress=%.3fs\n",
+            end - begin, nt, prof_now() - t_pool0, t_dm, t_cm);
   jobs_done = end;
   return true;
 }
