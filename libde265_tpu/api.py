@@ -19,6 +19,8 @@ from .decoder import Decoder
 class DecodedPicture:
     poc: int
     planes: list          # [Y, Cb, Cr] numpy arrays (conformance-cropped)
+    plan: object = None   # decode-plan metadata (FramePlan) for structure
+                          # inspection (tools/sherlock.py overlays)
 
     @property
     def width(self):
@@ -197,5 +199,5 @@ def _order_and_crop(done, refs):
             planes = [planes[0][t:plan.H - b, l:plan.W - r],
                       planes[1][ct:planes[1].shape[0] - cb2, cl:planes[1].shape[1] - cr_],
                       planes[2][ct:planes[2].shape[0] - cb2, cl:planes[2].shape[1] - cr_]]
-        pics.append(DecodedPicture(poc=plan.poc, planes=planes))
+        pics.append(DecodedPicture(poc=plan.poc, planes=planes, plan=plan))
     return pics

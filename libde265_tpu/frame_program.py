@@ -72,6 +72,13 @@ class ProgramCfg:
                                       # subsampled grid (4x fewer bytes)
     lane0: bool = False               # single-list stream: motion grids
                                       # upload as one pre-swapped lane
+    sb_caps: tuple = ()               # per-bucket coded-sub-block upload
+                                      # capacity (0 = dense (K,n,n)):
+                                      # sparse streams ship only coded
+                                      # 4x4 sub-blocks + indices, the
+                                      # device row-scatters them back
+    mv8: bool = False                 # all |mv| <= 127: ship int8 MVs
+    poc8: bool = False                # all |poc delta| <= 127: int8
 
     @property
     def fcfg(self):
@@ -158,12 +165,17 @@ def stream_cfg(plans, sps, use_pallas=False):
                     k = int(mm.sum())
                     if k:
                         key = (cidx, log2)
-                        kmax.setdefault(key, [0, 0])
+                        kmax.setdefault(key, [0, 0, 0])
                         kmax[key][0] = max(kmax[key][0], k)
                         n2 = 1 << (2 * log2)
                         gi = tu_meta[mm, 9][:, None] + np.arange(n2)[None, :]
-                        ne = int((np.abs(coeff_pool[gi]) > 127).sum())
+                        cc = coeff_pool[gi]
+                        ne = int((np.abs(cc) > 127).sum())
                         kmax[key][1] = max(kmax[key][1], ne)
+                        n_ = 1 << log2
+                        sb = cc.reshape(k, n_ // 4, 4, n_ // 4, 4)
+                        nz = int((sb != 0).any(axis=(2, 4)).sum())
+                        kmax[key][2] = max(kmax[key][2], nz)
         smax = max(smax, len(plan.slice_headers))
         has_w = has_w or any(s.pred_weight is not None
                              for s in plan.slice_headers)
@@ -179,10 +191,15 @@ def stream_cfg(plans, sps, use_pallas=False):
     vmax_c = np.zeros(NCLS_C, np.int64)
     any_mc = False
     qp8 = True
+    mvmax = 0
+    pocmax = 0
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
             continue
         any_mc = True
+        mvmax = max(mvmax, int(np.abs(np.asarray(plan.mv)).max()))
+        pocmax = max(pocmax, int(np.abs(
+            np.asarray(plan.ref_poc, np.int64) - plan.poc).max()))
         if qp8:
             q = np.asarray(plan.qp_y)
             qs = np.repeat(np.repeat(q[::2, ::2], 2, 0), 2, 1)
@@ -220,9 +237,17 @@ def stream_cfg(plans, sps, use_pallas=False):
         buckets=tuple((c, l, _ceil_sched(ke[0])) for (c, l), ke in order),
         escapes=tuple(_ceil_sched(ke[1]) if ke[1] else 0
                       for (c, l), ke in order),
+        # sub-block upload only when it saves >=30% vs the dense body
+        # (20 B/sub-block: 16 int8 values + int32 index)
+        sb_caps=tuple(
+            _ceil_sched(ke[2])
+            if ke[2] and _ceil_sched(ke[2]) * 20 <
+            0.7 * _ceil_sched(ke[0]) * (1 << (2 * l)) else 0
+            for (c, l), ke in order),
         r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8,
         mc_caps=mc_caps, mc_caps_c=mc_caps_c, qp_grid8=qp8 and any_mc,
-        lane0=not has_bi and not has_w and any_mc)
+        lane0=not has_bi and not has_w and any_mc,
+        mv8=any_mc and mvmax <= 127, poc8=any_mc and pocmax <= 127)
 
 
 def table_geom(cfg: ProgramCfg):
@@ -378,7 +403,27 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
         # int8 body (+ escape (idx, val) list for |v| > 127 when the
         # stream has any): halves the dominant upload tensor
         c8 = np.clip(coeffs, -128, 127).astype(np.int8)
-        t[f"rc_{cidx}_{log2}"] = c8
+        Ssb = cfg.sb_caps[bi_] if (cfg.sb_caps and real_slots) else 0
+        if Ssb:
+            # coded-sub-block upload: (Ssb,16) int8 values + (Ssb,)
+            # int32 row index into the (K*nsb, 16) dense sub-block
+            # layout; the device row-scatters and re-tiles. int8 clip
+            # never maps a nonzero to zero, so the nz mask on c8 is
+            # exact.
+            nsb = (n // 4) ** 2
+            sbv = c8.reshape(K, n // 4, 4, n // 4, 4) \
+                .transpose(0, 1, 3, 2, 4).reshape(K * nsb, 16)
+            nzidx = np.flatnonzero((sbv != 0).any(axis=1))
+            assert nzidx.size <= Ssb, (cidx, log2, nzidx.size, Ssb)
+            rb = np.zeros((Ssb, 16), np.int8)
+            # padding rows: unique out-of-bounds slots (mode='drop')
+            rbi = K * nsb + np.arange(Ssb, dtype=np.int32)
+            rb[:nzidx.size] = sbv[nzidx]
+            rbi[:nzidx.size] = nzidx
+            t[f"rb_{cidx}_{log2}"] = rb
+            t[f"rbi_{cidx}_{log2}"] = rbi
+        else:
+            t[f"rc_{cidx}_{log2}"] = c8
         if E:
             flat = coeffs.reshape(-1)
             eidx = np.flatnonzero(flat != c8.reshape(-1))
@@ -428,6 +473,12 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
         for k in ("poc", "slot"):
             t[k] = np.where(sw, t[k][:, :, 1], t[k][:, :, 0])
         t["pf"] = (t["pf"][:, :, 0] | t["pf"][:, :, 1])
+    if real_slots:
+        # adaptive narrow dtypes (every consumer casts to int32 anyway)
+        if cfg.mv8:
+            t["mv"] = t["mv"].astype(np.int8)
+        if cfg.poc8:
+            t["poc"] = t["poc"].astype(np.int8)
     return t
 
 
@@ -603,7 +654,20 @@ def _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg, stages,
         for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
             n = 1 << log2
             E = cfg.escapes[bi_] if cfg.escapes else 0
-            c = t[f"rc_{cidx}_{log2}"].astype(jnp.int32)
+            Ssb = cfg.sb_caps[bi_] if cfg.sb_caps else 0
+            if Ssb:
+                # re-tile the coded sub-blocks: one row scatter into the
+                # dense (K*nsb, 16) layout (padding rows drop), then
+                # (K, sy, sx, r, c) -> (K, n, n)
+                nsb = (n // 4) ** 2
+                flatsb = jnp.zeros((K * nsb, 16), jnp.int32).at[
+                    t[f"rbi_{cidx}_{log2}"]].set(
+                    t[f"rb_{cidx}_{log2}"].astype(jnp.int32),
+                    mode="drop", unique_indices=True)
+                c = flatsb.reshape(K, n // 4, n // 4, 4, 4) \
+                    .transpose(0, 1, 3, 2, 4).reshape(K, n, n)
+            else:
+                c = t[f"rc_{cidx}_{log2}"].astype(jnp.int32)
             if E:      # re-apply int16 escape values over the int8 body
                 flat = jnp.concatenate(
                     [c.reshape(K * n * n), jnp.zeros(1, jnp.int32)])

@@ -66,6 +66,11 @@ def main():
     plans = parse_stream(data)
     on_tpu = jax.default_backend() not in ("cpu",)
     cfg = stream_cfg(plans, plans[0].sps, use_pallas=on_tpu)
+    import dataclasses
+    if "--no-cmxu" in sys.argv:      # A/B: VPU chroma taps
+        cfg = dataclasses.replace(cfg, mc_caps_c=())
+    if "--no-mxu" in sys.argv:       # A/B: VPU luma taps
+        cfg = dataclasses.replace(cfg, mc_caps=())
     pframes = [p for p in plans if p.nal_type != -1 and frame_compatible(p)]
     fid_slot = {plans[0].frame_id: 0}
     for i, p in enumerate(pframes):
