@@ -396,23 +396,26 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
             rows = np.zeros((0, 10), np.int32)
         k = rows.shape[0]
         assert k <= K, (cidx, log2, k, K)
-        coeffs = np.zeros((K, n, n), np.int16)
+        # work on the k REAL rows only (K is the padded stream max);
+        # int8 body (+ escape (idx, val) list for |v| > 127 when the
+        # stream has any) halves the dominant upload tensor
         if k:
             gi = rows[:, 9][:, None] + np.arange(n * n)[None, :]
-            coeffs[:k] = coeff_pool[gi].reshape(k, n, n)
-        # int8 body (+ escape (idx, val) list for |v| > 127 when the
-        # stream has any): halves the dominant upload tensor
-        c8 = np.clip(coeffs, -128, 127).astype(np.int8)
+            ck = coeff_pool[gi]                       # (k, n*n) int16
+        else:
+            ck = np.zeros((0, n * n), np.int16)
+        c8k = np.clip(ck, -128, 127).astype(np.int8)
         Ssb = cfg.sb_caps[bi_] if (cfg.sb_caps and real_slots) else 0
         if Ssb:
             # coded-sub-block upload: (Ssb,16) int8 values + (Ssb,)
             # int32 row index into the (K*nsb, 16) dense sub-block
             # layout; the device row-scatters and re-tiles. int8 clip
-            # never maps a nonzero to zero, so the nz mask on c8 is
-            # exact.
+            # never maps a nonzero to zero, so the nz mask on c8k is
+            # exact. Row numbering over the k real rows matches the
+            # dense layout (rows 0..k-1 come first).
             nsb = (n // 4) ** 2
-            sbv = c8.reshape(K, n // 4, 4, n // 4, 4) \
-                .transpose(0, 1, 3, 2, 4).reshape(K * nsb, 16)
+            sbv = c8k.reshape(k, n // 4, 4, n // 4, 4) \
+                .transpose(0, 1, 3, 2, 4).reshape(k * nsb, 16)
             nzidx = np.flatnonzero((sbv != 0).any(axis=1))
             assert nzidx.size <= Ssb, (cidx, log2, nzidx.size, Ssb)
             rb = np.zeros((Ssb, 16), np.int8)
@@ -423,10 +426,12 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
             t[f"rb_{cidx}_{log2}"] = rb
             t[f"rbi_{cidx}_{log2}"] = rbi
         else:
+            c8 = np.zeros((K, n, n), np.int8)
+            c8[:k] = c8k.reshape(k, n, n)
             t[f"rc_{cidx}_{log2}"] = c8
         if E:
-            flat = coeffs.reshape(-1)
-            eidx = np.flatnonzero(flat != c8.reshape(-1))
+            flat = ck.reshape(-1)
+            eidx = np.flatnonzero(flat != c8k.reshape(-1))
             assert eidx.size <= E, (cidx, log2, eidx.size, E)
             ridx = np.full(E, K * n * n, np.int32)    # dump element
             rval = np.zeros(E, np.int16)
@@ -435,7 +440,7 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
             t[f"re_i_{cidx}_{log2}"] = ridx
             t[f"re_v_{cidx}_{log2}"] = rval
         else:
-            assert (coeffs == c8).all(), "escape capacity 0 but |v|>127"
+            assert (ck == c8k).all(), "escape capacity 0 but |v|>127"
         qp = np.zeros(K, np.int32)
         qp[:k] = rows[:, 5]
         sub = 1 if cidx == 0 else 2

@@ -57,10 +57,15 @@ class NativeFrontend:
         if n < 0:
             raise ValueError("native front-end error: " +
                              self.lib.fe_error(C.c_void_p(self.h)).decode())
-        frames = []
-        for i in range(n):
-            frames.append(self._frame(i, sps_map, pps_map))
-        return frames
+        if n >= 8:
+            # the per-frame extraction is memcpy-bound inside ctypes
+            # calls (GIL released) and fe_get_* only read Frame state —
+            # a small pool overlaps the copies
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                return list(ex.map(
+                    lambda i: self._frame(i, sps_map, pps_map), range(n)))
+        return [self._frame(i, sps_map, pps_map) for i in range(n)]
 
     def _frame(self, idx, sps_map, pps_map):
         lib = self.lib
