@@ -1,68 +1,79 @@
 #!/usr/bin/env python3
-"""Native front-end (bitstream->plans) throughput at realistic sizes.
+"""Front-end throughput benchmark: native parse (CABAC pool + overlapped
+motion replay) and plan extraction, per stream and thread count.
 
-The CABAC front-end is the serial stage of the decoder (SURVEY §7 "hard
-parts"); this measures whether it can feed the device pipeline at the 4K
-target (reference comparison: dec265 single-threaded FULL decode of the
-same streams). FE_THREADS controls the frame-parallel worker pool.
+The serial CABAC stage is the classic software-decode ceiling
+(reference: frame-parallel thread pool, decctx.cc); this measures
+whether the host front end can feed the device pipeline at target rate.
+Writes one JSON line per (stream, threads) config; the driver-facing
+artifact is FRONTEND.json at the repo root.
 
-Usage: python tools/bench_frontend.py [stream ...]
+Usage: python tools/bench_frontend.py [out.json]
 """
 import json
 import os
-import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 DATA = os.path.join(REPO, "tests", "data")
-DEC = os.path.join(REPO, ".ref_build", "dec265", "dec265")
 
-STREAMS = ["ld_720p_wpp", "ld_1080p_wpp", "tiles44_1080p", "ld4k"]
+STREAMS = ("ld_1080p_wpp", "gop1080p", "ld4k_light", "ld4k")
 
 
-def main():
+def bench(stream, threads, reps=3):
     from libde265_tpu.native_frontend import NativeFrontend
     from libde265_tpu.bitstream.nal import split_annexb
     from libde265_tpu.bitstream.paramsets import read_sps, read_pps
-    names = sys.argv[1:] or STREAMS
-    for name in names:
-        path = os.path.join(DATA, name + ".bin")
-        if not os.path.exists(path):
-            print(json.dumps({"stream": name, "error": "absent"}))
-            continue
-        with open(path, "rb") as f:
-            data = f.read()
-        spss, ppss = {}, {}
-        for u in split_annexb(data):
-            t = u.header.nal_unit_type
-            if t == 33:
-                s = read_sps(u.data)
-                spss[s.seq_parameter_set_id] = s
-            elif t == 34:
-                ppss[read_pps(u.data, spss).pic_parameter_set_id] = \
-                    read_pps(u.data, spss)
-        # warm (mmap, code paths), then time the parse alone
+    path = os.path.join(DATA, stream + ".bin")
+    with open(path, "rb") as f:
+        data = f.read()
+    spss, ppss = {}, {}
+    for u in split_annexb(data):
+        t = u.header.nal_unit_type
+        if t == 33:
+            s = read_sps(u.data)
+            spss[s.seq_parameter_set_id] = s
+        elif t == 34:
+            ppss[read_pps(u.data, spss).pic_parameter_set_id] = \
+                read_pps(u.data, spss)
+    os.environ["FE_THREADS"] = str(threads)
+    best_push = best_ext = 0.0
+    n = 0
+    for _ in range(reps):
         fe = NativeFrontend()
         t0 = time.time()
         n = fe.lib.fe_push_stream(fe.h, data, len(data))
-        t_parse = time.time() - t0
-        # full plan extraction (grids+TUs+PUs into numpy) on a fresh FE
-        fe2 = NativeFrontend()
-        t0 = time.time()
-        plans = fe2.parse(data, spss, ppss)
-        t_full = time.time() - t0
-        row = {"stream": name, "frames": int(n),
-               "fe_parse_fps": round(n / t_parse, 1),
-               "fe_plus_extract_fps": round(len(plans) / t_full, 1)}
-        if os.path.exists(DEC):
-            t0 = time.time()
-            subprocess.run([DEC, "-q", path], capture_output=True,
-                           timeout=600)
-            row["dec265_1thread_full_decode_fps"] = \
-                round(n / (time.time() - t0), 1)
-        print(json.dumps(row), flush=True)
+        t1 = time.time()
+        frames = [fe._frame(i, spss, ppss) for i in range(n)]
+        t2 = time.time()
+        best_push = max(best_push, n / (t1 - t0))
+        best_ext = max(best_ext, n / (t2 - t1))
+        del frames, fe
+    sps = list(spss.values())[0]
+    return {"stream": stream, "threads": threads, "frames": n,
+            "w": sps.pic_width_in_luma_samples,
+            "h": sps.pic_height_in_luma_samples,
+            "mbps": round(len(data) * 8 * 30 / max(n, 1) / 1e6, 1),
+            "parse_fps": round(best_push, 1),
+            "extract_fps": round(best_ext, 1),
+            "pipeline_fps": round(1 / (1 / best_push + 1 / best_ext), 1)}
+
+
+def main():
+    out = []
+    for stream in STREAMS:
+        if not os.path.exists(os.path.join(DATA, stream + ".bin")):
+            continue
+        for threads in (1, 4):
+            r = bench(stream, threads)
+            print(json.dumps(r))
+            out.append(r)
+    dest = sys.argv[1] if len(sys.argv) > 1 else \
+        os.path.join(REPO, "FRONTEND.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
