@@ -163,9 +163,11 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
             sps = plan.sps
             grey = 1 << (sps.BitDepthY - 1)
             dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
+            cw_, ch_ = ((plan.W // sps.SubWidthC, plan.H // sps.SubHeightC)
+                        if sps.ChromaArrayType != 0 else (0, 0))
             planes = [np.full((plan.H, plan.W), grey, dt),
-                      np.full((plan.H // 2, plan.W // 2), grey, dt),
-                      np.full((plan.H // 2, plan.W // 2), grey, dt)]
+                      np.full((ch_, cw_), grey, dt),
+                      np.full((ch_, cw_), grey, dt)]
         else:
             planes = reconstruct_frame(plan, dpb_images=refs)
         refs.add(plan.frame_id, plan, planes)

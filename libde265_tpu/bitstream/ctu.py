@@ -26,6 +26,11 @@ CTX_IDX_MAP_4x4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
 # chroma QP mapping for ChromaArrayType==1 (spec Table 8-10)
 CHROMA_QP_TABLE = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
 
+# 4:2:2 chroma intra mode remap (spec Table 8-23; slice.cc:4240)
+MAP_CHROMA_422 = (
+    0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+    21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31)
+
 PRED_L0, PRED_L1, PRED_BI = 0, 1, 2
 
 
@@ -263,12 +268,12 @@ class SliceReader:
                     merge = True
         if merge:
             return
-        bitdepth = self.sps.BitDepthY
         for c in range(3):
             if c == 0 and not sh.slice_sao_luma_flag:
                 continue
             if c > 0 and not sh.slice_sao_chroma_flag:
                 continue
+            bitdepth = self.sps.BitDepthY if c == 0 else self.sps.BitDepthC
             if c == 2:
                 # type copied from Cb; offsets/class own
                 type_idx = sao.type_idx[cy, cx, 1]
@@ -512,15 +517,30 @@ class SliceReader:
             modes.append(mode)
             frame.intra_mode_y[py >> 2:(py + pb_size) >> 2,
                                px >> 2:(px + pb_size) >> 2] = mode
-        # chroma mode (4:2:0 -> single mode for the CU)
-        if self.sps.ChromaArrayType != 0:
-            bin0 = c.decode_bin(self.ctx.at("intra_chroma_pred_mode"))
-            if bin0:
+        # chroma mode: one per CU (4:2:0/4:2:2) or one per PB (4:4:4,
+        # slice.cc:4447-4470); 4:2:2 remaps through Table 8-23
+        cat = self.sps.ChromaArrayType
+
+        def read_cmode(luma_mode):
+            if c.decode_bin(self.ctx.at("intra_chroma_pred_mode")):
                 idx = c.decode_bypass_bits(2)
                 cand = (0, 26, 10, 1)[idx]
-                cmode = 34 if cand == modes[0] else cand
+                cmode = 34 if cand == luma_mode else cand
             else:
-                cmode = modes[0]
+                cmode = luma_mode
+            if cat == 2:
+                cmode = MAP_CHROMA_422[cmode]
+            return cmode
+
+        if cat == 3:
+            for i in range(n_parts):
+                px = x0 + (i & 1) * pb_size
+                py = y0 + (i >> 1) * pb_size
+                frame.intra_mode_c[py >> 2:(py + pb_size) >> 2,
+                                   px >> 2:(px + pb_size) >> 2] = \
+                    read_cmode(modes[i])
+        elif cat != 0:
+            cmode = read_cmode(modes[0])
             size = 1 << log2_size
             frame.intra_mode_c[y0 >> 2:(y0 + size) >> 2,
                                x0 >> 2:(x0 + size) >> 2] = cmode
@@ -593,12 +613,12 @@ class SliceReader:
             for xx in range(size):
                 v, pos = read_bits(pos, nbits_y)
                 ysamples[yy, xx] = v << shift_y
-        cs = size >> 1
-        csamples = np.zeros((2, cs, cs), np.uint16)
+        cw, chh = size // sps.SubWidthC, size // sps.SubHeightC
+        csamples = np.zeros((2, chh, cw), np.uint16)
         if sps.ChromaArrayType != 0:
             for ci in range(2):
-                for yy in range(cs):
-                    for xx in range(cs):
+                for yy in range(chh):
+                    for xx in range(cw):
                         v, pos = read_bits(pos, nbits_c)
                         csamples[ci, yy, xx] = v << shift_c
         # stash as a special TU record (pcm paste)
@@ -732,18 +752,30 @@ class SliceReader:
             split = (log2_size > sps.Log2MaxTrafoSize or
                      (intra_split and depth == 0) or inter_split)
 
+        # cbf_cb/cbf_cr are BIT MASKS: bit0 = (top) TB, bit1 = bottom TB
+        # (4:2:2 codes two square chroma TBs per luma TB — the second
+        # flag is present at non-split nodes and at log2==3 splits;
+        # slice.cc:3884-3902)
+        cat = sps.ChromaArrayType
         cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
-        if log2_size > 2 and sps.ChromaArrayType != 0:
+        if (log2_size > 2 and cat != 0) or cat == 3:
+            two = cat == 2 and (not split or log2_size == 3)
             if depth == 0 or parent_cbf_cb:
-                cbf_cb = bool(c.decode_bin(self.ctx.at("cbf_chroma", depth)))
+                cbf_cb = c.decode_bin(self.ctx.at("cbf_chroma", depth))
+                if two:
+                    cbf_cb |= c.decode_bin(
+                        self.ctx.at("cbf_chroma", depth)) << 1
             else:
-                cbf_cb = False
+                cbf_cb = 0
             if depth == 0 or parent_cbf_cr:
-                cbf_cr = bool(c.decode_bin(self.ctx.at("cbf_chroma", depth)))
+                cbf_cr = c.decode_bin(self.ctx.at("cbf_chroma", depth))
+                if two:
+                    cbf_cr |= c.decode_bin(
+                        self.ctx.at("cbf_chroma", depth)) << 1
             else:
-                cbf_cr = False
-        elif sps.ChromaArrayType == 0:
-            cbf_cb = cbf_cr = False
+                cbf_cr = 0
+        elif cat == 0:
+            cbf_cb = cbf_cr = 0
 
         if split:
             half = 1 << (log2_size - 1)
@@ -776,8 +808,12 @@ class SliceReader:
         frame.tu_boundary[gy, gx:gx + gs] |= 2
         frame.cbf_luma[gy:gy + gs, gx:gx + gs] = 1 if cbf_luma else 0
 
-        chroma_here = (sps.ChromaArrayType != 0) and (log2_size > 2 or blk_idx == 3)
-        if cbf_luma or ((cbf_cb or cbf_cr) and chroma_here):
+        cat = sps.ChromaArrayType
+        chroma_here = (cat == 3) or (cat != 0 and
+                                     (log2_size > 2 or blk_idx == 3))
+        # qp-delta presence tests the RAW cbf masks (slice.cc:3583), not
+        # whether this leaf carries the chroma TBs
+        if cbf_luma or cbf_cb or cbf_cr:
             if pps.cu_qp_delta_enabled_flag and not self.is_cu_qp_delta_coded:
                 self._decode_cu_qp_delta()
 
@@ -797,23 +833,34 @@ class SliceReader:
             coeffs=coeffs))
 
         if chroma_here:
-            if log2_size > 2:
-                cx, cy_, clog2 = x0 >> 1, y0 >> 1, log2_size - 1
+            sw, sh_ = sps.SubWidthC, sps.SubHeightC
+            if cat == 3:
+                lx, ly, clog2 = x0, y0, log2_size
+            elif log2_size > 2:
+                lx, ly, clog2 = x0, y0, log2_size - 1
             else:
-                cx, cy_, clog2 = xBase >> 1, yBase >> 1, 2
-            cmode = int(frame.intra_mode_c[(cy_ * 2) >> 2, (cx * 2) >> 2]) \
+                lx, ly, clog2 = xBase, yBase, 2
+            cx, cy_ = lx // sw, ly // sh_
+            cmode = int(frame.intra_mode_c[ly >> 2, lx >> 2]) \
                 if self.cur_pred_mode == MODE_INTRA else -1
+            # 4:2:2: each luma TB carries TWO stacked square chroma TBs
+            # (slice.cc:3671-3712); cbf masks select per-TB residuals
+            n_tb = 2 if cat == 2 else 1
             for ci, cbf in ((1, cbf_cb), (2, cbf_cr)):
-                ccoeffs = None
-                if cbf:
-                    ccoeffs = self._residual_coding(cx, cy_, clog2, ci)
-                cqp = self._chroma_qp(ci)
-                cts = getattr(self, "_last_ts_flag", False)
-                frame.tus.append(TURecord(
-                    cidx=ci, x=cx, y=cy_, log2=clog2, intra_mode=cmode,
-                    qp=cqp, transform_skip=(ccoeffs is not None and cts),
-                    tq_bypass=self.cur_tq_bypass, pred_mode=self.cur_pred_mode,
-                    coeffs=ccoeffs))
+                for tb in range(n_tb):
+                    yoff = tb << clog2
+                    ccoeffs = None
+                    if cbf & (1 << tb):
+                        ccoeffs = self._residual_coding(
+                            cx, cy_ + yoff, clog2, ci)
+                    cqp = self._chroma_qp(ci)
+                    cts = getattr(self, "_last_ts_flag", False)
+                    frame.tus.append(TURecord(
+                        cidx=ci, x=cx, y=cy_ + yoff, log2=clog2,
+                        intra_mode=cmode, qp=cqp,
+                        transform_skip=(ccoeffs is not None and cts),
+                        tq_bypass=self.cur_tq_bypass,
+                        pred_mode=self.cur_pred_mode, coeffs=ccoeffs))
 
     def _chroma_qp(self, cidx):
         sps, pps, sh = self.sps, self.pps, self.sh
@@ -861,8 +908,9 @@ class SliceReader:
         if self.cur_pred_mode == MODE_INTRA and \
                 (log2_size == 2 or (log2_size == 3 and cidx == 0) or
                  (log2_size == 3 and sps.ChromaArrayType == 3)):
-            pred_mode = int(self.frame.intra_mode_y[y0 >> 2, x0 >> 2]) if cidx == 0 else \
-                int(self.frame.intra_mode_c[(y0 << 1) >> 2, (x0 << 1) >> 2])
+            pred_mode = int(self.frame.intra_mode_y[y0 >> 2, x0 >> 2]) \
+                if cidx == 0 else int(self.frame.intra_mode_c[
+                    (y0 * sps.SubHeightC) >> 2, (x0 * sps.SubWidthC) >> 2])
             if 6 <= pred_mode <= 14:
                 scan_idx = SCAN_VERT
             elif 22 <= pred_mode <= 30:

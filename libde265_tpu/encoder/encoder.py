@@ -67,6 +67,9 @@ class EncoderConfig:
     dependent_slices: bool = False    # slices 2..n emitted as dependent segs
     b_frames: bool = False            # code inter frames as (generalized) B
     bit_depth: int = 8                # 8 or 10 (Main / Main-10 style)
+    chroma_format: int = 1            # chroma_format_idc: 0 mono, 1 4:2:0,
+                                      # 2 4:2:2, 3 4:4:4 (non-420 is
+                                      # intra-only for now)
     pcm: bool = False                 # every 5th intra CU coded as raw PCM
     pcm_loop_filter_disable: bool = False
     use_cra: bool = False             # non-first intra pictures as CRA (21)
@@ -162,6 +165,11 @@ class _CUEmitter:
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
+        if cfg.chroma_format != 1:
+            # non-4:2:0 coverage is intra-only with in-loop filters off
+            # (matches the decoder's current range-extension scope)
+            assert not cfg.sao and cfg.disable_deblocking and not cfg.rdo \
+                and not cfg.pcm, "non-4:2:0: intra-only, filters off"
         # self-parse our own headers for exact derived geometry
         self.sps_nal = write_sps(cfg)
         self.pps_nal = write_pps(cfg)
@@ -201,6 +209,9 @@ class Encoder:
 
     def _encode_frame(self, src_planes, poc, intra):
         cfg = self.cfg
+        if not intra and cfg.chroma_format != 1:
+            raise NotImplementedError(
+                "inter coding for non-4:2:0 formats not implemented")
         from ..bitstream.sliceheader import SLICE_TYPE_B
         if intra:
             slice_type = SLICE_TYPE_I
@@ -447,17 +458,25 @@ class Encoder:
                 sw.write_pred_mode(True)
             else:
                 sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
+        sw_c, sh_c = self.sps.SubWidthC, self.sps.SubHeightC
+        cat = self.sps.ChromaArrayType
         if cfg.pcm and idx % 5 == 0 and 3 <= log2_size <= 5:
             sw.write_part_mode_intra(log2_size, PART_2Nx2N)
             n = 1 << log2_size
             ys = self.src[0][y0:y0 + n, x0:x0 + n]
-            cb = self.src[1][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2]
-            cr = self.src[2][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2]
+            if cat != 0:
+                cx0, cy0 = x0 // sw_c, y0 // sh_c
+                cw_, ch_ = n // sw_c, n // sh_c
+                cb = self.src[1][cy0:cy0 + ch_, cx0:cx0 + cw_]
+                cr = self.src[2][cy0:cy0 + ch_, cx0:cx0 + cw_]
+            else:
+                cb = cr = np.zeros((0, 0), self.cfg.pix_dtype)
             sw.write_pcm(x0, y0, log2_size, ys, cb, cr, cfg.bit_depth)
             # recon = raw samples (lossless)
             self.recon[0][y0:y0 + n, x0:x0 + n] = ys
-            self.recon[1][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2] = cb
-            self.recon[2][y0 // 2:(y0 + n) // 2, x0 // 2:(x0 + n) // 2] = cr
+            if cat != 0:
+                self.recon[1][cy0:cy0 + ch_, cx0:cx0 + cw_] = cb
+                self.recon[2][cy0:cy0 + ch_, cx0:cx0 + cw_] = cr
             # intra-mode grids: PCM blocks expose DC for MPM purposes
             gs = n >> 2
             self.frame.intra_mode_y[y0 >> 2:(y0 >> 2) + gs,
@@ -475,33 +494,53 @@ class Encoder:
         # predict + residual on luma and both chroma planes
         n = 1 << log2_size
         coeffs_y = self._intra_predict_and_quant(0, x0, y0, log2_size, mode)
-        cx, cy_, clog2 = x0 >> 1, y0 >> 1, log2_size - 1
-        coeffs_cb = self._intra_predict_and_quant(1, cx, cy_, clog2, mode,
-                                                  defer=True)
-        coeffs_cr = self._intra_predict_and_quant(2, cx, cy_, clog2, mode,
-                                                  defer=True)
         cbf_y = coeffs_y is not None
-        cbf_cb = coeffs_cb is not None
-        cbf_cr = coeffs_cr is not None
-        # transform tree: no split (maxdepth 0, log2<=MaxTb)
-        sw.write_cbf_chroma(0, cbf_cb)
-        sw.write_cbf_chroma(0, cbf_cr)
+        if cat == 0:
+            sw.write_cbf_luma(True, cbf_y)
+            sw.record_tu(x0, y0, log2_size, cbf_y)
+            if cbf_y:
+                sw.write_residual(coeffs_y, log2_size,
+                                  0, self._scan_for(mode, log2_size, 0))
+            self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y)
+            return
+        # chroma geometry per format; 4:2:2 codes two stacked TBs per
+        # plane and remaps the derived (DM) mode through Table 8-23
+        from ..bitstream.ctu import MAP_CHROMA_422
+        cmode = MAP_CHROMA_422[mode] if cat == 2 else mode
+        clog2 = log2_size if cat == 3 else log2_size - 1
+        cx, cy_ = x0 // sw_c, y0 // sh_c
+        n_tb = 2 if cat == 2 else 1
+        # quantize + reconstruct chroma TB-sequentially (the 4:2:2 bottom
+        # TB predicts from the top TB's reconstruction), then write the
+        # bitstream in syntax order (all cbf flags precede residuals)
+        cco = {}
+        for ci in (1, 2):
+            for tb in range(n_tb):
+                yc = cy_ + (tb << clog2)
+                cco[ci, tb] = self._intra_predict_and_quant(
+                    ci, cx, yc, clog2, cmode, defer=True)
+                self._recon_intra(ci, cx, yc, clog2, cmode, cco[ci, tb])
+        # transform tree: no split (maxdepth 0, log2<=MaxTb); the 4:2:2
+        # second cbf bit follows the first at non-split nodes
+        for ci in (1, 2):
+            for tb in range(n_tb):
+                sw.write_cbf_chroma(0, cco[ci, tb] is not None)
         sw.write_cbf_luma(True, cbf_y)
         sw.record_tu(x0, y0, log2_size, cbf_y)
         if cbf_y:
             sw.write_residual(coeffs_y, log2_size,
                               0, self._scan_for(mode, log2_size, 0))
         self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y)
-        if cbf_cb:
-            sw.write_residual(coeffs_cb, clog2, 1, self._scan_for(mode, clog2, 1))
-        self._recon_intra(1, cx, cy_, clog2, mode, coeffs_cb)
-        if cbf_cr:
-            sw.write_residual(coeffs_cr, clog2, 2, self._scan_for(mode, clog2, 2))
-        self._recon_intra(2, cx, cy_, clog2, mode, coeffs_cr)
+        for ci in (1, 2):
+            for tb in range(n_tb):
+                if cco[ci, tb] is not None:
+                    sw.write_residual(cco[ci, tb], clog2, ci,
+                                      self._scan_for(cmode, clog2, ci))
 
     def _scan_for(self, mode, log2, cidx):
         sps = self.sps
-        if log2 == 2 or (log2 == 3 and cidx == 0):
+        if log2 == 2 or (log2 == 3 and
+                         (cidx == 0 or sps.ChromaArrayType == 3)):
             if 6 <= mode <= 14:
                 return SCAN_VERT
             if 22 <= mode <= 30:
@@ -576,7 +615,8 @@ class Encoder:
         ref = gather_border(self.frame, self.recon, self.avail, x, y, log2,
                             cidx, bd)
         fref = intra_ref.filter_border(ref, n, mode, cidx, bd,
-                                       bool(self.cfg.strong_intra_smoothing))
+                                       bool(self.cfg.strong_intra_smoothing),
+                                       c444=self.sps.ChromaArrayType == 3)
         return intra_ref.predict(fref, mode, log2, cidx, bd)
 
     def _recon_intra(self, cidx, x, y, log2, mode, coeffs):

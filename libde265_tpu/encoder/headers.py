@@ -61,9 +61,14 @@ def write_sps(cfg):
     msl = 2 if getattr(cfg, 'temporal_layers', False) else 1
     w.put_bits(msl - 1, 3)   # max_sub_layers_minus1
     w.put_bit(1)       # temporal_id_nesting
-    write_ptl(w, msl, profile_idc=2 if getattr(cfg, 'bit_depth', 8) > 8 else 1)
+    cf_ptl = getattr(cfg, 'chroma_format', 1)
+    write_ptl(w, msl, profile_idc=4 if cf_ptl != 1 else
+              (2 if getattr(cfg, 'bit_depth', 8) > 8 else 1))
     w.put_uvlc(0)      # sps id
-    w.put_uvlc(1)      # chroma_format_idc 4:2:0
+    cf = getattr(cfg, 'chroma_format', 1)
+    w.put_uvlc(cf)     # chroma_format_idc (0 mono / 1 420 / 2 422 / 3 444)
+    if cf == 3:
+        w.put_bit(0)   # separate_colour_plane_flag
     w.put_uvlc(cfg.width)
     w.put_uvlc(cfg.height)
     w.put_bit(0)       # conformance window

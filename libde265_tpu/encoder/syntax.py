@@ -343,9 +343,16 @@ class SliceWriter:
         gs = (1 << log2_size) >> 2
         gx, gy = x0 >> 2, y0 >> 2
         f.intra_mode_y[gy:gy + gs, gx:gx + gs] = mode
-        # chroma: derived (DM) mode
-        c.encode_bin(self.ctx.at("intra_chroma_pred_mode"), 0)
-        f.intra_mode_c[gy:gy + gs, gx:gx + gs] = mode
+        # chroma: derived (DM) mode; absent for monochrome, remapped
+        # through Table 8-23 for 4:2:2
+        cat = self.frame.sps.ChromaArrayType
+        if cat != 0:
+            c.encode_bin(self.ctx.at("intra_chroma_pred_mode"), 0)
+            cmode = mode
+            if cat == 2:
+                from ..bitstream.ctu import MAP_CHROMA_422
+                cmode = MAP_CHROMA_422[mode]
+            f.intra_mode_c[gy:gy + gs, gx:gx + gs] = cmode
 
     # --------------------------------------------------------- transform
     def write_split_transform_flag(self, log2_size, split):

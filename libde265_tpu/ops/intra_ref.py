@@ -24,9 +24,11 @@ INV_ANGLE = (
 
 
 def filter_border(ref: np.ndarray, n: int, mode: int, cidx: int, bitdepth: int,
-                  strong_smoothing: bool) -> np.ndarray:
-    """spec 8.4.4.2.3 reference sample filtering. ref length 4N+1."""
-    if cidx != 0 or n == 4 or mode == 1:
+                  strong_smoothing: bool, c444: bool = False) -> np.ndarray:
+    """spec 8.4.4.2.3 reference sample filtering. ref length 4N+1.
+    c444: ChromaArrayType==3 extends sample filtering to chroma
+    (intrapred.cc:1085-1089); strong smoothing stays luma-only."""
+    if (cidx != 0 and not c444) or n == 4 or mode == 1:
         return ref
     # planar (mode 0) yields minDist = 10 and is filtered for n >= 8
     min_dist = min(abs(mode - 26), abs(mode - 10))
@@ -36,7 +38,7 @@ def filter_border(ref: np.ndarray, n: int, mode: int, cidx: int, bitdepth: int,
     c = 2 * n
     out = ref.copy()
     bi_thresh = 1 << (bitdepth - 5)
-    if strong_smoothing and n == 32 and \
+    if strong_smoothing and n == 32 and cidx == 0 and \
             abs(int(ref[c]) + int(ref[c + 2 * n]) - 2 * int(ref[c + n])) < bi_thresh and \
             abs(int(ref[c]) + int(ref[c - 2 * n]) - 2 * int(ref[c - n])) < bi_thresh:
         # strong (bilinear) smoothing, 8.4.4.2.3 eq 8-30..8-34

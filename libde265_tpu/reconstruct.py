@@ -69,8 +69,10 @@ def gather_border(plan: FramePlan, planes, avail: Availability,
     """spec 8.4.4.2.2: build the 4N+1 border array with substitution.
     (x, y) are in the plane's own sample units."""
     n = 1 << log2
-    sub = 1 if cidx == 0 else plan.sps.SubWidthC  # 4:2:0 => 2
-    xL, yL = x * sub, y * sub   # luma coords of block origin
+    # per-axis subsampling (4:2:2 halves only horizontally)
+    sub_x = 1 if cidx == 0 else plan.sps.SubWidthC
+    sub_y = 1 if cidx == 0 else plan.sps.SubHeightC
+    xL, yL = x * sub_x, y * sub_y   # luma coords of block origin
     pl = planes[cidx]
     H, W = pl.shape
     ref = np.zeros(4 * n + 1, np.int32)
@@ -80,7 +82,7 @@ def gather_border(plan: FramePlan, planes, avail: Availability,
 
     def sample_ok(sx, sy):
         # sx, sy in this plane's units
-        lx, ly = sx * sub, sy * sub
+        lx, ly = sx * sub_x, sy * sub_y
         if not avail.available(xL, yL, lx, ly):
             return False
         if cip and plan.pred_mode[ly >> 2, lx >> 2] != MODE_INTRA:
@@ -88,17 +90,19 @@ def gather_border(plan: FramePlan, planes, avail: Availability,
         return True
 
     # left column: k=1..2n -> p[-1][k-1] at (x-1, y+k-1); index c-k
+    # (availability is cached per underlying 4x4 LUMA block row)
     if x > 0:
         prev = None
+        last_blk = None
         for k in range(1, 2 * n + 1):
             sy = y + k - 1
             if sy >= H:
                 ok[c - k] = False
                 continue
-            blk = (sy >> 2)  # availability granularity: check each 4-row group
-            if prev is None or (sy & 3) == 0 or k == 1:
-                good = sample_ok(x - 1, sy)
-                prev = good
+            blk = (sy * sub_y) >> 2
+            if prev is None or blk != last_blk:
+                prev = sample_ok(x - 1, sy)
+                last_blk = blk
             ok[c - k] = prev
             if prev:
                 ref[c - k] = pl[sy, x - 1]
@@ -110,14 +114,16 @@ def gather_border(plan: FramePlan, planes, avail: Availability,
     # top row: k=1..2n -> p[k-1][-1] at (x+k-1, y-1); index c+k
     if y > 0:
         prev = None
+        last_blk = None
         for k in range(1, 2 * n + 1):
             sx = x + k - 1
             if sx >= W:
                 ok[c + k] = False
                 continue
-            if prev is None or (sx & 3) == 0 or k == 1:
-                good = sample_ok(sx, y - 1)
-                prev = good
+            blk = (sx * sub_x) >> 2
+            if prev is None or blk != last_blk:
+                prev = sample_ok(sx, y - 1)
+                last_blk = blk
             ok[c + k] = prev
             if prev:
                 ref[c + k] = pl[y - 1, sx]
@@ -145,7 +151,8 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
     bd_y, bd_c = sps.BitDepthY, sps.BitDepthC
     dt = np.uint8 if max(bd_y, bd_c) == 8 else np.uint16
     W, H = plan.W, plan.H
-    cw, ch = W // sps.SubWidthC, H // sps.SubHeightC
+    cw, ch = ((W // sps.SubWidthC, H // sps.SubHeightC)
+              if sps.ChromaArrayType != 0 else (0, 0))
     planes = [np.zeros((H, W), dt), np.zeros((ch, cw), dt), np.zeros((ch, cw), dt)]
     avail = Availability(plan)
 
@@ -162,9 +169,10 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
             n = 1 << tu.log2
             planes[0][tu.y:tu.y + n, tu.x:tu.x + n] = tu.pcm_y
             if sps.ChromaArrayType != 0:
-                cn = n // 2
-                planes[1][tu.y // 2:tu.y // 2 + cn, tu.x // 2:tu.x // 2 + cn] = tu.pcm_c[0]
-                planes[2][tu.y // 2:tu.y // 2 + cn, tu.x // 2:tu.x // 2 + cn] = tu.pcm_c[1]
+                cw_, ch_ = n // sps.SubWidthC, n // sps.SubHeightC
+                cx0, cy0 = tu.x // sps.SubWidthC, tu.y // sps.SubHeightC
+                planes[1][cy0:cy0 + ch_, cx0:cx0 + cw_] = tu.pcm_c[0]
+                planes[2][cy0:cy0 + ch_, cx0:cx0 + cw_] = tu.pcm_c[1]
             continue
         n = 1 << tu.log2
         bd = bd_y if tu.cidx == 0 else bd_c
@@ -173,7 +181,8 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
             ref = gather_border(plan, planes, avail, tu.x, tu.y, tu.log2, tu.cidx, bd)
             fref = intra_ref.filter_border(
                 ref, n, tu.intra_mode, tu.cidx, bd,
-                bool(sps.strong_intra_smoothing_enable_flag))
+                bool(sps.strong_intra_smoothing_enable_flag),
+                c444=sps.ChromaArrayType == 3)
             pred = intra_ref.predict(
                 fref, tu.intra_mode, tu.log2, tu.cidx, bd,
                 disable_boundary_filter=bool(getattr(sps, "implicit_rdpcm_enabled_flag", 0))

@@ -1685,7 +1685,7 @@ struct SliceReader {
           ? sps.max_trafo_depth_intra + cur_intra_split
           : sps.max_trafo_depth_inter;
       cur_pred_mode = pred_mode; cur_part_mode = part_mode;
-      if (!transform_tree(x0, y0, x0, y0, log2, 0, 0, max_depth, true, true))
+      if (!transform_tree(x0, y0, x0, y0, log2, 0, 0, max_depth, 1, 1))
         return false;
     }
     last_cu_qp = cur_cu_qp;
@@ -1752,14 +1752,29 @@ struct SliceReader {
       if (i == 0) mode0 = mode;
       fill_grid(f.intra_y, px, py, pb, (uint8_t)mode);
     }
-    if (sps.chroma_array_type) {
+    // chroma mode: one per CU (4:2:0/4:2:2, remapped via Table 8-23 for
+    // 4:2:2) or one per PB (4:4:4; slice.cc:4447-4470)
+    static const uint8_t map422[35] = {
+      0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+      21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31};
+    auto read_cmode = [&](int luma_mode) {
       int cmode;
       if (cb->bin(ct.m[CTX_CHROMAMODE])) {
         static const int cands[4] = {0, 26, 10, 1};
         int c = cands[cb->bypass_bits(2)];
-        cmode = (c == mode0) ? 34 : c;
-      } else cmode = mode0;
-      fill_grid(f.intra_c, x0, y0, 1 << log2, (uint8_t)cmode);
+        cmode = (c == luma_mode) ? 34 : c;
+      } else cmode = luma_mode;
+      if (sps.chroma_array_type == 2) cmode = map422[cmode];
+      return cmode;
+    };
+    if (sps.chroma_array_type == 3) {
+      for (int i = 0; i < n_parts; i++) {
+        int px = x0 + (i & 1) * pb, py = y0 + (i >> 1) * pb;
+        int lm = f.intra_y[G(px >> 2, py >> 2)];
+        fill_grid(f.intra_c, px, py, pb, (uint8_t)read_cmode(lm));
+      }
+    } else if (sps.chroma_array_type) {
+      fill_grid(f.intra_c, x0, y0, 1 << log2, (uint8_t)read_cmode(mode0));
     }
   }
 
@@ -1787,9 +1802,9 @@ struct SliceReader {
     for (int i = 0; i < size * size; i++)
       f.pcm_pool.push_back((int16_t)(rb(nbits_y) << shift_y));
     if (sps.chroma_array_type) {
-      int cs = size >> 1;
+      int cw = size / sps.subw, chh = size / sps.subh;
       for (int c = 0; c < 2; c++)
-        for (int i = 0; i < cs * cs; i++)
+        for (int i = 0; i < cw * chh; i++)
           f.pcm_pool.push_back((int16_t)(rb(nbits_c) << shift_c));
     }
     f.tus.push_back(tu);
@@ -1799,7 +1814,8 @@ struct SliceReader {
 
   // ---------------- transform tree / unit (7.3.8.8/10) ----------------
   bool transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
-                      int blk, int max_depth, bool pcb, bool pcr) {
+                      int blk, int max_depth, int pcb, int pcr) {
+    // pcb/pcr are cbf BIT MASKS: bit0 = (top) TB, bit1 = 4:2:2 bottom TB
     bool inter_split = sps.max_trafo_depth_inter == 0 && cur_pred_mode == 0 &&
                        cur_part_mode != 0 && depth == 0;
     bool split;
@@ -1809,13 +1825,19 @@ struct SliceReader {
     else
       split = log2 > sps.log2_max_tb || (cur_intra_split && depth == 0) || inter_split;
 
-    bool cbf_cb = pcb, cbf_cr = pcr;
-    if (log2 > 2 && sps.chroma_array_type) {
-      if (depth == 0 || pcb) cbf_cb = cb->bin(ct.m[CTX_CBF_CHROMA + depth]);
-      else cbf_cb = false;
-      if (depth == 0 || pcr) cbf_cr = cb->bin(ct.m[CTX_CBF_CHROMA + depth]);
-      else cbf_cr = false;
-    } else if (!sps.chroma_array_type) { cbf_cb = cbf_cr = false; }
+    int cbf_cb = pcb, cbf_cr = pcr;
+    int cat = sps.chroma_array_type;
+    if ((log2 > 2 && cat) || cat == 3) {
+      bool two = cat == 2 && (!split || log2 == 3);
+      if (depth == 0 || pcb) {
+        cbf_cb = cb->bin(ct.m[CTX_CBF_CHROMA + depth]);
+        if (two) cbf_cb |= cb->bin(ct.m[CTX_CBF_CHROMA + depth]) << 1;
+      } else cbf_cb = 0;
+      if (depth == 0 || pcr) {
+        cbf_cr = cb->bin(ct.m[CTX_CBF_CHROMA + depth]);
+        if (two) cbf_cr |= cb->bin(ct.m[CTX_CBF_CHROMA + depth]) << 1;
+      } else cbf_cr = 0;
+    } else if (!cat) { cbf_cb = cbf_cr = 0; }
 
     if (split) {
       int half = 1 << (log2 - 1);
@@ -1859,14 +1881,17 @@ struct SliceReader {
   }
 
   bool transform_unit(int x0, int y0, int xb, int yb, int log2, int depth,
-                      int blk, bool cbf_l, bool cbf_cb, bool cbf_cr) {
+                      int blk, bool cbf_l, int cbf_cb, int cbf_cr) {
     int size = 1 << log2;
     int gx = x0 >> 2, gy = y0 >> 2, gs = size >> 2;
     for (int y = 0; y < gs; y++) f.tu_bound[G(gx, gy + y)] |= 1;
     for (int x = 0; x < gs; x++) f.tu_bound[G(gx + x, gy)] |= 2;
     fill_grid(f.cbf_luma, x0, y0, size, (uint8_t)(cbf_l ? 1 : 0));
-    bool chroma_here = sps.chroma_array_type && (log2 > 2 || blk == 3);
-    if (cbf_l || ((cbf_cb || cbf_cr) && chroma_here)) {
+    int cat_u = sps.chroma_array_type;
+    bool chroma_here = cat_u == 3 || (cat_u && (log2 > 2 || blk == 3));
+    // qp-delta presence tests the RAW cbf masks (slice.cc:3583), not
+    // whether this leaf carries the chroma TBs
+    if (cbf_l || cbf_cb || cbf_cr) {
       if (pps.cu_qp_delta && !qp_delta_coded) decode_cu_qp_delta();
     }
     // luma TU
@@ -1883,24 +1908,31 @@ struct SliceReader {
     }
     f.tus.push_back(tu);
     if (chroma_here) {
-      int cx, cy, clog2;
-      if (log2 > 2) { cx = x0 >> 1; cy = y0 >> 1; clog2 = log2 - 1; }
-      else { cx = xb >> 1; cy = yb >> 1; clog2 = 2; }
-      int cmode = cur_pred_mode == 1 ? f.intra_c[G((cx * 2) >> 2, (cy * 2) >> 2)] : -1;
-      const bool cbfs[2] = {cbf_cb, cbf_cr};
+      int lx, ly, clog2;
+      if (cat_u == 3) { lx = x0; ly = y0; clog2 = log2; }
+      else if (log2 > 2) { lx = x0; ly = y0; clog2 = log2 - 1; }
+      else { lx = xb; ly = yb; clog2 = 2; }
+      int cx = lx / sps.subw, cy = ly / sps.subh;
+      int cmode = cur_pred_mode == 1 ? f.intra_c[G(lx >> 2, ly >> 2)] : -1;
+      // 4:2:2: two stacked square chroma TBs per plane (slice.cc:3671-3712)
+      int n_tb = cat_u == 2 ? 2 : 1;
+      const int cbfs[2] = {cbf_cb, cbf_cr};
       for (int ci = 1; ci <= 2; ci++) {
-        TU ctu{};
-        ctu.cidx = (int8_t)ci; ctu.x = cx; ctu.y = cy; ctu.log2 = (uint8_t)clog2;
-        ctu.intra_mode = (int16_t)cmode;
-        ctu.qp = (int16_t)chroma_qp(ci);
-        ctu.tq_bypass = cur_tq_bypass; ctu.pred_mode = (uint8_t)cur_pred_mode;
-        ctu.coeff_off = -1;
-        if (cbfs[ci - 1]) {
-          ctu.coeff_off = (int32_t)f.coeff_pool.size();
-          if (!residual(cx, cy, clog2, ci)) return false;
-          ctu.transform_skip = last_ts_flag;
+        for (int tb = 0; tb < n_tb; tb++) {
+          TU ctu{};
+          ctu.cidx = (int8_t)ci; ctu.x = cx; ctu.y = cy + (tb << clog2);
+          ctu.log2 = (uint8_t)clog2;
+          ctu.intra_mode = (int16_t)cmode;
+          ctu.qp = (int16_t)chroma_qp(ci);
+          ctu.tq_bypass = cur_tq_bypass; ctu.pred_mode = (uint8_t)cur_pred_mode;
+          ctu.coeff_off = -1;
+          if (cbfs[ci - 1] & (1 << tb)) {
+            ctu.coeff_off = (int32_t)f.coeff_pool.size();
+            if (!residual(cx, cy + (tb << clog2), clog2, ci)) return false;
+            ctu.transform_skip = last_ts_flag;
+          }
+          f.tus.push_back(ctu);
         }
-        f.tus.push_back(ctu);
       }
     }
     return true;
@@ -1957,7 +1989,8 @@ struct SliceReader {
         (log2 == 2 || (log2 == 3 && cidx == 0) ||
          (log2 == 3 && sps.chroma_array_type == 3))) {
       int pm = cidx == 0 ? f.intra_y[G(x0 >> 2, y0 >> 2)]
-                         : f.intra_c[G((x0 << 1) >> 2, (y0 << 1) >> 2)];
+                         : f.intra_c[G((x0 * sps.subw) >> 2,
+                                       (y0 * sps.subh) >> 2)];
       if (pm >= 6 && pm <= 14) scan = 2;
       else if (pm >= 22 && pm <= 30) scan = 1;
     }

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Generate chroma-format range-extension golden vectors (monochrome,
+4:2:2, 4:4:4 — intra-only) with our encoder and record per-plane MD5s of
+the reference decoder's output (.ref_build/dec265) as the oracle,
+mirroring tools/gen_streams.py. Writes tests/data/rext_*.bin +
+tests/data/manifest_rext.json.
+
+Reference format support: sps.cc:220-232 (chroma_format_idc parse),
+slice.cc:3567-3790 (per-format transform unit).
+"""
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+DATA = os.path.join(REPO, "tests", "data")
+DEC265 = os.path.join(REPO, ".ref_build", "dec265", "dec265")
+
+from libde265_tpu.encoder.encoder import Encoder, EncoderConfig   # noqa: E402
+
+CASES = [
+    # name, chroma_format, W, H, qp, bit_depth, frames
+    ("rext_mono_104x72", 0, 104, 72, 26, 8, 2),
+    ("rext_422_104x72", 2, 104, 72, 30, 8, 3),
+    ("rext_444_104x72", 3, 104, 72, 28, 8, 3),
+    ("rext_422_10bit", 2, 64, 64, 30, 10, 2),
+    ("rext_444_10bit", 3, 64, 64, 30, 10, 2),
+    ("rext_mono_10bit", 0, 64, 64, 30, 10, 1),
+]
+
+
+def gen_frames(cf, W, H, bd, n, seed):
+    rng = np.random.RandomState(seed)
+    mx = (1 << bd) - 1
+    dt = np.uint8 if bd == 8 else np.uint16
+
+    def smooth(h, w):
+        a = rng.randint(0, mx + 1, (h // 8 + 2, w // 8 + 2)).astype(np.float32)
+        a = np.kron(a, np.ones((8, 8), np.float32))[:h, :w]
+        return np.clip(a + rng.randint(-9, 10, (h, w)), 0, mx).astype(dt)
+
+    sw = 2 if cf in (1, 2) else 1
+    sh = 2 if cf == 1 else 1
+    cw, ch = (W // sw, H // sh) if cf else (0, 0)
+    out = []
+    for _ in range(n):
+        planes = [smooth(H, W)]
+        planes += [smooth(ch, cw), smooth(ch, cw)] if cf else \
+            [np.zeros((0, 0), dt)] * 2
+        out.append(planes)
+    return out
+
+
+def main():
+    manifest = {}
+    for name, cf, W, H, qp, bd, n in CASES:
+        cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
+                            bit_depth=bd, intra_period=1, cu_log2=4)
+        enc = Encoder(cfg)
+        data = enc.encode(gen_frames(cf, W, H, bd, n, hash(name) & 0xffff))
+        path = os.path.join(DATA, name + ".bin")
+        with open(path, "wb") as f:
+            f.write(data)
+        yuv = os.path.join(DATA, name + ".yuv.tmp")
+        subprocess.run([DEC265, "-q", "-o", yuv, path], check=True,
+                       capture_output=True, timeout=300)
+        raw = np.fromfile(yuv, np.uint8)
+        os.remove(yuv)
+        # split per frame / plane
+        esz = 1 if bd == 8 else 2
+        sw = 2 if cf in (1, 2) else 1
+        sh = 2 if cf == 1 else 1
+        ys = W * H * esz
+        cs = (W // sw) * (H // sh) * esz if cf else 0
+        fsz = ys + 2 * cs
+        assert raw.size == fsz * n, (raw.size, fsz, n)
+        md5s = []
+        for i in range(n):
+            base = i * fsz
+            rec = {"y": hashlib.md5(raw[base:base + ys].tobytes()).hexdigest()}
+            if cf:
+                rec["u"] = hashlib.md5(
+                    raw[base + ys:base + ys + cs].tobytes()).hexdigest()
+                rec["v"] = hashlib.md5(
+                    raw[base + ys + cs:base + fsz].tobytes()).hexdigest()
+            md5s.append(rec)
+        manifest[name] = {"w": W, "h": H, "chroma_format": cf,
+                          "bit_depth": bd, "frames": n, "md5": md5s}
+        print(f"{name}: {len(data)} bytes, {n} frames")
+    with open(os.path.join(DATA, "manifest_rext.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
