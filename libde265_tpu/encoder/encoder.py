@@ -70,6 +70,12 @@ class EncoderConfig:
     chroma_format: int = 1            # chroma_format_idc: 0 mono, 1 4:2:0,
                                       # 2 4:2:2, 3 4:4:4 (non-420 is
                                       # intra-only for now)
+    nxn_intra: bool = False           # 8x8 intra CUs code PART_NxN with
+                                      # 4 luma modes + forced TT split
+                                      # (exercises blk3 chroma
+                                      # aggregation / 4:2:2 dual-cbf-at-
+                                      # split / 4:4:4 per-leaf cbf);
+                                      # requires cu_log2 == 3
     pcm: bool = False                 # every 5th intra CU coded as raw PCM
     pcm_loop_filter_disable: bool = False
     use_cra: bool = False             # non-first intra pictures as CRA (21)
@@ -484,6 +490,9 @@ class Encoder:
             self.frame.intra_mode_c[y0 >> 2:(y0 >> 2) + gs,
                                     x0 >> 2:(x0 >> 2) + gs] = 1
             return
+        if cfg.nxn_intra and log2_size == 3:
+            self._emit_intra_nxn_cu(sw, x0, y0, idx)
+            return
         if mode is None:
             mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
         sw.write_part_mode_intra(log2_size, PART_2Nx2N)
@@ -536,6 +545,76 @@ class Encoder:
                 if cco[ci, tb] is not None:
                     sw.write_residual(cco[ci, tb], clog2, ci,
                                       self._scan_for(cmode, clog2, ci))
+
+    def _emit_intra_nxn_cu(self, sw, x0, y0, idx):
+        """8x8 PART_NxN intra CU: 4 luma modes + forced TT split
+        (intra_split), the path that exercises blk3 chroma aggregation,
+        the 4:2:2 dual cbf at a log2==3 split, and 4:4:4 per-leaf cbf
+        (slice.cc:3884-3902, 3745-3790). Caller wrote the CU header."""
+        cfg = self.cfg
+        sps = self.sps
+        cat = sps.ChromaArrayType
+        assert not cfg.cu_qp_delta and not cfg.pcm
+        from ..plan import PART_NxN
+        from ..bitstream.ctu import MAP_CHROMA_422
+        sw.write_part_mode_intra(3, PART_NxN)
+        base = idx % len(cfg.intra_modes)
+        modes = [cfg.intra_modes[(base + k) % len(cfg.intra_modes)]
+                 for k in range(4)]
+        sw.write_intra_modes_nxn(x0, y0, 3, modes)
+        cmode_cu = MAP_CHROMA_422[modes[0]] if cat == 2 else modes[0]
+
+        # depth0 chroma cbf (forced-split log2==3 node). 4:2:0/4:2:2:
+        # these ARE the final flags for the blk3 chroma TBs — compute the
+        # coefficients now (their prediction only reads neighbor CUs,
+        # plus the top TB for the 4:2:2 bottom one). 4:4:4: parent=1,
+        # the per-leaf flags decide.
+        cco = {}
+        if cat in (1, 2):
+            cx, cy_ = x0 // sps.SubWidthC, y0 // sps.SubHeightC
+            n_tb = 2 if cat == 2 else 1
+            for ci in (1, 2):
+                for tb in range(n_tb):
+                    yc = cy_ + (tb << 2)
+                    cco[ci, tb] = self._intra_predict_and_quant(
+                        ci, cx, yc, 2, cmode_cu)
+                    self._recon_intra(ci, cx, yc, 2, cmode_cu, cco[ci, tb])
+            for ci in (1, 2):
+                for tb in range(n_tb):
+                    sw.write_cbf_chroma(0, cco[ci, tb] is not None)
+        elif cat == 3:
+            sw.write_cbf_chroma(0, True)
+            sw.write_cbf_chroma(0, True)
+
+        # 4 TT leaves (depth 1, log2==2), z-order
+        for i in range(4):
+            px, py = x0 + (i & 1) * 4, y0 + (i >> 1) * 4
+            mode = modes[i]
+            if cat == 3:
+                ccoef = {}
+                for ci in (1, 2):
+                    ccoef[ci] = self._intra_predict_and_quant(
+                        ci, px, py, 2, mode)
+                sw.write_cbf_chroma(1, ccoef[1] is not None)
+                sw.write_cbf_chroma(1, ccoef[2] is not None)
+            cy_coeffs = self._intra_predict_and_quant(0, px, py, 2, mode)
+            sw.write_cbf_luma(False, cy_coeffs is not None)
+            sw.record_tu(px, py, 2, cy_coeffs is not None)
+            if cy_coeffs is not None:
+                sw.write_residual(cy_coeffs, 2, 0, self._scan_for(mode, 2, 0))
+            self._recon_intra(0, px, py, 2, mode, cy_coeffs)
+            if cat == 3:
+                for ci in (1, 2):
+                    if ccoef[ci] is not None:
+                        sw.write_residual(ccoef[ci], 2, ci,
+                                          self._scan_for(mode, 2, ci))
+                    self._recon_intra(ci, px, py, 2, mode, ccoef[ci])
+            elif cat in (1, 2) and i == 3:
+                for ci in (1, 2):
+                    for tb in range(2 if cat == 2 else 1):
+                        if cco[ci, tb] is not None:
+                            sw.write_residual(cco[ci, tb], 2, ci,
+                                              self._scan_for(cmode_cu, 2, ci))
 
     def _scan_for(self, mode, log2, cidx):
         sps = self.sps

@@ -354,6 +354,66 @@ class SliceWriter:
                 cmode = MAP_CHROMA_422[mode]
             f.intra_mode_c[gy:gy + gs, gx:gx + gs] = cmode
 
+    def write_intra_modes_nxn(self, x0, y0, log2_size, modes):
+        """PART_NxN: 4 luma modes. Syntax order: all 4
+        prev_intra_luma_pred_flags, then all 4 mpm_idx/rem values, then
+        the chroma mode(s) (one DM per CU; per-PB for 4:4:4). MPM
+        derivation is sequential — each part sees earlier parts' modes
+        in the grid (slice.cc:4382-4443)."""
+        c = self.cabac
+        f = self.frame
+        pb = (1 << log2_size) >> 1
+        flags, vals = [], []
+        for i, mode in enumerate(modes):
+            px, py = x0 + (i & 1) * pb, y0 + (i >> 1) * pb
+            mpm = self.derive_mpm(px, py)
+            if mode in mpm:
+                flags.append(1)
+                vals.append(("mpm", mpm.index(mode)))
+            else:
+                srt = sorted(mpm)
+                rem = mode
+                for m in reversed(srt):
+                    if rem > m:
+                        rem -= 1
+                flags.append(0)
+                vals.append(("rem", rem))
+            gs = pb >> 2
+            f.intra_mode_y[py >> 2:(py >> 2) + gs,
+                           px >> 2:(px >> 2) + gs] = mode
+        for fl in flags:
+            c.encode_bin(self.ctx.at("prev_intra_luma_pred_flag"), fl)
+        for kind, v in vals:
+            if kind == "mpm":
+                if v == 0:
+                    c.encode_bypass(0)
+                elif v == 1:
+                    c.encode_bypass(1)
+                    c.encode_bypass(0)
+                else:
+                    c.encode_bypass(1)
+                    c.encode_bypass(1)
+            else:
+                c.encode_bypass_bits(v, 5)
+        cat = f.sps.ChromaArrayType
+        if cat == 3:
+            # per-PB derived (DM) chroma mode
+            for i, mode in enumerate(modes):
+                px, py = x0 + (i & 1) * pb, y0 + (i >> 1) * pb
+                c.encode_bin(self.ctx.at("intra_chroma_pred_mode"), 0)
+                gs = pb >> 2
+                f.intra_mode_c[py >> 2:(py >> 2) + gs,
+                               px >> 2:(px >> 2) + gs] = mode
+        elif cat != 0:
+            c.encode_bin(self.ctx.at("intra_chroma_pred_mode"), 0)
+            cmode = modes[0]
+            if cat == 2:
+                from ..bitstream.ctu import MAP_CHROMA_422
+                cmode = MAP_CHROMA_422[cmode]
+            gs = (1 << log2_size) >> 2
+            f.intra_mode_c[y0 >> 2:(y0 >> 2) + gs,
+                           x0 >> 2:(x0 >> 2) + gs] = cmode
+
     # --------------------------------------------------------- transform
     def write_split_transform_flag(self, log2_size, split):
         self.cabac.encode_bin(self.ctx.at("split_transform_flag", 5 - log2_size),

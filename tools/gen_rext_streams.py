@@ -9,6 +9,7 @@ Reference format support: sps.cc:220-232 (chroma_format_idc parse),
 slice.cc:3567-3790 (per-format transform unit).
 """
 import hashlib
+import zlib
 import json
 import os
 import subprocess
@@ -24,13 +25,18 @@ DEC265 = os.path.join(REPO, ".ref_build", "dec265", "dec265")
 from libde265_tpu.encoder.encoder import Encoder, EncoderConfig   # noqa: E402
 
 CASES = [
-    # name, chroma_format, W, H, qp, bit_depth, frames
-    ("rext_mono_104x72", 0, 104, 72, 26, 8, 2),
-    ("rext_422_104x72", 2, 104, 72, 30, 8, 3),
-    ("rext_444_104x72", 3, 104, 72, 28, 8, 3),
-    ("rext_422_10bit", 2, 64, 64, 30, 10, 2),
-    ("rext_444_10bit", 3, 64, 64, 30, 10, 2),
-    ("rext_mono_10bit", 0, 64, 64, 30, 10, 1),
+    # name, chroma_format, W, H, qp, bit_depth, frames, nxn
+    ("rext_mono_104x72", 0, 104, 72, 26, 8, 2, False),
+    ("rext_422_104x72", 2, 104, 72, 30, 8, 3, False),
+    ("rext_444_104x72", 3, 104, 72, 28, 8, 3, False),
+    ("rext_422_10bit", 2, 64, 64, 30, 10, 2, False),
+    ("rext_444_10bit", 3, 64, 64, 30, 10, 2, False),
+    ("rext_mono_10bit", 0, 64, 64, 30, 10, 1, False),
+    # PART_NxN + forced TT split: blk3 chroma aggregation, 4:2:2
+    # dual-cbf-at-split, 4:4:4 per-leaf cbf + per-PB chroma modes
+    ("rext_420_nxn", 1, 64, 64, 30, 8, 2, True),
+    ("rext_422_nxn", 2, 64, 64, 30, 8, 2, True),
+    ("rext_444_nxn", 3, 64, 64, 30, 8, 2, True),
 ]
 
 
@@ -58,11 +64,13 @@ def gen_frames(cf, W, H, bd, n, seed):
 
 def main():
     manifest = {}
-    for name, cf, W, H, qp, bd, n in CASES:
+    for name, cf, W, H, qp, bd, n, nxn in CASES:
         cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
-                            bit_depth=bd, intra_period=1, cu_log2=4)
+                            bit_depth=bd, intra_period=1,
+                            cu_log2=3 if nxn else 4, nxn_intra=nxn)
         enc = Encoder(cfg)
-        data = enc.encode(gen_frames(cf, W, H, bd, n, hash(name) & 0xffff))
+        data = enc.encode(gen_frames(cf, W, H, bd, n,
+                             zlib.crc32(name.encode()) & 0xffff))
         path = os.path.join(DATA, name + ".bin")
         with open(path, "wb") as f:
             f.write(data)
