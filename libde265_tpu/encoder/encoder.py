@@ -172,10 +172,8 @@ class Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
         if cfg.chroma_format != 1:
-            # non-4:2:0 coverage is intra-only with in-loop filters off
-            # (matches the decoder's current range-extension scope)
-            assert not cfg.sao and cfg.disable_deblocking and not cfg.rdo \
-                and not cfg.pcm, "non-4:2:0: intra-only, filters off"
+            # RDO mode decision is tuned for 4:2:0 distortion weighting
+            assert not cfg.rdo, "non-4:2:0: no RDO"
         # self-parse our own headers for exact derived geometry
         self.sps_nal = write_sps(cfg)
         self.pps_nal = write_pps(cfg)
@@ -215,9 +213,6 @@ class Encoder:
 
     def _encode_frame(self, src_planes, poc, intra):
         cfg = self.cfg
-        if not intra and cfg.chroma_format != 1:
-            raise NotImplementedError(
-                "inter coding for non-4:2:0 formats not implemented")
         from ..bitstream.sliceheader import SLICE_TYPE_B
         if intra:
             slice_type = SLICE_TYPE_I
@@ -268,7 +263,8 @@ class Encoder:
         sh.collocated_from_l0_flag = 1
         sh.collocated_ref_idx = 0
         sh.slice_sao_luma_flag = 1 if cfg.sao else 0
-        sh.slice_sao_chroma_flag = 1 if cfg.sao else 0
+        sh.slice_sao_chroma_flag = 1 if (cfg.sao and
+                                         cfg.chroma_format != 0) else 0
         sh.slice_deblocking_filter_disabled_flag = 1 if cfg.disable_deblocking else 0
         if cfg.weighted_pred and not intra:
             from ..bitstream.sliceheader import PredWeight
@@ -356,7 +352,8 @@ class Encoder:
                 if si % 2 == 0:
                     ssh.slice_deblocking_filter_disabled_flag = 1
                     ssh.slice_sao_luma_flag = 1 if cfg.sao else 0
-                    ssh.slice_sao_chroma_flag = 1 if cfg.sao else 0
+                    ssh.slice_sao_chroma_flag = 1 if (
+                        cfg.sao and cfg.chroma_format != 0) else 0
                 else:
                     ssh.slice_deblocking_filter_disabled_flag = 0
                     ssh.slice_sao_luma_flag = 0
@@ -787,9 +784,12 @@ class Encoder:
         sw.write_rqt_root_cbf(coeffs is not None)
         sw.record_tu(x0, y0, log2_size, coeffs is not None)
         if coeffs is not None:
-            # transform tree, no split; chroma cbf 0, luma inferred 1
-            sw.write_cbf_chroma(0, False)
-            sw.write_cbf_chroma(0, False)
+            # transform tree, no split; chroma cbf 0 (4:2:2 codes two
+            # flags per plane at a non-split node), luma inferred 1
+            cat = self.sps.ChromaArrayType
+            if cat != 0:
+                for _ in range(2 * (2 if cat == 2 else 1)):
+                    sw.write_cbf_chroma(0, False)
             sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG)
             smat, sdc = self._smat(log2_size, 0, False)
             byp = getattr(self, "_cur_bypass", False)
@@ -801,16 +801,18 @@ class Encoder:
             out = np.clip(pred[0] + res, 0, self.cfg.maxval)
             dt = self.cfg.pix_dtype
             self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(dt)
-            self.recon[1][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \
-                pred[1].astype(dt)
-            self.recon[2][y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1] = \
-                pred[2].astype(dt)
+            sw_, sh2 = self.sps.SubWidthC, self.sps.SubHeightC
+            self.recon[1][y0 // sh2:(y0 + size) // sh2,
+                          x0 // sw_:(x0 + size) // sw_] = pred[1].astype(dt)
+            self.recon[2][y0 // sh2:(y0 + size) // sh2,
+                          x0 // sw_:(x0 + size) // sw_] = pred[2].astype(dt)
         else:
             dt = self.cfg.pix_dtype
             self.recon[0][y0:y0 + size, x0:x0 + size] = pred[0].astype(dt)
+            sw_, sh2 = self.sps.SubWidthC, self.sps.SubHeightC
             for ci in (1, 2):
-                self.recon[ci][y0 >> 1:(y0 + size) >> 1,
-                               x0 >> 1:(x0 + size) >> 1] = pred[ci].astype(dt)
+                self.recon[ci][y0 // sh2:(y0 + size) // sh2,
+                               x0 // sw_:(x0 + size) // sw_] = pred[ci].astype(dt)
 
     def _emit_gmv_cu(self, sw, x0, y0, log2_size, depth, idx):
         """True-motion CU: MV = cfg.global_mv exactly (mvd compensates the
@@ -842,18 +844,26 @@ class Encoder:
             refpic = self.dpb.pics[pu.ref_dpb[l]]
             preds[l] = inter_ref.mc_luma(refpic.planes[0], pu.x, pu.y,
                                          pu.w, pu.h, pu.mv[l], self.cfg.bit_depth)
-            for ci in (1, 2):
-                preds_c[ci][l] = inter_ref.mc_chroma(
-                    refpic.planes[ci], pu.x >> 1, pu.y >> 1,
-                    pu.w >> 1, pu.h >> 1, pu.mv[l], self.cfg.bit_depth)
+            sw_, sh2 = self.sps.SubWidthC, self.sps.SubHeightC
+            if self.sps.ChromaArrayType != 0:
+                for ci in (1, 2):
+                    preds_c[ci][l] = inter_ref.mc_chroma(
+                        refpic.planes[ci], pu.x // sw_, pu.y // sh2,
+                        pu.w // sw_, pu.h // sh2, pu.mv[l],
+                        self.cfg.bit_depth, subw=sw_, subh=sh2)
         bd = self.cfg.bit_depth
         out_y = inter_ref.weighted_combine(preds, pu, sh, 0, bd)
-        out_c = [inter_ref.weighted_combine(preds_c[ci], pu, sh, ci, bd)
-                 for ci in (1, 2)]
+        if self.sps.ChromaArrayType != 0:
+            out_c = [inter_ref.weighted_combine(preds_c[ci], pu, sh, ci, bd)
+                     for ci in (1, 2)]
+        else:
+            z = np.zeros((0, 0), np.int32)
+            out_c = [z, z]
         if write:
             dt = self.cfg.pix_dtype
+            sw_, sh2 = self.sps.SubWidthC, self.sps.SubHeightC
             self.recon[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = out_y.astype(dt)
             for k, ci in enumerate((1, 2)):
-                self.recon[ci][pu.y >> 1:(pu.y + pu.h) >> 1,
-                               pu.x >> 1:(pu.x + pu.w) >> 1] = out_c[k].astype(dt)
+                self.recon[ci][pu.y // sh2:(pu.y + pu.h) // sh2,
+                               pu.x // sw_:(pu.x + pu.w) // sw_] = out_c[k].astype(dt)
         return [out_y, out_c[0], out_c[1]]

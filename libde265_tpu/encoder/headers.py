@@ -243,7 +243,8 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
     sao_l, sao_c = sao_flags if sao_flags is not None else (1, 1)
     if cfg.sao:
         w.put_bit(sao_l)  # slice_sao_luma
-        w.put_bit(sao_c)  # slice_sao_chroma
+        if getattr(cfg, 'chroma_format', 1) != 0:
+            w.put_bit(sao_c)  # slice_sao_chroma (absent for monochrome)
     if slice_type != 2:
         if num_active is not None and num_active != cfg.num_ref_l0:
             w.put_bit(1)  # num_ref_idx_active_override

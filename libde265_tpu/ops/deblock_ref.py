@@ -179,16 +179,18 @@ def _deblock_pass(plan, planes, vertical):
                     continue
                 _filter_luma_segment(plan, Y, x, y, False, bs, sh, bd)
 
-    # chroma: edges on 16-luma grid, bS==2 only
+    # chroma: edges every 8 CHROMA samples (deblock.cc:738-757 —
+    # 16-luma grid for 4:2:0/4:2:2 vertical, 8-luma for 4:4:4), bS==2
     if sps.ChromaArrayType == 0:
         return
     bd_c = sps.BitDepthC
+    subw, subh = sps.SubWidthC, sps.SubHeightC
     for ci in (1, 2):
         C = planes[ci]
         cH, cW = C.shape
         if vertical:
-            for x in range(16, W, 16):
-                for y in range(0, H, 4):  # 4 luma rows = 2 chroma lines
+            for x in range(8 * subw, W, 8 * subw):
+                for y in range(0, H, 4):  # one 4-luma unit of edge
                     edge = plan.tu_boundary[y >> 2, x >> 2] | \
                         plan.cb_boundary[y >> 2, x >> 2]
                     if not (edge & 1):
@@ -200,9 +202,10 @@ def _deblock_pass(plan, planes, vertical):
                         continue
                     if derive_bs(plan, x, y, True) != 2:
                         continue
-                    _filter_chroma_segment(plan, C, ci, x // 2, y // 2, True, sh, bd_c)
+                    _filter_chroma_segment(plan, C, ci, x // subw,
+                                           y // subh, True, sh, bd_c)
         else:
-            for y in range(16, H, 16):
+            for y in range(8 * subh, H, 8 * subh):
                 for x in range(0, W, 4):
                     edge = plan.tu_boundary[y >> 2, x >> 2] | \
                         plan.cb_boundary[y >> 2, x >> 2]
@@ -215,7 +218,8 @@ def _deblock_pass(plan, planes, vertical):
                         continue
                     if derive_bs(plan, x, y, False) != 2:
                         continue
-                    _filter_chroma_segment(plan, C, ci, x // 2, y // 2, False, sh, bd_c)
+                    _filter_chroma_segment(plan, C, ci, x // subw,
+                                           y // subh, False, sh, bd_c)
 
 
 def _get_lines(img, x, y, vertical, nl=4, taps=4):
@@ -334,7 +338,7 @@ def _filter_chroma_segment(plan, C, ci, cx, cy, vertical, sh, bd):
     pps = plan.pps
     sps = plan.sps
     # luma coords of the two sides
-    lx, ly = cx * 2, cy * 2
+    lx, ly = cx * sps.SubWidthC, cy * sps.SubHeightC
     if vertical:
         qp_q = int(plan.qp_y[ly >> 2, lx >> 2])
         qp_p = int(plan.qp_y[ly >> 2, (lx - 1) >> 2])
@@ -356,7 +360,8 @@ def _filter_chroma_segment(plan, C, ci, cx, cy, vertical, sh, bd):
     if tc == 0:
         return
     maxv = (1 << bd) - 1
-    nl = 2  # one 4-luma-sample edge segment = 2 chroma lines (4:2:0)
+    # one 4-luma-sample edge segment in chroma lines/columns
+    nl = 4 // (sps.SubHeightC if vertical else sps.SubWidthC)
     L = _get_lines(C, cx, cy, vertical, nl=nl, taps=2)  # [p1 p0 q0 q1]
     out = L.copy()
     for i in range(nl):

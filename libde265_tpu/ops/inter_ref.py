@@ -64,13 +64,18 @@ def mc_luma(ref, x, y, w, h, mv, bitdepth=8):
     return out
 
 
-def mc_chroma(ref, x, y, w, h, mv, bitdepth=8):
-    """Eighth-pel chroma MC (4:2:0) -> (h,w) int32 14-bit, 8.5.3.3.3.2."""
+def mc_chroma(ref, x, y, w, h, mv, bitdepth=8, subw=2, subh=2):
+    """Eighth-pel chroma MC -> (h,w) int32 14-bit, 8.5.3.3.3.2.
+    Format-general per motion.cc:190-191: the luma quarter-pel vector
+    scales by 2/SubWidthC (resp. 2/SubHeightC) into chroma eighth-pel
+    units, so 4:4:4 uses only even phases and 4:2:2 mixes units."""
     shift1 = min(4, bitdepth - 8)
-    xi = x + (mv[0] >> 3)
-    yi = y + (mv[1] >> 3)
-    fx = mv[0] & 7
-    fy = mv[1] & 7
+    mvx = mv[0] * (2 // subw)
+    mvy = mv[1] * (2 // subh)
+    xi = x + (mvx >> 3)
+    yi = y + (mvy >> 3)
+    fx = mvx & 7
+    fy = mvy & 7
     if fx == 0 and fy == 0:
         return _gather(ref, yi, xi, h, w) << (14 - bitdepth)
     if fy == 0:
@@ -144,17 +149,19 @@ def motion_compensate_frame(plan, planes, dpb):
             mv = pu.mv[l]
             preds_y[l] = mc_luma(refs[0], pu.x, pu.y, pu.w, pu.h, mv, bd_y)
             if sps.ChromaArrayType != 0:
+                sw_, sh2 = sps.SubWidthC, sps.SubHeightC
                 for ci in (1, 2):
                     preds_c[ci][l] = mc_chroma(
-                        refs[ci], pu.x >> 1, pu.y >> 1, pu.w >> 1, pu.h >> 1,
-                        mv, bd_c)
+                        refs[ci], pu.x // sw_, pu.y // sh2,
+                        pu.w // sw_, pu.h // sh2, mv, bd_c,
+                        subw=sw_, subh=sh2)
         if not preds_y:
             continue
         out = weighted_combine(preds_y, pu, sh, 0, bd_y)
         planes[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = out.astype(planes[0].dtype)
         if sps.ChromaArrayType != 0:
-            cx, cy = pu.x >> 1, pu.y >> 1
-            cw, ch = pu.w >> 1, pu.h >> 1
+            cx, cy = pu.x // sps.SubWidthC, pu.y // sps.SubHeightC
+            cw, ch = pu.w // sps.SubWidthC, pu.h // sps.SubHeightC
             for ci in (1, 2):
                 outc = weighted_combine(preds_c[ci], pu, sh, ci, bd_c)
                 planes[ci][cy:cy + ch, cx:cx + cw] = outc.astype(planes[ci].dtype)

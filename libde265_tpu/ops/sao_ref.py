@@ -40,14 +40,17 @@ def sao_frame(plan, planes):
 
 def _sao_ctb(plan, planes, out, cx, cy, ci, type_idx, sh_map):
     sps, pps = plan.sps, plan.pps
-    sub = 1 if ci == 0 else sps.SubWidthC
+    # per-axis subsampling (sao.cc:303-304: nSW/nSH scale independently)
+    sub_x = 1 if ci == 0 else sps.SubWidthC
+    sub_y = 1 if ci == 0 else sps.SubHeightC
     log2 = sps.Log2CtbSizeY
-    ctb = (1 << log2) // sub
+    ctb_w = (1 << log2) // sub_x
+    ctb_h = (1 << log2) // sub_y
     src = planes[ci]
     dst = out[ci]
     H, W = src.shape
-    x0, y0 = cx * ctb, cy * ctb
-    x1, y1 = min(x0 + ctb, W), min(y0 + ctb, H)
+    x0, y0 = cx * ctb_w, cy * ctb_h
+    x1, y1 = min(x0 + ctb_w, W), min(y0 + ctb_h, H)
     bd = sps.BitDepthY if ci == 0 else sps.BitDepthC
     maxv = (1 << bd) - 1
     offsets = plan.sao.offsets[cy, cx, ci]
@@ -61,7 +64,8 @@ def _sao_ctb(plan, planes, out, cx, cy, ci, type_idx, sh_map):
         for k in range(4):
             delta[band == ((band_pos + k) & 31)] = int(offsets[k])
         res = np.clip(block + delta, 0, maxv)
-        dst[y0:y1, x0:x1] = _masked(plan, res, block, x0, y0, sub).astype(src.dtype)
+        dst[y0:y1, x0:x1] = _masked(plan, res, block, x0, y0,
+                                    sub_x, sub_y).astype(src.dtype)
         return
     # edge
     eo = int(plan.sao.eo_class[cy, cx, ci])
@@ -75,10 +79,10 @@ def _sao_ctb(plan, planes, out, cx, cy, ci, type_idx, sh_map):
     valid = (na_y >= 0) & (na_y < H) & (na_x >= 0) & (na_x < W) & \
             (nb_y >= 0) & (nb_y < H) & (nb_x >= 0) & (nb_x < W)
     # slice/tile boundary availability (spec 8.7.3: use loop-filter flags)
-    valid &= _neighbor_allowed(plan, sh_map, xs * sub, ys * sub,
-                               na_x * sub, na_y * sub)
-    valid &= _neighbor_allowed(plan, sh_map, xs * sub, ys * sub,
-                               nb_x * sub, nb_y * sub)
+    valid &= _neighbor_allowed(plan, sh_map, xs * sub_x, ys * sub_y,
+                               na_x * sub_x, na_y * sub_y)
+    valid &= _neighbor_allowed(plan, sh_map, xs * sub_x, ys * sub_y,
+                               nb_x * sub_x, nb_y * sub_y)
     na = src[np.clip(na_y, 0, H - 1), np.clip(na_x, 0, W - 1)].astype(np.int32)
     nb = src[np.clip(nb_y, 0, H - 1), np.clip(nb_x, 0, W - 1)].astype(np.int32)
     sign_a = np.sign(block - na)
@@ -94,17 +98,18 @@ def _sao_ctb(plan, planes, out, cx, cy, ci, type_idx, sh_map):
     delta[edge_idx == 2] = int(offsets[3])
     delta[~valid] = 0
     res = np.clip(block + delta, 0, maxv)
-    dst[y0:y1, x0:x1] = _masked(plan, res, block, x0, y0, sub).astype(src.dtype)
+    dst[y0:y1, x0:x1] = _masked(plan, res, block, x0, y0,
+                                sub_x, sub_y).astype(src.dtype)
 
 
-def _masked(plan, res, orig, x0, y0, sub):
+def _masked(plan, res, orig, x0, y0, sub_x, sub_y):
     """Per-sample skip for tq-bypass / PCM CUs (spec 8.7.3)."""
     sps = plan.sps
     h, w = res.shape
-    ly0, lx0 = y0 * sub, x0 * sub
+    ly0, lx0 = y0 * sub_y, x0 * sub_x
     gy0, gx0 = ly0 >> 2, lx0 >> 2
-    gh = (h * sub + 3) >> 2
-    gw = (w * sub + 3) >> 2
+    gh = (h * sub_y + 3) >> 2
+    gw = (w * sub_x + 3) >> 2
     tq = plan.tq_bypass[gy0:gy0 + gh, gx0:gx0 + gw]
     pcm = plan.pcm_flag[gy0:gy0 + gh, gx0:gx0 + gw]
     skip4 = (tq > 0)
@@ -112,8 +117,8 @@ def _masked(plan, res, orig, x0, y0, sub):
         skip4 = skip4 | (pcm > 0)
     if not skip4.any():
         return res
-    rep = 4 // sub
-    skip = np.repeat(np.repeat(skip4, rep, 0), rep, 1)[:h, :w]
+    skip = np.repeat(np.repeat(skip4, 4 // sub_y, 0),
+                     4 // sub_x, 1)[:h, :w]
     return np.where(skip, orig, res)
 
 

@@ -39,6 +39,24 @@ CASES = [
     ("rext_444_nxn", 3, 64, 64, 30, 8, 2, True),
 ]
 
+# inter cases: (name, cf, W, H, qp, bd, frames, inter_mode) — fractional
+# qpel MVs exercise the format-scaled epel phases (motion.cc:190-191)
+INTER_CASES = [
+    ("rext_mono_inter", 0, 64, 64, 30, 8, 4, "mixed"),
+    ("rext_422_inter", 2, 64, 64, 30, 8, 4, "mv"),
+    ("rext_444_inter", 3, 64, 64, 30, 8, 4, "mv"),
+    ("rext_422_inter_10b", 2, 64, 64, 30, 10, 3, "mixed"),
+    ("rext_444_inter_10b", 3, 64, 64, 30, 10, 3, "gmv"),
+]
+
+# in-loop filters on: per-format deblock chroma geometry
+# (deblock.cc:738-757) + per-axis SAO (sao.cc:303-304)
+FILTER_CASES = [
+    ("rext_422_filters", 2, 64, 64, 30, 8, 3, "mv"),
+    ("rext_444_filters", 3, 64, 64, 30, 8, 3, "mv"),
+    ("rext_mono_filters", 0, 64, 64, 30, 8, 3, "mixed"),
+]
+
 
 def gen_frames(cf, W, H, bd, n, seed):
     rng = np.random.RandomState(seed)
@@ -64,10 +82,23 @@ def gen_frames(cf, W, H, bd, n, seed):
 
 def main():
     manifest = {}
-    for name, cf, W, H, qp, bd, n, nxn in CASES:
-        cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
-                            bit_depth=bd, intra_period=1,
-                            cu_log2=3 if nxn else 4, nxn_intra=nxn)
+    all_cases = [c + (None, False) for c in CASES] + \
+        [(n_, cf, W, H, qp, bd, nf, False, im, False)
+         for (n_, cf, W, H, qp, bd, nf, im) in INTER_CASES] + \
+        [(n_, cf, W, H, qp, bd, nf, False, im, True)
+         for (n_, cf, W, H, qp, bd, nf, im) in FILTER_CASES]
+    for name, cf, W, H, qp, bd, n, nxn, im, filt in all_cases:
+        if im is None:
+            cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
+                                bit_depth=bd, intra_period=1,
+                                cu_log2=3 if nxn else 4, nxn_intra=nxn)
+        else:
+            cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
+                                bit_depth=bd, inter_mode=im,
+                                inter_residual=True, num_ref_l0=2,
+                                temporal_mvp=True,
+                                disable_deblocking=not filt, sao=filt,
+                                global_mv=(9, -6), mv_jitter=3)
         enc = Encoder(cfg)
         data = enc.encode(gen_frames(cf, W, H, bd, n,
                              zlib.crc32(name.encode()) & 0xffff))
