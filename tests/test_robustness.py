@@ -13,7 +13,8 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 
 def _streams():
     out = []
-    for man in ("manifest.json", "manifest_inter.json"):
+    for man in ("manifest.json", "manifest_inter.json",
+                "manifest_rext.json"):
         with open(os.path.join(DATA, man)) as f:
             for name in json.load(f):
                 out.append(name)
