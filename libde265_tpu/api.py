@@ -152,6 +152,7 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
         # non-4:2:0 range extensions: the device DPB/program geometry is
         # 4:2:0; decode on the numpy backend instead
         backend = "numpy"
+        from .reconstruct import reconstruct_frame
     if backend == "device":
         from .device_stream import DeviceStreamDecoder
         dev = DeviceStreamDecoder(plans, plans[0].sps) if plans else None
@@ -165,14 +166,8 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
         return _order_and_crop(done, refs)
     for plan in plans:
         if plan.nal_type == -1:  # concealment frame: grey planes
-            sps = plan.sps
-            grey = 1 << (sps.BitDepthY - 1)
-            dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
-            cw_, ch_ = ((plan.W // sps.SubWidthC, plan.H // sps.SubHeightC)
-                        if sps.ChromaArrayType != 0 else (0, 0))
-            planes = [np.full((plan.H, plan.W), grey, dt),
-                      np.full((ch_, cw_), grey, dt),
-                      np.full((ch_, cw_), grey, dt)]
+            from .plan import grey_planes
+            planes = grey_planes(plan.sps, plan.W, plan.H)
         else:
             planes = reconstruct_frame(plan, dpb_images=refs)
         refs.add(plan.frame_id, plan, planes)

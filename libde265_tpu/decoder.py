@@ -388,14 +388,8 @@ class Decoder:
             # reconstruction of a corrupted plan failed: conceal with grey
             self._warn(W.SLICE_DATA_CORRUPTED,
                        f"POC {img.poc} reconstruction failed: {e}")
-            sps = img.sps
-            grey = 1 << (sps.BitDepthY - 1)
-            dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
-            cw_, ch_ = ((img.W // sps.SubWidthC, img.H // sps.SubHeightC)
-                        if sps.ChromaArrayType != 0 else (0, 0))
-            planes = [np.full((img.H, img.W), grey, dt),
-                      np.full((ch_, cw_), grey, dt),
-                      np.full((ch_, cw_), grey, dt)]
+            from .plan import grey_planes
+            planes = grey_planes(img.sps, img.W, img.H)
             if 0 <= self.img_dpb_idx < len(self.dpb.pics):
                 self.dpb.pics[self.img_dpb_idx].integrity = 1
         ph = getattr(self, "_pending_hash", None)
@@ -553,13 +547,8 @@ class Decoder:
         pic = self.dpb.pics[idx]
         pic.needed_for_output = False
         W, H = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
-        grey = 1 << (sps.BitDepthY - 1)
-        dt = np.uint8 if sps.BitDepthY == 8 else np.uint16
-        cw_, ch_ = ((W // sps.SubWidthC, H // sps.SubHeightC)
-                    if sps.ChromaArrayType != 0 else (0, 0))
-        pic.planes = [np.full((H, W), grey, dt),
-                      np.full((ch_, cw_), grey, dt),
-                      np.full((ch_, cw_), grey, dt)]
+        from .plan import grey_planes
+        pic.planes = grey_planes(sps, W, H)
         pic.plan = FramePlan(sps, list(self.pps.values())[0], poc=poc)
         pic.integrity = 1
         return idx

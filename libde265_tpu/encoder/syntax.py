@@ -97,12 +97,12 @@ class SliceWriter:
             c.encode_bin(self.ctx.at("sao_merge_flag"), 0)
         if cy > 0 and self.available_zscan(xCtb, yCtb, xCtb, yCtb - 1):
             c.encode_bin(self.ctx.at("sao_merge_flag"), 0)
-        bitdepth = self.sps.BitDepthY
         for ci in range(3):
             if ci == 0 and not sh.slice_sao_luma_flag:
                 continue
             if ci > 0 and not sh.slice_sao_chroma_flag:
                 continue
+            bitdepth = self.sps.BitDepthY if ci == 0 else self.sps.BitDepthC
             t = int(sao.type_idx[cy, cx, ci])
             if ci == 2:
                 pass  # type inherited from Cb

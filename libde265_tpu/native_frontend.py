@@ -57,10 +57,14 @@ class NativeFrontend:
         if n < 0:
             raise ValueError("native front-end error: " +
                              self.lib.fe_error(C.c_void_p(self.h)).decode())
+        return self.extract_all(n, sps_map, pps_map)
+
+    def extract_all(self, n, sps_map, pps_map):
+        """Materialize n parsed frames as FramePlans. The per-frame
+        extraction is memcpy-bound inside ctypes calls (GIL released)
+        and fe_get_* only read Frame state — a small pool overlaps the
+        copies."""
         if n >= 8:
-            # the per-frame extraction is memcpy-bound inside ctypes
-            # calls (GIL released) and fe_get_* only read Frame state —
-            # a small pool overlaps the copies
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=4) as ex:
                 return list(ex.map(

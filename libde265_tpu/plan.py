@@ -169,10 +169,16 @@ class FramePlan:
                               qp=0, transform_skip=False, tq_bypass=False,
                               pred_mode=MODE_INTRA, coeffs=None)
                 ysz = n * n
-                csz = (n // 2) * (n // 2)
+                # chroma PCM block geometry follows the chroma format
+                # (frontend.cc read_pcm); monochrome has none
+                if self.sps.ChromaArrayType != 0:
+                    cw_, ch_ = n // self.sps.SubWidthC, \
+                        n // self.sps.SubHeightC
+                else:
+                    cw_ = ch_ = 0
                 tu.pcm_y = pcm[coff:coff + ysz].reshape(n, n).astype(np.uint16)
-                tu.pcm_c = pcm[coff + ysz:coff + ysz + 2 * csz].reshape(
-                    2, n // 2, n // 2).astype(np.uint16)
+                tu.pcm_c = pcm[coff + ysz:coff + ysz + 2 * cw_ * ch_].reshape(
+                    2, ch_, cw_).astype(np.uint16)
                 out.append(tu)
                 continue
             cf = None
@@ -210,3 +216,18 @@ class FramePlan:
         self.cref_poc = self.ref_poc[::4, ::4].copy()
         self.cis_long_term = self.ref_lt[::4, ::4].copy()
         self.cintra = (self.pred_mode[::4, ::4] == MODE_INTRA).astype(np.uint8)
+
+
+def grey_planes(sps, W, H):
+    """Mid-grey concealment planes with format-correct chroma geometry
+    and per-component bit-depth dtypes (decctx concealment counterpart)."""
+    gy = 1 << (sps.BitDepthY - 1)
+    dty = np.uint8 if sps.BitDepthY == 8 else np.uint16
+    y = np.full((H, W), gy, dty)
+    if sps.ChromaArrayType == 0:
+        z = np.zeros((0, 0), dty)
+        return [y, z, z]
+    gc = 1 << (sps.BitDepthC - 1)
+    dtc = np.uint8 if sps.BitDepthC == 8 else np.uint16
+    cw, ch = W // sps.SubWidthC, H // sps.SubHeightC
+    return [y, np.full((ch, cw), gc, dtc), np.full((ch, cw), gc, dtc)]

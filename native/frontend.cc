@@ -1550,7 +1550,9 @@ struct SliceReader {
       }
       f.sao_type[base + c] = t;
       if (!t) continue;
-      int cmax = (1 << (std::min(sps.bd_luma, 10) - 5)) - 1;
+      // sao_offset_abs cMax uses the COMPONENT's bit depth (7.4.9.3)
+      int bd_comp = c == 0 ? sps.bd_luma : sps.bd_chroma;
+      int cmax = (1 << (std::min(bd_comp, 10) - 5)) - 1;
       int offs[4];
       for (int k = 0; k < 4; k++) offs[k] = cb->tu_bypass(cmax);
       if (t == 1) {

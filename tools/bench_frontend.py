@@ -36,8 +36,8 @@ def bench(stream, threads, reps=3):
             s = read_sps(u.data)
             spss[s.seq_parameter_set_id] = s
         elif t == 34:
-            ppss[read_pps(u.data, spss).pic_parameter_set_id] = \
-                read_pps(u.data, spss)
+            p = read_pps(u.data, spss)
+            ppss[p.pic_parameter_set_id] = p
     os.environ["FE_THREADS"] = str(threads)
     best_push = best_ext = 0.0
     n = 0
@@ -46,7 +46,7 @@ def bench(stream, threads, reps=3):
         t0 = time.time()
         n = fe.lib.fe_push_stream(fe.h, data, len(data))
         t1 = time.time()
-        frames = [fe._frame(i, spss, ppss) for i in range(n)]
+        frames = fe.extract_all(n, spss, ppss)   # pooled, as parse() does
         t2 = time.time()
         best_push = max(best_push, n / (t1 - t0))
         best_ext = max(best_ext, n / (t2 - t1))

@@ -57,6 +57,11 @@ FILTER_CASES = [
     ("rext_mono_filters", 0, 64, 64, 30, 8, 3, "mixed"),
 ]
 
+# raw PCM CUs with format-sized chroma sample blocks (7.3.8.7)
+PCM_CASES = [
+    ("rext_mono_pcm", 0), ("rext_422_pcm", 2), ("rext_444_pcm", 3),
+]
+
 
 def gen_frames(cf, W, H, bd, n, seed):
     rng = np.random.RandomState(seed)
@@ -82,15 +87,17 @@ def gen_frames(cf, W, H, bd, n, seed):
 
 def main():
     manifest = {}
-    all_cases = [c + (None, False) for c in CASES] + \
-        [(n_, cf, W, H, qp, bd, nf, False, im, False)
+    all_cases = [c + (None, False, False) for c in CASES] + \
+        [(n_, cf, W, H, qp, bd, nf, False, im, False, False)
          for (n_, cf, W, H, qp, bd, nf, im) in INTER_CASES] + \
-        [(n_, cf, W, H, qp, bd, nf, False, im, True)
-         for (n_, cf, W, H, qp, bd, nf, im) in FILTER_CASES]
-    for name, cf, W, H, qp, bd, n, nxn, im, filt in all_cases:
+        [(n_, cf, W, H, qp, bd, nf, False, im, True, False)
+         for (n_, cf, W, H, qp, bd, nf, im) in FILTER_CASES] + \
+        [(n_, cf, 64, 64, 30, 8, 1, False, None, False, True)
+         for (n_, cf) in PCM_CASES]
+    for name, cf, W, H, qp, bd, n, nxn, im, filt, pcm in all_cases:
         if im is None:
             cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
-                                bit_depth=bd, intra_period=1,
+                                bit_depth=bd, intra_period=1, pcm=pcm,
                                 cu_log2=3 if nxn else 4, nxn_intra=nxn)
         else:
             cfg = EncoderConfig(width=W, height=H, qp=qp, chroma_format=cf,
