@@ -43,6 +43,8 @@ CASES = [
 # qpel MVs exercise the format-scaled epel phases (motion.cc:190-191)
 INTER_CASES = [
     ("rext_mono_inter", 0, 64, 64, 30, 8, 4, "mixed"),
+    ("rext_420_inter_12b", 1, 64, 64, 30, 12, 3, "mv"),
+    ("rext_444_inter_12b", 3, 64, 64, 30, 12, 3, "mv"),
     ("rext_422_inter", 2, 64, 64, 30, 8, 4, "mv"),
     ("rext_444_inter", 3, 64, 64, 30, 8, 4, "mv"),
     ("rext_422_inter_10b", 2, 64, 64, 30, 10, 3, "mixed"),
