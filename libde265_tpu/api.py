@@ -21,6 +21,7 @@ class DecodedPicture:
     planes: list          # [Y, Cb, Cr] numpy arrays (conformance-cropped)
     plan: object = None   # decode-plan metadata (FramePlan) for structure
                           # inspection (tools/sherlock.py overlays)
+    pts: object = None    # presentation timestamp (de265_get_image_PTS)
 
     @property
     def width(self):
@@ -29,6 +30,17 @@ class DecodedPicture:
     @property
     def height(self):
         return self.planes[0].shape[0]
+
+    @property
+    def chroma_format(self):
+        """de265_get_chroma_format: 0 mono, 1 4:2:0, 2 4:2:2, 3 4:4:4."""
+        h, w = self.planes[0].shape
+        if self.planes[1].size == 0:
+            return 0
+        ch, cw = self.planes[1].shape
+        if cw * 2 == w:
+            return 1 if ch * 2 == h else 2
+        return 3
 
     def plane_md5(self, idx):
         """Per-plane MD5, the reference's SEI decoded-picture-hash oracle
@@ -73,7 +85,23 @@ def get_next_picture(dec: Decoder):
     p = dec.get_next_picture()
     if p is None:
         return None
-    return DecodedPicture(poc=p.poc, planes=p.output_planes)
+    return DecodedPicture(poc=p.poc, planes=p.output_planes, plan=p.plan,
+                          pts=p.pts)
+
+
+def peek_next_picture(dec: Decoder):
+    """Front of the output queue WITHOUT removing it
+    (de265_peek_next_picture); pair with release_next_picture."""
+    p = dec.dpb.peek_output()
+    if p is None:
+        return None
+    return DecodedPicture(poc=p.poc, planes=p.output_planes, plan=p.plan,
+                          pts=p.pts)
+
+
+def release_next_picture(dec: Decoder):
+    """Drop the front of the output queue (de265_release_next_picture)."""
+    dec.dpb.pop_output()
 
 
 def decode_stream(data: bytes, **kw):

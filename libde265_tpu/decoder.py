@@ -375,6 +375,7 @@ class Decoder:
         pic = self.dpb.pics[idx]
         pic.plan = self.img
         pic.pic_output_flag = bool(sh.pic_output_flag)
+        pic.pts = nal.pts       # de265_push_data PTS -> output picture
         self.wpp_contexts = {}
         self.dep_slice_ctx = None
 

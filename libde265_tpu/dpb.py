@@ -28,6 +28,7 @@ class DPBPicture:
     output_planes: list = None   # conformance-window cropped
     integrity: int = 0
     pic_output_flag: bool = True
+    pts: object = None           # presentation timestamp (de265_PTS)
 
     def in_use(self):
         return self.state != UNUSED or self.needed_for_output
@@ -125,3 +126,8 @@ class DPB:
         if not self.output_queue:
             return None
         return self.output_queue.pop(0)
+
+    def peek_output(self) -> Optional[DPBPicture]:
+        """Front of the output queue without removing it
+        (de265_peek_next_picture)."""
+        return self.output_queue[0] if self.output_queue else None
