@@ -139,9 +139,9 @@ def main():
     dy = dy.at[0].set(jnp.asarray(f0[0].astype(np.int16)))
     dcb = dcb.at[0].set(jnp.asarray(f0[1].astype(np.int16)))
     dcr = dcr.at[0].set(jnp.asarray(f0[2].astype(np.int16)))
-    ty, tcb, tcr = init_tables(cfg)
-    ty, tcb, tcr = jax.jit(update_tables, static_argnames=("cfg",))(
-        ty, tcb, tcr, dy[0], dcb[0], dcr[0], np.int32(0), cfg=cfg)
+    ty, tc = init_tables(cfg)
+    ty, tc = jax.jit(update_tables, static_argnames=("cfg",))(
+        ty, tc, dy[0], dcb[0], dcr[0], np.int32(0), cfg=cfg)
 
     prog = get_program(cfg)
 
@@ -151,8 +151,8 @@ def main():
     for i, (p, t) in enumerate(zip(pframes, packed)):
         td = {k: jnp.asarray(v) for k, v in t.items()}
         s = fid_slot[p.frame_id]
-        dy, dcb, dcr, ty, tcb, tcr = prog(dy, dcb, dcr, ty, tcb, tcr,
-                                          td, np.int32(s))
+        dy, dcb, dcr, ty, tc = prog(dy, dcb, dcr, ty, tc,
+                                    td, np.int32(s))
         got = [hashlib.md5(np.asarray(pl[s]).astype(np.uint8).tobytes())
                .hexdigest() for pl in (dy, dcb, dcr)]
         want = [man["md5"][p.poc][k] for k in ("y", "u", "v")]
@@ -175,8 +175,8 @@ def main():
     # each DPB slot must hold the last frame written to it
     t0 = time.time()
     sd = jax.device_put(blob)
-    dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
-                                       sd, jnp.asarray(out_slots))
+    dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
+                                 sd, jnp.asarray(out_slots))
     last_poc = {}
     for p in pframes:
         last_poc[fid_slot[p.frame_id]] = p.poc
@@ -197,8 +197,8 @@ def main():
     t0 = time.time()
     sd = jax.device_put(blob)   # first upload timed: ROUNDS uploads total
     for r in range(ROUNDS):
-        dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
-                                           sd, slots_j)
+        dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
+                                     sd, slots_j)
         if r + 1 < ROUNDS:
             sd = jax.device_put(blob)
         n_done += len(pframes)
@@ -213,8 +213,8 @@ def main():
     slots_d = jax.device_put(jnp.asarray(out_slots))
     t0 = time.time()
     for r in range(ROUNDS):
-        dy, dcb, dcr, ty, tcb, tcr = sprog(dy, dcb, dcr, ty, tcb, tcr,
-                                           sd, slots_d)
+        dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
+                                     sd, slots_d)
     float(dy[1, 0, 0])
     dev_fps = n_done / (time.time() - t0)
     nbytes = sum(v.nbytes for v in blob.values())

@@ -55,7 +55,7 @@ class DeviceStreamDecoder:
         self.dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
         self.dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
         # persistent MC tile tables, one build per decoded frame
-        self.ty, self.tcb, self.tcr = init_tables(self.cfg)
+        self.ty, self.tc = init_tables(self.cfg)
         self.slot_of = {}              # fid -> slot
         self.slot_fid = [None] * REF_SLOTS
         self.frames = {}               # fid -> {plan, host(np)|None, fast}
@@ -84,13 +84,13 @@ class DeviceStreamDecoder:
         jax, jnp = self.jax, self.jnp
         cfg = self.cfg
 
-        def insert(dy, dcb, dcr, ty, tcb, tcr, y, cb, cr, slot):
+        def insert(dy, dcb, dcr, ty, tc, y, cb, cr, slot):
             dy = jax.lax.dynamic_update_slice(dy, y[None], (slot, 0, 0))
             dcb = jax.lax.dynamic_update_slice(dcb, cb[None], (slot, 0, 0))
             dcr = jax.lax.dynamic_update_slice(dcr, cr[None], (slot, 0, 0))
-            ty, tcb, tcr = update_tables(ty, tcb, tcr, y, cb, cr, slot, cfg)
-            return dy, dcb, dcr, ty, tcb, tcr
-        self._insert = jax.jit(insert, donate_argnums=(0, 1, 2, 3, 4, 5))
+            ty, tc = update_tables(ty, tc, y, cb, cr, slot, cfg)
+            return dy, dcb, dcr, ty, tc
+        self._insert = jax.jit(insert, donate_argnums=(0, 1, 2, 3, 4))
 
         def fetch(dy, dcb, dcr, slot):
             H, W = dy.shape[1], dy.shape[2]
@@ -126,9 +126,9 @@ class DeviceStreamDecoder:
 
     def _do_insert(self, planes, slot):
         jnp = self.jnp
-        (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = \
+        (self.dy, self.dcb, self.dcr, self.ty, self.tc) = \
             self._insert(
-                self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr,
+                self.dy, self.dcb, self.dcr, self.ty, self.tc,
                 jnp.asarray(planes[0].astype(np.int16)),
                 jnp.asarray(planes[1].astype(np.int16)),
                 jnp.asarray(planes[2].astype(np.int16)), np.int32(slot))
@@ -202,9 +202,9 @@ class DeviceStreamDecoder:
         jnp = self.jnp
         t = pack_frame(plan, self.cfg, self.slot_of, real_slots=True)
         td = {k: jnp.asarray(v) for k, v in t.items()}
-        (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = \
+        (self.dy, self.dcb, self.dcr, self.ty, self.tc) = \
             self._prog(self.dy, self.dcb, self.dcr,
-                       self.ty, self.tcb, self.tcr, td, np.int32(out_slot))
+                       self.ty, self.tc, td, np.int32(out_slot))
 
     def decode_all(self):
         """Decode the whole plan list; maximal runs of consecutive
@@ -267,8 +267,8 @@ class DeviceStreamDecoder:
                for k, v in pack_blob(stacked, meta, totals).items()}
         slots = jnp.asarray([s for (_, _, s, _) in run], dtype=jnp.int32)
         sprog = get_stream_program_blob(self.cfg, meta)
-        (self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr) = sprog(
-            self.dy, self.dcb, self.dcr, self.ty, self.tcb, self.tcr,
+        (self.dy, self.dcb, self.dcr, self.ty, self.tc) = sprog(
+            self.dy, self.dcb, self.dcr, self.ty, self.tc,
             buf, slots)
         for (plan, i, s, _) in run:
             fid = plan.frame_id

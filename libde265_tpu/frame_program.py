@@ -259,7 +259,7 @@ def table_geom(cfg: ProgramCfg):
     nty, ntx = (cfg.H + 20) // 4, (cfg.W + 20) // 4
     ntyc, ntxc = (cfg.H // 2 + 12) // 4, (cfg.W // 2 + 12) // 4
     dt = jnp.uint8 if cfg.bitdepth <= 8 else jnp.int16
-    return (nty * ntx, 256), (ntyc * ntxc, 64), dt
+    return (nty * ntx, 256), (ntyc * ntxc, 128), dt
 
 
 def init_tables(cfg: ProgramCfg):
@@ -267,11 +267,10 @@ def init_tables(cfg: ProgramCfg):
     import jax.numpy as jnp
     (ry, wy), (rc, wc), dt = table_geom(cfg)
     return (jnp.zeros((REF_SLOTS * ry, wy), dt),
-            jnp.zeros((REF_SLOTS * rc, wc), dt),
             jnp.zeros((REF_SLOTS * rc, wc), dt))
 
 
-def update_tables(ty, tcb, tcr, Y, Cb, Cr, slot, cfg: ProgramCfg):
+def update_tables(ty, tc, Y, Cb, Cr, slot, cfg: ProgramCfg):
     """Insert one frame's tile rows into the persistent tables at `slot`
     (device; Y/Cb/Cr int planes). Built once per decoded frame instead of
     per referencing frame — the reference rebuilds nothing (it reads pixel
@@ -280,13 +279,12 @@ def update_tables(ty, tcb, tcr, Y, Cb, Cr, slot, cfg: ProgramCfg):
     import jax.numpy as jnp
     from .ops.mc_tile_jax import build_tables
     (ry, _), (rc, _), _ = table_geom(cfg)
-    ny, ncb, ncr = build_tables(Y[None], Cb[None], Cr[None],
-                                use_pallas=cfg.use_pallas,
-                                bitdepth=cfg.bitdepth)
+    ny, nc = build_tables(Y[None], Cb[None], Cr[None],
+                          use_pallas=cfg.use_pallas,
+                          bitdepth=cfg.bitdepth)
     ty = jax.lax.dynamic_update_slice(ty, ny, (slot * ry, 0))
-    tcb = jax.lax.dynamic_update_slice(tcb, ncb, (slot * rc, 0))
-    tcr = jax.lax.dynamic_update_slice(tcr, ncr, (slot * rc, 0))
-    return ty, tcb, tcr
+    tc = jax.lax.dynamic_update_slice(tc, nc, (slot * rc, 0))
+    return ty, tc
 
 
 def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
@@ -542,19 +540,20 @@ def _scatter_residual_slots(plane, res, slots, log2, maxv):
     return jnp.clip(plane + rp, 0, maxv)
 
 
-def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
+def decode_frame_device(dy, dcb, dcr, ty, tc, t, out_slot,
                         cfg: ProgramCfg,
                         stages=("mc", "res", "dbk", "sao", "tables")):
     """The fused program body (trace-time; wrap with jit via get_program).
     dy/dcb/dcr: (R,H,W)/(R,Hc,Wc) int16 device DPB stacks.
-    ty/tcb/tcr: persistent MC tile tables (init_tables), updated at DPB
+    ty/tc: persistent MC tile tables (init_tables; tc carries the
+    interleaved [Cb|Cr] chroma rows), updated at DPB
     insert — MC reads them directly, so nothing is rebuilt per
     referencing frame. t: dict of device plan tensors (pack_frame with
     real_slots=True). out_slot: scalar i32.
     stages: which pipeline stages run (profiling ablation —
     tools/profile_frame_stages.py; "tables" = the insert-time table
     build). Production always uses the full default.
-    Returns (dy', dcb', dcr', ty', tcb', tcr')."""
+    Returns (dy', dcb', dcr', ty', tc')."""
     import jax.numpy as jnp
     from .ops.mc_tile_jax import mc_frame_tile
 
@@ -590,9 +589,9 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
         Y = jnp.zeros((H, W), jnp.int32)
         Cb = jnp.zeros((Hc, Wc), jnp.int32)
         Cr = jnp.zeros((Hc, Wc), jnp.int32)
-        return _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg,
+        return _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg,
                              stages, Y, Cb, Cr)
-    tables = (ty, tcb, tcr)
+    tables = (ty, tc)
 
     # ---- MC block arrays from grids (slot resolved on host at pack time)
     slot_g = t["slot"].astype(jnp.int32)                         # (gh,gw,2)
@@ -638,11 +637,11 @@ def decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t, out_slot,
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
     Cb = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[1], 0)
     Cr = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[2], 0)
-    return _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg,
+    return _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg,
                          stages, Y, Cb, Cr)
 
 
-def _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg, stages,
+def _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg, stages,
                   Y, Cb, Cr):
     """Residual add + loop filters + DPB/table insert (stage-gated tail)."""
     import jax.numpy as jnp
@@ -690,10 +689,10 @@ def _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg, stages,
         for vi, vertical in enumerate((True, False)):
             Y = deblock_luma_pass(Y, *lm[vi], vertical=vertical, bitdepth=bd)
             if cm is not None:
-                act, tc, p_off, q_off = cm[vi]
-                Cb = deblock_chroma_pass(Cb, act[0], tc[0], p_off, q_off,
+                act, tc_map, p_off, q_off = cm[vi]
+                Cb = deblock_chroma_pass(Cb, act[0], tc_map[0], p_off, q_off,
                                          vertical=vertical, bitdepth=bd)
-                Cr = deblock_chroma_pass(Cr, act[1], tc[1], p_off, q_off,
+                Cr = deblock_chroma_pass(Cr, act[1], tc_map[1], p_off, q_off,
                                          vertical=vertical, bitdepth=bd)
 
     # ---- SAO
@@ -719,8 +718,8 @@ def _finish_frame(dy, dcb, dcr, ty, tcb, tcr, t, out_slot, cfg, stages,
     dcr = jax.lax.dynamic_update_slice(
         dcr, Cr.astype(jnp.int16)[None], (out_slot, 0, 0))
     if "tables" in stages:
-        ty, tcb, tcr = update_tables(ty, tcb, tcr, Y, Cb, Cr, out_slot, cfg)
-    return dy, dcb, dcr, ty, tcb, tcr
+        ty, tc = update_tables(ty, tc, Y, Cb, Cr, out_slot, cfg)
+    return dy, dcb, dcr, ty, tc
 
 
 _PROGRAMS = {}
@@ -729,10 +728,10 @@ _PROGRAMS = {}
 def get_program(cfg: ProgramCfg):
     """Jitted fused program for a static config (cached)."""
     if cfg not in _PROGRAMS:
-        def fn(dy, dcb, dcr, ty, tcb, tcr, t, out_slot):
-            return decode_frame_device(dy, dcb, dcr, ty, tcb, tcr, t,
+        def fn(dy, dcb, dcr, ty, tc, t, out_slot):
+            return decode_frame_device(dy, dcb, dcr, ty, tc, t,
                                        out_slot, cfg)
-        _PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+        _PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
     return _PROGRAMS[cfg]
 
 
@@ -792,14 +791,14 @@ def get_stream_program(cfg: ProgramCfg):
     per-frame program pays the tunnel round-trip 8x more often).
     ts: dict of arrays stacked on a leading frame axis; out_slots: (F,)."""
     if cfg not in _STREAM_PROGRAMS:
-        def fn(dy, dcb, dcr, ty, tcb, tcr, ts, out_slots):
+        def fn(dy, dcb, dcr, ty, tc, ts, out_slots):
             def step(carry, xs):
                 t, slot = xs
                 return decode_frame_device(*carry, t, slot, cfg), 0
-            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tcb, tcr),
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tc),
                                     (ts, out_slots))
             return carry
-        _STREAM_PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+        _STREAM_PROGRAMS[cfg] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
     return _STREAM_PROGRAMS[cfg]
 
 
@@ -812,14 +811,14 @@ def get_stream_program_blob(cfg: ProgramCfg, meta):
     of ~20, which matters on latency-bound links. meta from blob_meta."""
     key = (cfg, meta)
     if key not in _BLOB_PROGRAMS:
-        def fn(dy, dcb, dcr, ty, tcb, tcr, buf, out_slots):
+        def fn(dy, dcb, dcr, ty, tc, buf, out_slots):
             ts = unpack_blob(buf, meta)
 
             def step(carry, xs):
                 t, slot = xs
                 return decode_frame_device(*carry, t, slot, cfg), 0
-            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tcb, tcr),
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tc),
                                     (ts, out_slots))
             return carry
-        _BLOB_PROGRAMS[key] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+        _BLOB_PROGRAMS[key] = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
     return _BLOB_PROGRAMS[key]

@@ -308,10 +308,12 @@ def chroma_class_counts(mv_lane, H, W):
             np.bincount(vcls, minlength=NCLS_C))
 
 
-def mc_chroma_mxu(table_cb, table_cr, nty, ntx, bx, by, mvx, mvy, slot,
+def mc_chroma_mxu(table_c2, nty, ntx, bx, by, mvx, mvy, slot,
                   Hc, Wc, shift1, caps, bitdepth=8):
     """One list's Cb AND Cr predictions for all N 2x2 blocks:
-    ((N,2,2), (N,2,2)) int32 (14-bit scale). Drop-in pair for two
+    ((N,2,2), (N,2,2)) int32 (14-bit scale). table_c2 carries the
+    interleaved [Cb 64 | Cr 64] rows, so both planes' windows arrive
+    with ONE row gather. Drop-in pair for two
     mc_tile_jax._chroma_pred_tile calls; caps = ProgramCfg.mc_caps_c."""
     hcaps, vcaps = caps
     N = bx.shape[0]
@@ -332,7 +334,7 @@ def mc_chroma_mxu(table_cb, table_cr, nty, ntx, bx, by, mvx, mvy, slot,
         dest1, Lh = None, N
         idx1, vcls1 = idx, vcls.astype(jnp.int32)
 
-    win = jnp.concatenate([table_cb[idx1], table_cr[idx1]], axis=1)
+    win = table_c2[idx1]                                  # (Lh, 128)
     tmps = []
     off = 0
     for h in range(NCLS_C):

@@ -108,18 +108,23 @@ def _pad_refs(refs_y, refs_cb, refs_cr):
 
 
 def build_tables(refs_y, refs_cb, refs_cr, use_pallas=False, bitdepth=8):
-    """refs_*: (R,H,W)/(R,Hc,Wc) integer stacks -> (ty, tcb, tcr) tile
-    tables (device), uint8 for 8-bit streams / int16 otherwise.
+    """refs_*: (R,H,W)/(R,Hc,Wc) integer stacks -> (ty, tc2) tile tables
+    (device), uint8 for 8-bit streams / int16 otherwise. tc2 interleaves
+    both chroma planes per row ([Cb 64 | Cr 64]): chroma MC gathers BOTH
+    planes' windows with ONE 128-byte-row gather (identical geometry).
     use_pallas selects the Mosaic builder (TPU)."""
     dt = jnp.uint8 if bitdepth <= 8 else jnp.int16
     py, pcb, pcr = _pad_refs(refs_y, refs_cb, refs_cr)
     if use_pallas:
         from .pallas.mc_tables import build_tile_table_pallas
-        return (build_tile_table_pallas(py, 16, out_dtype=dt),
-                build_tile_table_pallas(pcb, 8, out_dtype=dt),
-                build_tile_table_pallas(pcr, 8, out_dtype=dt))
-    return (build_tile_table_y(py, dt), build_tile_table_c(pcb, dt),
-            build_tile_table_c(pcr, dt))
+        ty = build_tile_table_pallas(py, 16, out_dtype=dt)
+        tcb = build_tile_table_pallas(pcb, 8, out_dtype=dt)
+        tcr = build_tile_table_pallas(pcr, 8, out_dtype=dt)
+    else:
+        ty = build_tile_table_y(py, dt)
+        tcb = build_tile_table_c(pcb, dt)
+        tcr = build_tile_table_c(pcr, dt)
+    return ty, jnp.concatenate([tcb, tcr], axis=1)
 
 
 def _pallas_interp():
@@ -248,7 +253,8 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
     masks non-inter regions).
     """
     H, W = dims
-    table_y, table_cb, table_cr = tables
+    table_y, table_c2 = tables
+    table_cb, table_cr = table_c2[:, :64], table_c2[:, 64:]
     nty, ntx = (H + 20) // 4, (W + 20) // 4
     Hc, Wc = H // 2, W // 2
     ntyc, ntxc = (Hc + 12) // 4, (Wc + 12) // 4
@@ -327,12 +333,13 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
         z = jnp.zeros((Hc, Wo // 2), jnp.int32)
         return planes + [z, z]
     if mc_caps_c:
-        # one class-sorted MXU pipeline yields BOTH planes per lane
+        # one class-sorted MXU pipeline yields BOTH planes per lane,
+        # gathering the interleaved Cb|Cr rows once
         from .mc_mxu_jax import mc_chroma_mxu
-        cb0, cr0 = mc_chroma_mxu(table_cb, table_cr, ntyc, ntxc, bx, by,
+        cb0, cr0 = mc_chroma_mxu(table_c2, ntyc, ntxc, bx, by,
                                  mvx0, mvy0, s0, Hc, Wc, shift1,
                                  mc_caps_c, bitdepth)
-        cb1, cr1 = mc_chroma_mxu(table_cb, table_cr, ntyc, ntxc, bx, by,
+        cb1, cr1 = mc_chroma_mxu(table_c2, ntyc, ntxc, bx, by,
                                  mvx1, mvy1, s1, Hc, Wc, shift1,
                                  mc_caps_c, bitdepth) if bi else (None,
                                                                   None)

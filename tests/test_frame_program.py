@@ -130,10 +130,10 @@ def test_stream_scan_program_matches_per_frame():
         dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16).at[0].set(f0[0])
         dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(f0[1])
         dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(f0[2])
-        ty, tcb, tcr = init_tables(cfg)
-        ty, tcb, tcr = update_tables(ty, tcb, tcr, dy[0], dcb[0], dcr[0],
+        ty, tc = init_tables(cfg)
+        ty, tc = update_tables(ty, tc, dy[0], dcb[0], dcr[0],
                                      np.int32(0), cfg)
-        return dy, dcb, dcr, ty, tcb, tcr
+        return dy, dcb, dcr, ty, tc
 
     prog = get_program(cfg)
     state = fresh()

@@ -86,9 +86,9 @@ def main():
         jnp.asarray(f0[1].astype(np.int16)))
     dcr0 = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16).at[0].set(
         jnp.asarray(f0[2].astype(np.int16)))
-    ty0, tcb0, tcr0 = init_tables(cfg)
-    ty0, tcb0, tcr0 = jax.jit(update_tables, static_argnames=("cfg",))(
-        ty0, tcb0, tcr0, dy0[0], dcb0[0], dcr0[0], np.int32(0), cfg=cfg)
+    ty0, tc0 = init_tables(cfg)
+    ty0, tc0 = jax.jit(update_tables, static_argnames=("cfg",))(
+        ty0, tc0, dy0[0], dcb0[0], dcr0[0], np.int32(0), cfg=cfg)
 
     sd = {k: jax.device_put(v) for k, v in stacked.items()}
     slots_d = jax.device_put(jnp.asarray(out_slots))
@@ -96,17 +96,17 @@ def main():
 
     results = {}
     for name, stages in VARIANTS:
-        def fn(dy, dcb, dcr, ty, tcb, tcr, ts, oslots, _stages=stages):
+        def fn(dy, dcb, dcr, ty, tc, ts, oslots, _stages=stages):
             def step(carry, xs):
                 t, slot = xs
                 return decode_frame_device(*carry, t, slot, cfg,
                                            stages=_stages), 0
-            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tcb, tcr),
+            carry, _ = jax.lax.scan(step, (dy, dcb, dcr, ty, tc),
                                     (ts, oslots))
             return carry
         prog = jax.jit(fn)       # no donation: reuse dy0 across variants
         t0 = time.time()
-        st = prog(dy0, dcb0, dcr0, ty0, tcb0, tcr0, sd, slots_d)
+        st = prog(dy0, dcb0, dcr0, ty0, tc0, sd, slots_d)
         float(st[0][1, 0, 0])    # sync (axon block_until_ready unreliable)
         print(f"# {name}: compile+1st {time.time()-t0:.1f}s",
               file=sys.stderr, flush=True)
