@@ -443,10 +443,13 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
         qp[:k] = rows[:, 5]
         sub = 1 if cidx == 0 else 2
         Wp_, Hp_ = cfg.W // sub, cfg.H // sub
-        nslots = (Hp_ >> log2) * (Wp_ >> log2)
+        # CEIL lattice: dims need not be n-multiples (1080p with 16/32
+        # TUs); must match _scatter_residual_slots' padded lattice
+        ncols = -(-Wp_ // n)
+        nslots = -(-Hp_ // n) * ncols
         slots = np.full(K, nslots, np.int32)          # dump row for padding
         if k:
-            slots[:k] = (rows[:, 2] >> log2) * (Wp_ >> log2) + \
+            slots[:k] = (rows[:, 2] >> log2) * ncols + \
                 (rows[:, 1] >> log2)
         t[f"rq_{cidx}_{log2}"] = qp
         t[f"rs_{cidx}_{log2}"] = slots
@@ -527,16 +530,19 @@ def _expand_mask(m, f, H, W):
 
 
 def _scatter_residual_slots(plane, res, slots, log2, maxv):
-    """Residual add via row-scatter with a dump row for padded entries."""
+    """Residual add via row-scatter with a dump row for padded entries.
+    The slot lattice is CEIL-sized (matches pack_frame) so plane dims
+    need not be n-multiples; the pad region only holds zero rows."""
     import jax.numpy as jnp
     H, W = plane.shape
     n = 1 << log2
+    nrows, ncols = -(-H // n), -(-W // n)
     rows = res.reshape(res.shape[0], n * n)
-    nslots = (H >> log2) * (W >> log2)
+    nslots = nrows * ncols
     table = jnp.zeros((nslots + 1, n * n), jnp.int32)
     table = table.at[slots].set(rows, unique_indices=True)
-    rp = table[:nslots].reshape(H >> log2, W >> log2, n, n) \
-        .transpose(0, 2, 1, 3).reshape(H, W)
+    rp = table[:nslots].reshape(nrows, ncols, n, n) \
+        .transpose(0, 2, 1, 3).reshape(nrows * n, ncols * n)[:H, :W]
     return jnp.clip(plane + rp, 0, maxv)
 
 

@@ -271,6 +271,16 @@ def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
     ax = 1 if vertical else 0
     la = 0 if vertical else 1
     span = 8 * n_e
+    # the strided phase windows read up to index span+5 along the
+    # filtered axis; chroma dims that aren't 8-multiples (e.g. 540 for
+    # 1080p) need a pad (real edges never touch the pad — the planner
+    # only emits edges whose 4 filtered lines are inside the picture)
+    Hc0, Wc0 = C.shape
+    need = span + 6
+    if vertical and Wc0 < need:
+        C = jnp.pad(C, ((0, 0), (0, need - Wc0)))
+    elif not vertical and Hc0 < need:
+        C = jnp.pad(C, ((0, need - Hc0), (0, 0)))
 
     def phase(j):
         if vertical:
@@ -298,9 +308,10 @@ def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
     strip = jnp.stack(newC, axis=ax + 1)
     if vertical:
         strip = strip.reshape(C.shape[0], span)
-        return jnp.concatenate([C[:, :6], strip, C[:, 6 + span:]], axis=1)
+        return jnp.concatenate([C[:, :6], strip, C[:, 6 + span:]],
+                               axis=1)[:, :Wc0]
     strip = strip.reshape(span, C.shape[1])
-    return jnp.concatenate([C[:6], strip, C[6 + span:]], axis=0)
+    return jnp.concatenate([C[:6], strip, C[6 + span:]], axis=0)[:Hc0]
 
 
 def deblock_frame_jax(plan, planes):

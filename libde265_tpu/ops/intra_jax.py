@@ -205,16 +205,22 @@ def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
     out = jnp.clip(pred + jnp.where(has_res[:, None, None], coeff_res, 0),
                    0, maxv)
     # scatter back: delta-add into a slot table (TU positions are n-aligned
-    # and unique within a level; padded rows add 0)
+    # and unique within a level; padded rows add 0). Plane dims need not
+    # be n-multiples (e.g. 1080 with 16/32 TUs): pad the lattice — real
+    # TUs always fit inside the picture, so the pad region only ever
+    # receives zero deltas.
     H, W = plane.shape
+    Hp, Wp = -(-H // n) * n, -(-W // n) * n
+    pl = plane if (Hp == H and Wp == W) else \
+        jnp.pad(plane, ((0, Hp - H), (0, Wp - W)))
     rows = out.reshape(N, n * n)
-    slots = (ys >> log2) * (W >> log2) + (xs >> log2)
-    cur = plane.reshape(H >> log2, n, W >> log2, n).transpose(0, 2, 1, 3)         .reshape(-1, n * n)[slots]
+    slots = (ys >> log2) * (Wp >> log2) + (xs >> log2)
+    cur = pl.reshape(Hp >> log2, n, Wp >> log2, n).transpose(0, 2, 1, 3)         .reshape(-1, n * n)[slots]
     deltas = jnp.where(valid[:, None], rows - cur, 0)
-    table = jnp.zeros(((H >> log2) * (W >> log2), n * n), jnp.int32)
+    table = jnp.zeros(((Hp >> log2) * (Wp >> log2), n * n), jnp.int32)
     table = table.at[slots].add(deltas)
-    delta = table.reshape(H >> log2, W >> log2, n, n).transpose(0, 2, 1, 3)         .reshape(H, W)
-    return plane + delta
+    delta = table.reshape(Hp >> log2, Wp >> log2, n, n).transpose(0, 2, 1, 3)         .reshape(Hp, Wp)
+    return plane + delta[:H, :W]
 
 
 def intra_reconstruct_device(plan, planes, bitdepth=8, strong=False):

@@ -47,3 +47,20 @@ def test_mixedmv_device_general_sort_path():
         got = [pic.plane_md5(c) for c in range(3)]
         want = [m["md5"][i][k] for k in ("y", "u", "v")]
         assert got == want, f"mixedmv_720p frame {i}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["ld1080p_light", "ld720p_light"])
+def test_bench_stream_device_odd_lattice(name):
+    """1080p/720p bench streams through the FUSED device program:
+    1080 is not a 16-multiple, exercising the ceil-lattice residual
+    scatter, padded intra wavefront lattice, and padded chroma deblock
+    phases."""
+    from libde265_tpu.api import decode_stream_native
+    m, data = _case(name)
+    pics = decode_stream_native(data, backend="device")
+    assert len(pics) == m["frames"]
+    for i, pic in enumerate(pics):
+        got = [pic.plane_md5(c) for c in range(3)]
+        want = [m["md5"][i][k] for k in ("y", "u", "v")]
+        assert got == want, f"{name} frame {i}"

@@ -78,10 +78,17 @@ def make_frames_light(n, w, h, seed=12):
 
 
 def main():
-    nf = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nf = int(args[0]) if args else 9
     light = "--light" in sys.argv
     mixed = "--mixed" in sys.argv
-    w, h = 3840, 2160
+    # --res 1080p/720p: same content class at the reference's other two
+    # published benchmark resolutions (README.md:36-40)
+    res = "4k"
+    if "--res" in sys.argv:
+        res = sys.argv[sys.argv.index("--res") + 1]
+    w, h = {"4k": (3840, 2160), "1080p": (1920, 1080),
+            "720p": (1280, 720)}[res]
     # light: true-motion encode of the pan (content rolls by (3,5)/frame
     # => MV (-20,-12) qpel) so residual coding is sparse like a real
     # broadcast stream; mixed: same content but every CU's MV gets a
@@ -102,7 +109,8 @@ def main():
     stream = enc.encode(frames)
     print(f"encoded {nf} frames in {time.time()-t0:.0f}s, "
           f"{len(stream)} bytes", flush=True)
-    name = "ld4k_mixed" if mixed else ("ld4k_light" if light else "ld4k")
+    name = "ld4k" if res == "4k" else "ld" + res
+    name += "_mixed" if mixed else ("_light" if light else "")
     bit = os.path.join(DATA, name + ".bin")
     open(bit, "wb").write(stream)
     gold = os.path.join(DATA, name + "_gold.yuv")
