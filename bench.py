@@ -38,8 +38,10 @@ import numpy as np
 
 DATA = os.path.join(REPO, "tests", "data")
 # headline: realistic-bitrate 4K (the reference's 36 fps is on film
-# content at broadcast rates); BENCH_STREAM=ld4k selects the ~157 Mbps
-# stress stream
+# content at broadcast rates). BENCH_STREAM alternatives: ld4k (the
+# ~157 Mbps stress stream), ld4k_mixed (every MC phase/alignment
+# class), ld1080p_light / ld720p_light (the reference's 150 / 284 fps
+# baseline resolutions).
 STREAM = os.environ.get("BENCH_STREAM", "ld4k_light")
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "6"))
 
