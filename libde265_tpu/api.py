@@ -34,6 +34,8 @@ class DecodedPicture:
     @property
     def chroma_format(self):
         """de265_get_chroma_format: 0 mono, 1 4:2:0, 2 4:2:2, 3 4:4:4."""
+        if self.plan is not None:
+            return self.plan.sps.ChromaArrayType
         h, w = self.planes[0].shape
         if self.planes[1].size == 0:
             return 0

@@ -68,12 +68,16 @@ def scatter_residuals(plane, res, xs, ys, log2, maxv):
     (XLA serializes the latter)."""
     H, W = plane.shape
     n = 1 << log2
+    # CEIL lattice: plane dims need not be n-multiples (1080p with
+    # 16/32 TUs); real TUs always fit inside, pad rows stay zero
+    nrows, ncols = -(-H // n), -(-W // n)
     rows = res.reshape(res.shape[0], n * n)
-    slots = (ys >> log2) * (W >> log2) + (xs >> log2)
-    table = jnp.zeros(((H >> log2) * (W >> log2), n * n), jnp.int32)
+    slots = (ys >> log2) * ncols + (xs >> log2)
+    table = jnp.zeros((nrows * ncols, n * n), jnp.int32)
     table = table.at[slots].set(rows, unique_indices=True)
-    rp = table.reshape(H >> log2, W >> log2, n, n).transpose(0, 2, 1, 3)
-    return jnp.clip(plane + rp.reshape(H, W), 0, maxv)
+    rp = table.reshape(nrows, ncols, n, n).transpose(0, 2, 1, 3)
+    return jnp.clip(plane + rp.reshape(nrows * n, ncols * n)[:H, :W], 0,
+                    maxv)
 
 
 def add_frame_residuals(planes_i32, batches, bitdepth=8):

@@ -240,7 +240,8 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
                   weighted=True):
     """Motion-compensate every 4x4 block of a frame from tile tables.
 
-    tables : (table_y, table_cb, table_cr) from build_tables
+    tables : (table_y, table_c2) from build_tables (tc2 rows
+             interleave [Cb 64 | Cr 64])
     dims   : (H, W) static python ints — the REFERENCE frame geometry
     mv     : (N,2,2) int32 qpel MVs per block per lane
     slot   : (N,2) int32 ref slot per lane

@@ -69,7 +69,9 @@ def split_strips(plan, cfg, fid_slot, ndev):
         n = 1 << log2
         sub = 1 if cidx == 0 else 2
         Wsc = Ws // sub
-        nslots = ((cfg.H // sub) >> log2) * (Wsc >> log2)
+        # CEIL lattice (matches frame_program._scatter_residual_slots)
+        ncols = -(-Wsc // n)
+        nslots = (-(-(cfg.H // sub) // n)) * ncols
         cs, qs, ss = [], [], []
         for d in range(ndev):
             x0c = d * Wsc
@@ -89,7 +91,7 @@ def split_strips(plan, cfg, fid_slot, ndev):
             qp[:k] = rows[:, 5]
             slots = np.full(K, nslots, np.int32)
             if k:
-                slots[:k] = (rows[:, 2] >> log2) * (Wsc >> log2) + \
+                slots[:k] = (rows[:, 2] >> log2) * ncols + \
                     ((rows[:, 1] - x0c) >> log2)
             cs.append(coeffs)
             qs.append(qp)

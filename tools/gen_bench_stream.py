@@ -78,7 +78,11 @@ def make_frames_light(n, w, h, seed=12):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--res" in argv:            # drop the flag AND its operand
+        i = argv.index("--res")
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     nf = int(args[0]) if args else 9
     light = "--light" in sys.argv
     mixed = "--mixed" in sys.argv

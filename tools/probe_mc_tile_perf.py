@@ -55,7 +55,7 @@ def main():
     def run_tab(refs_y, refs_cb, refs_cr):
         def body(i, acc):
             tabs = build_tables(refs_y + (i & 1), refs_cb, refs_cr)
-            return acc + tabs[0][0, 0].astype(jnp.int32) + tabs[1][0, 0] + tabs[2][0, 0]
+            return acc + tabs[0][0, 0].astype(jnp.int32) + tabs[1][0, 0] + tabs[1][0, 64]
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
     int(run_tab(refs_y, refs_cb, refs_cr))
     t0 = time.time()
