@@ -98,6 +98,18 @@ def main():
                           os.path.join(REPO, ".jax_cache"))
     except Exception:
         pass
+    # the tunneled axon backend has transient outages; probe with a
+    # bounded retry before committing to the long parse+compile
+    for attempt in range(4):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 3:
+                raise
+            print(f"# backend init failed ({e}); retry in 120s",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
     import jax.numpy as jnp
     from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg,
                                             pack_frame, frame_compatible,
