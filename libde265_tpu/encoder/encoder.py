@@ -769,6 +769,12 @@ class Encoder:
                                  mvd1 if inter_dir != 0 else (0, 0)], [0, 0])
         pu = self.frame.pus[-1]
         pred = self._recon_inter_pu(pu, write=False)
+        if with_residual and log2_size > cfg.log2_max_tb:
+            # CU larger than the max TB: the transform tree splits
+            # (inferred, log2 > MaxTbLog2 — no split flag), the only
+            # syntax shape that exercises the inter split-TT paths
+            self._emit_inter_tt_split(sw, x0, y0, log2_size, pred)
+            return
         coeffs = None
         if with_residual:
             src = self.src[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
@@ -813,6 +819,89 @@ class Encoder:
             for ci in (1, 2):
                 self.recon[ci][y0 // sh2:(y0 + size) // sh2,
                                x0 // sw_:(x0 + size) // sw_] = pred[ci].astype(dt)
+
+    def _emit_inter_tt_split(self, sw, x0, y0, log2_size, pred):
+        """Inter CU with a split transform tree (log2CU > Log2MaxTrafoSize):
+        4 luma TBs at log2-1, chroma TBs per leaf. Mirrors the reader's
+        inferred-split path (slice.cc:3849-3856: no split flag when
+        log2TrafoSize > MaxTbLog2SizeY)."""
+        cfg = self.cfg
+        sps = self.sps
+        cat = sps.ChromaArrayType
+        assert cat in (0, 1), "inter TT-split emission: 4:2:0/mono only"
+        half = 1 << (log2_size - 1)
+        clog2 = log2_size - 2
+        sw_c, sh_c = sps.SubWidthC, sps.SubHeightC
+        dt = cfg.pix_dtype
+        maxv = cfg.maxval
+
+        # quantize every leaf's luma + chroma residual first (cbf flags
+        # precede all residual data in each subtree, and the depth-0
+        # chroma gates precede everything)
+        ly, lc = {}, {}
+        for i in range(4):
+            px, py = x0 + (i & 1) * half, y0 + (i >> 1) * half
+            src = self.src[0][py:py + half, px:px + half].astype(np.int32)
+            rsd = src - pred[0][py - y0:py - y0 + half, px - x0:px - x0 + half]
+            q = self._quantize(rsd, log2_size - 1, self._qp_for(0), False,
+                               0, False)
+            ly[i] = q if q.any() else None
+            if cat != 0:
+                cx, cy = px // sw_c, py // sh_c
+                cw_, ch_ = half // sw_c, half // sh_c
+                for ci in (1, 2):
+                    srcc = self.src[ci][cy:cy + ch_, cx:cx + cw_] \
+                        .astype(np.int32)
+                    pc = pred[ci][cy - y0 // sh_c:cy - y0 // sh_c + ch_,
+                                  cx - x0 // sw_c:cx - x0 // sw_c + cw_]
+                    qc = self._quantize(srcc - pc, clog2,
+                                        self._qp_for(ci), False, ci, False)
+                    lc[i, ci] = qc if qc.any() else None
+        any_cb = any(lc.get((i, 1)) is not None for i in range(4))
+        any_cr = any(lc.get((i, 2)) is not None for i in range(4))
+
+        sw.write_rqt_root_cbf(True)
+        # depth-0 chroma cbf gates (log2 > 2; no split flag — inferred)
+        if cat != 0:
+            sw.write_cbf_chroma(0, any_cb)
+            sw.write_cbf_chroma(0, any_cr)
+        # 4 leaves at depth 1 in z-order
+        for i in range(4):
+            px, py = x0 + (i & 1) * half, y0 + (i >> 1) * half
+            ccb = lc.get((i, 1))
+            ccr = lc.get((i, 2))
+            if cat != 0:
+                if any_cb:
+                    sw.write_cbf_chroma(1, ccb is not None)
+                if any_cr:
+                    sw.write_cbf_chroma(1, ccr is not None)
+            cbf_l = ly[i] is not None
+            sw.write_cbf_luma(False, cbf_l)
+            sw.record_tu(px, py, log2_size - 1, cbf_l)
+            if cbf_l:
+                sw.write_residual(ly[i], log2_size - 1, 0, SCAN_DIAG)
+            if cat != 0:
+                for ci, cc in ((1, ccb), (2, ccr)):
+                    if cc is not None:
+                        sw.write_residual(cc, clog2, ci, SCAN_DIAG)
+            # closed-loop recon of this leaf
+            res = transform_ref.scale_and_inv_transform(
+                ly[i], self._qp_for(0), log2_size - 1, False, False, False,
+                cfg.bit_depth) if cbf_l else 0
+            base = pred[0][py - y0:py - y0 + half, px - x0:px - x0 + half]
+            self.recon[0][py:py + half, px:px + half] = \
+                np.clip(base + res, 0, maxv).astype(dt)
+            if cat != 0:
+                cx, cy = px // sw_c, py // sh_c
+                cw_, ch_ = half // sw_c, half // sh_c
+                for ci, cc in ((1, ccb), (2, ccr)):
+                    pc = pred[ci][cy - y0 // sh_c:cy - y0 // sh_c + ch_,
+                                  cx - x0 // sw_c:cx - x0 // sw_c + cw_]
+                    rc = transform_ref.scale_and_inv_transform(
+                        cc, self._qp_for(ci), clog2, False, False, False,
+                        cfg.bit_depth) if cc is not None else 0
+                    self.recon[ci][cy:cy + ch_, cx:cx + cw_] = \
+                        np.clip(pc + rc, 0, maxv).astype(dt)
 
     def _emit_gmv_cu(self, sw, x0, y0, log2_size, depth, idx):
         """True-motion CU: MV = cfg.global_mv exactly (mvd compensates the

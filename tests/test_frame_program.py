@@ -32,6 +32,7 @@ CASES = [
     ("manifest_inter.json", "p_pcm"),
     ("manifest_inter.json", "p_tqbypass"),
     ("manifest_inter.json", "p_cra"),
+    ("manifest_inter.json", "p_ttsplit"),
 ]
 
 

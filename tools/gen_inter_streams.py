@@ -73,6 +73,11 @@ CASES = [
                              luma_weight_delta=10, luma_offset=5)),
     ("p_bigmv", 64, 64, 4, dict(inter_mode="mv", mv_patterns=(
         (33, 17), (-40, -25), (121, 3), (1, 2), (3, 1), (2, 3), (-65, 77), (7, -7)))),
+    # CU 16 with Log2MaxTrafoSize 8: every inter residual CU codes a
+    # SPLIT transform tree (inferred split, per-leaf cbf) — the only
+    # stream class reaching the inter split-TT syntax paths
+    ("p_ttsplit", 64, 64, 4, dict(inter_mode="mv", inter_residual=True,
+                                  log2_max_tb=3, num_ref_l0=2)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
@@ -139,8 +144,13 @@ def plane_md5s(yuv_path, w, h, frames, bytes_per_sample=1):
 
 def main():
     os.makedirs(DATA, exist_ok=True)
-    manifest = {}
+    only = set(sys.argv[1:])          # regenerate just the named cases
+    path = os.path.join(DATA, "manifest_inter.json")
+    manifest = json.load(open(path)) if (only and os.path.exists(path)) \
+        else {}
     for name, w, h, nf, kw in CASES:
+        if only and name not in only:
+            continue
         cfg = EncoderConfig(width=w, height=h, qp=30, **kw)
         enc = Encoder(cfg)
         gen = make_frames10 if kw.get("bit_depth", 8) > 8 else make_frames
@@ -157,7 +167,7 @@ def main():
                           "bit_depth": kw.get("bit_depth", 8),
                           "size_bytes": len(stream)}
         print(f"{name}: {len(stream)} bytes")
-    with open(os.path.join(DATA, "manifest_inter.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
 
