@@ -96,7 +96,7 @@ class EncoderConfig:
         import numpy as _np
         return _np.uint8 if self.bit_depth == 8 else _np.uint16
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
-    inter_mode: str = "skip"          # skip | mv | mixed | gmv
+    inter_mode: str = "skip"          # skip | mv | mixed | gmv | 2pu
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
                           (13, 21), (-2, -2))
     mv_jitter: int = 0                # gmv mode: add a deterministic
@@ -154,6 +154,9 @@ class _CUEmitter:
                 mode = "mv_res"
             if mode == "gmv":
                 enc._emit_gmv_cu(sw, x0, y0, log2_size, depth, idx)
+                return
+            if mode == "2pu":
+                enc._emit_2pu_cu(sw, x0, y0, log2_size, depth, idx)
                 return
             if mode == "intra":
                 sw.write_skip_flag(x0, y0, False)
@@ -819,6 +822,41 @@ class Encoder:
             for ci in (1, 2):
                 self.recon[ci][y0 // sh2:(y0 + size) // sh2,
                                x0 // sw_:(x0 + size) // sw_] = pred[ci].astype(dt)
+
+    def _emit_2pu_cu(self, sw, x0, y0, log2_size, depth, idx):
+        """Inter CU with TWO prediction units (2NxN/Nx2N, or the four AMP
+        shapes when sps.amp_enabled_flag): each PU codes explicit AMVP
+        motion. Exercises the multi-PU decode paths (part_geometry,
+        per-PU merge/AMVP with partition-dependent candidate rules) that
+        no 2Nx2N stream reaches. No residual (rqt_root_cbf = 0)."""
+        from ..plan import (PART_2NxN, PART_Nx2N, PART_2NxnU, PART_2NxnD,
+                            PART_nLx2N, PART_nRx2N)
+        from ..bitstream.ctu import part_geometry
+        cfg = self.cfg
+        modes = ((PART_2NxN, PART_Nx2N, PART_2NxnU, PART_2NxnD,
+                  PART_nLx2N, PART_nRx2N) if cfg.amp
+                 else (PART_2NxN, PART_Nx2N))
+        part_mode = modes[idx % len(modes)]
+        sw.write_skip_flag(x0, y0, False)
+        sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTER, False)
+        sw.write_pred_mode(False)
+        sw.write_part_mode_inter(log2_size, part_mode)
+        size = 1 << log2_size
+        n_act0 = sw.sh.num_ref_idx_l0_active
+        for pi, (dx, dy, w, h) in enumerate(part_geometry(part_mode, size)):
+            px, py = x0 + dx, y0 + dy
+            mvd = cfg.mv_patterns[(idx * 2 + pi) % len(cfg.mv_patterns)]
+            ref_idx = (idx + pi) % n_act0
+            sw.write_merge_flag(False)
+            sw.write_ref_idx(ref_idx, n_act0)
+            sw.write_mvd(mvd)
+            sw.write_mvp_flag(pi & 1)
+            self.motion.decode_amvp(sw, x0, y0, px, py, w, h, pi,
+                                    part_mode, depth, 0,
+                                    [ref_idx, 0], [mvd, (0, 0)],
+                                    [pi & 1, 0])
+            self._recon_inter_pu(self.frame.pus[-1], write=True)
+        sw.write_rqt_root_cbf(False)
 
     def _emit_inter_tt_split(self, sw, x0, y0, log2_size, pred):
         """Inter CU with a split transform tree (log2CU > Log2MaxTrafoSize):

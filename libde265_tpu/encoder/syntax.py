@@ -257,6 +257,28 @@ class SliceWriter:
     def write_part_mode_inter_2nx2n(self, log2_size):
         self.cabac.encode_bin(self.ctx.at("part_mode", 0), 1)
 
+    def write_part_mode_inter(self, log2_size, part_mode):
+        """General inter part_mode binarization (mirror of the reader's
+        _decode_part_mode_inter; CU > MinCb with/without AMP)."""
+        from ..plan import (PART_2Nx2N, PART_2NxN, PART_Nx2N, PART_2NxnU,
+                            PART_2NxnD, PART_nLx2N, PART_nRx2N)
+        c = self.cabac
+        if part_mode == PART_2Nx2N:
+            c.encode_bin(self.ctx.at("part_mode", 0), 1)
+            return
+        assert log2_size > self.min_cb_log2, "2-PU modes need CU > MinCb"
+        c.encode_bin(self.ctx.at("part_mode", 0), 0)
+        horiz = part_mode in (PART_2NxN, PART_2NxnU, PART_2NxnD)
+        c.encode_bin(self.ctx.at("part_mode", 1), 1 if horiz else 0)
+        if not self.sps.amp_enabled_flag:
+            assert part_mode in (PART_2NxN, PART_Nx2N)
+            return
+        symmetric = part_mode in (PART_2NxN, PART_Nx2N)
+        c.encode_bin(self.ctx.at("part_mode", 3), 1 if symmetric else 0)
+        if not symmetric:
+            c.encode_bypass(
+                1 if part_mode in (PART_2NxnD, PART_nRx2N) else 0)
+
     def write_rqt_root_cbf(self, cbf):
         self.cabac.encode_bin(self.ctx.at("rqt_root_cbf"), 1 if cbf else 0)
 

@@ -279,26 +279,42 @@ class MotionDeriver:
         pf = [0, 0]
         mv = [[0, 0], [0, 0]]
         ref = [-1, -1]
+        ncbs = 1 << int(self.frame.log2_cb_size[yC >> 2, xC >> 2])
+        cu = (xC, yC, ncbs, w, h, part_idx)
         for X in range(2):
             if (X == 0 and inter_pred_idc == PRED_L1) or \
                (X == 1 and inter_pred_idc == PRED_L0):
                 continue
             pf[X] = 1
             ref[X] = ref_idx[X]
-            pred = self._amvp_predictors(reader, x0, y0, w, h, X, ref_idx[X])
+            pred = self._amvp_predictors(reader, x0, y0, w, h, X, ref_idx[X],
+                                         cu)
             p = pred[mvp_flag[X]]
             mv[X][0] = mv_wrap(p[0] + mvd[X][0])
             mv[X][1] = mv_wrap(p[1] + mvd[X][1])
         self._store_pu(x0, y0, w, h, pf, mv, ref)
 
-    def _amvp_predictors(self, reader, x0, y0, w, h, X, ref_idx):
-        """spec 8.5.3.2.6/8.5.3.2.7. Returns two (mvx,mvy) predictors."""
+    def _amvp_predictors(self, reader, x0, y0, w, h, X, ref_idx, cu=None):
+        """spec 8.5.3.2.6/8.5.3.2.7. Returns two (mvx,mvy) predictors.
+        cu = (xC, yC, nCbS, nPbW, nPbH, part_idx): neighbours inside the
+        SAME coding block are available by PU decode order, not z-scan
+        (6.4.2 / image.cc:782-806 available_pred_blk) — only the NxN
+        partIdx-1-reads-partIdx-2 corner is excluded."""
         f = self.frame
         Y = 1 - X
         targ_poc = self.ref_poc[X][ref_idx]
         targ_lt = bool(self.ref_lt[X][ref_idx])
 
         def nb(nx, ny):
+            if cu is not None:
+                xC, yC, ncbs, npw, nph, pidx = cu
+                if xC <= nx < xC + ncbs and yC <= ny < yC + ncbs:
+                    if (npw * 2 == ncbs and nph * 2 == ncbs and pidx == 1
+                            and ny >= yC + nph and nx < xC + npw):
+                        return None            # NxN partIdx 2 region
+                    if self.frame.pred_mode[ny >> 2, nx >> 2] != MODE_INTER:
+                        return None
+                    return (nx >> 2, ny >> 2)
             if not self._avail_pred(x0, y0, nx, ny, reader):
                 return None
             return (nx >> 2, ny >> 2)

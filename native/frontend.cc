@@ -2163,10 +2163,11 @@ struct SliceReader {
                        Cand* out);
   void decode_merge(int xc, int yc, int x0, int y0, int w, int h, int pidx,
                     int part_mode, int merge_idx);
-  void decode_amvp(int x0, int y0, int w, int h, int inter_dir,
-                   const int* ref_idx, int mvd[2][2], const int* mvp_flag);
-  void amvp_predictors(int x0, int y0, int w, int h, int X, int ref_idx,
-                       int16_t pred[2][2]);
+  void decode_amvp(int xc, int yc, int x0, int y0, int w, int h, int pidx,
+                   int inter_dir, const int* ref_idx, int mvd[2][2],
+                   const int* mvp_flag);
+  void amvp_predictors(int xc, int yc, int x0, int y0, int w, int h,
+                       int pidx, int X, int ref_idx, int16_t pred[2][2]);
   void store_pu(int x0, int y0, int w, int h, const uint8_t* pf,
                 int16_t mv[2][2], const int8_t* ref);
 };
@@ -2278,7 +2279,8 @@ void SliceReader::derive_pu(const RawPU& r) {
   int ref_idx[2] = {r.ref_idx[0], r.ref_idx[1]};
   int mvp[2] = {r.mvp[0], r.mvp[1]};
   int mvd[2][2] = {{r.mvd[0][0], r.mvd[0][1]}, {r.mvd[1][0], r.mvd[1][1]}};
-  decode_amvp(r.x0, r.y0, r.w, r.h, r.inter_dir, ref_idx, mvd, mvp);
+  decode_amvp(r.xc, r.yc, r.x0, r.y0, r.w, r.h, r.pidx, r.inter_dir,
+              ref_idx, mvd, mvp);
 }
 
 bool SliceReader::col_mv(int xc, int yc, int X, int ref_idx, int16_t* out) {
@@ -2417,13 +2419,24 @@ void SliceReader::decode_merge(int xc, int yc, int x0, int y0, int w, int h,
   store_pu(x0, y0, w, h, pf, mv, ref);
 }
 
-void SliceReader::amvp_predictors(int x0, int y0, int w, int h, int X,
+void SliceReader::amvp_predictors(int xc, int yc, int x0, int y0, int w,
+                                  int h, int pidx, int X,
                                   int ref_idx, int16_t pred[2][2]) {
   int Y = 1 - X;
   int targ_poc = sh.ref_poc[X][ref_idx];
   bool targ_lt = sh.ref_lt[X][ref_idx];
+  // neighbours inside the SAME coding block follow PU decode order, not
+  // z-scan (6.4.2, image.cc:782-806); only NxN partIdx 1 reading the
+  // partIdx-2 region is excluded
+  int ncbs = 1 << f.log2_cb[G(xc >> 2, yc >> 2)];
   auto nb_ok = [&](int nx, int ny, int* g) {
-    if (!avail_pred(x0, y0, nx, ny)) return false;
+    if (nx >= xc && nx < xc + ncbs && ny >= yc && ny < yc + ncbs) {
+      if (w * 2 == ncbs && h * 2 == ncbs && pidx == 1 &&
+          ny >= yc + h && nx < xc + w) return false;
+      if (f.pred_mode[G(nx >> 2, ny >> 2)] != 0) return false;
+    } else if (!avail_pred(x0, y0, nx, ny)) {
+      return false;
+    }
     g[0] = nx >> 2; g[1] = ny >> 2;
     return true;
   };
@@ -2505,7 +2518,8 @@ void SliceReader::amvp_predictors(int x0, int y0, int w, int h, int X,
   pred[1][0] = cands[1][0]; pred[1][1] = cands[1][1];
 }
 
-void SliceReader::decode_amvp(int x0, int y0, int w, int h, int inter_dir,
+void SliceReader::decode_amvp(int xc, int yc, int x0, int y0, int w, int h,
+                              int pidx, int inter_dir,
                               const int* ref_idx, int mvd[2][2],
                               const int* mvp_flag) {
   uint8_t pf[2] = {0, 0};
@@ -2515,7 +2529,7 @@ void SliceReader::decode_amvp(int x0, int y0, int w, int h, int inter_dir,
     if ((X == 0 && inter_dir == 1) || (X == 1 && inter_dir == 0)) continue;
     pf[X] = 1; ref[X] = (int8_t)ref_idx[X];
     int16_t pred[2][2];
-    amvp_predictors(x0, y0, w, h, X, ref_idx[X], pred);
+    amvp_predictors(xc, yc, x0, y0, w, h, pidx, X, ref_idx[X], pred);
     mv[X][0] = mv_wrap(pred[mvp_flag[X]][0] + mvd[X][0]);
     mv[X][1] = mv_wrap(pred[mvp_flag[X]][1] + mvd[X][1]);
   }

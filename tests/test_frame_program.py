@@ -33,6 +33,8 @@ CASES = [
     ("manifest_inter.json", "p_tqbypass"),
     ("manifest_inter.json", "p_cra"),
     ("manifest_inter.json", "p_ttsplit"),
+    ("manifest_inter.json", "p_2pu"),
+    ("manifest_inter.json", "p_2pu_amp"),
 ]
 
 

@@ -78,6 +78,11 @@ CASES = [
     # stream class reaching the inter split-TT syntax paths
     ("p_ttsplit", 64, 64, 4, dict(inter_mode="mv", inter_residual=True,
                                   log2_max_tb=3, num_ref_l0=2)),
+    # two-PU inter CUs: 2NxN/Nx2N explicit-AMVP pairs — reaches the
+    # multi-PU motion paths incl. same-CB AMVP neighbour availability
+    ("p_2pu", 64, 64, 4, dict(inter_mode="2pu", num_ref_l0=2)),
+    ("p_2pu_amp", 64, 64, 4, dict(inter_mode="2pu", amp=True,
+                                  temporal_mvp=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
