@@ -110,6 +110,9 @@ class EncoderConfig:
                                       # only where prediction misses —
                                       # realistic pan-shot stream shape
     inter_residual: bool = False
+    two_pu_merge: bool = False        # 2pu mode: odd CUs merge their
+                                      # second PU (partIdx-1 candidate
+                                      # exclusion paths)
 
     @property
     def pic_size_in_ctbs(self):
@@ -843,18 +846,28 @@ class Encoder:
         sw.write_part_mode_inter(log2_size, part_mode)
         size = 1 << log2_size
         n_act0 = sw.sh.num_ref_idx_l0_active
+        # odd CUs: the second PU codes MERGE (exercises the partIdx-1
+        # candidate exclusions A1/B1, 8.5.3.2.3)
+        pu1_merge = cfg.two_pu_merge and (idx & 1)
         for pi, (dx, dy, w, h) in enumerate(part_geometry(part_mode, size)):
             px, py = x0 + dx, y0 + dy
-            mvd = cfg.mv_patterns[(idx * 2 + pi) % len(cfg.mv_patterns)]
-            ref_idx = (idx + pi) % n_act0
-            sw.write_merge_flag(False)
-            sw.write_ref_idx(ref_idx, n_act0)
-            sw.write_mvd(mvd)
-            sw.write_mvp_flag(pi & 1)
-            self.motion.decode_amvp(sw, x0, y0, px, py, w, h, pi,
-                                    part_mode, depth, 0,
-                                    [ref_idx, 0], [mvd, (0, 0)],
-                                    [pi & 1, 0])
+            if pu1_merge and pi == 1:
+                midx = idx % min(cfg.max_merge_cand, 3)
+                sw.write_merge_flag(True)
+                sw.write_merge_idx(midx)
+                self.motion.decode_merge(sw, x0, y0, px, py, w, h, pi,
+                                         part_mode, depth, midx)
+            else:
+                mvd = cfg.mv_patterns[(idx * 2 + pi) % len(cfg.mv_patterns)]
+                ref_idx = (idx + pi) % n_act0
+                sw.write_merge_flag(False)
+                sw.write_ref_idx(ref_idx, n_act0)
+                sw.write_mvd(mvd)
+                sw.write_mvp_flag(pi & 1)
+                self.motion.decode_amvp(sw, x0, y0, px, py, w, h, pi,
+                                        part_mode, depth, 0,
+                                        [ref_idx, 0], [mvd, (0, 0)],
+                                        [pi & 1, 0])
             self._recon_inter_pu(self.frame.pus[-1], write=True)
         sw.write_rqt_root_cbf(False)
 

@@ -35,6 +35,7 @@ CASES = [
     ("manifest_inter.json", "p_ttsplit"),
     ("manifest_inter.json", "p_2pu"),
     ("manifest_inter.json", "p_2pu_amp"),
+    ("manifest_inter.json", "b_2pu_merge"),
 ]
 
 

@@ -83,6 +83,10 @@ CASES = [
     ("p_2pu", 64, 64, 4, dict(inter_mode="2pu", num_ref_l0=2)),
     ("p_2pu_amp", 64, 64, 4, dict(inter_mode="2pu", amp=True,
                                   temporal_mvp=True)),
+    ("p_2pu_merge", 64, 64, 4, dict(inter_mode="2pu", two_pu_merge=True,
+                                    num_ref_l0=2)),
+    ("b_2pu_merge", 64, 64, 4, dict(inter_mode="2pu", two_pu_merge=True,
+                                    b_frames=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
