@@ -87,6 +87,10 @@ CASES = [
                                     num_ref_l0=2)),
     ("b_2pu_merge", 64, 64, 4, dict(inter_mode="2pu", two_pu_merge=True,
                                     b_frames=True)),
+    # PB-boundary deblocking: bS-1 edges from MV deltas ACROSS the PU
+    # split inside a CU (deblock.cc:281-352) + SAO on top
+    ("p_2pu_filters", 64, 64, 4, dict(inter_mode="2pu", num_ref_l0=2,
+                                      disable_deblocking=False, sao=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
