@@ -177,6 +177,9 @@ class _CUEmitter:
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
+        if cfg.sign_data_hiding:
+            assert not cfg.tq_bypass and not cfg.rdo, \
+                "sign hiding vectors: no tq-bypass/RDO mixing"
         if cfg.chroma_format != 1:
             # RDO mode decision is tuned for 4:2:0 distortion weighting
             assert not cfg.rdo, "non-4:2:0: no RDO"
@@ -619,6 +622,32 @@ class Encoder:
                             sw.write_residual(cco[ci, tb], 2, ci,
                                               self._scan_for(cmode_cu, 2, ci))
 
+    def _apply_sdh(self, q, log2, scan_idx):
+        """Sign-data-hiding parity normalization: for every 4x4 coded
+        sub-block whose scan span exceeds 3, make (sum of |levels|) & 1
+        encode the first-in-scan coefficient's sign (bump the last
+        coefficient's magnitude by one when the parity disagrees — keeps
+        every significance position intact). Mirror of the reader's
+        inference (ctu.py) / spec 7.4.9.11."""
+        if q is None or not self.cfg.sign_data_hiding:
+            return q
+        from ..bitstream.scan import get_scan_order
+        c_scan = get_scan_order(4, scan_idx)
+        n = 1 << log2
+        for sy in range(n >> 2):
+            for sx in range(n >> 2):
+                blk = q[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4]
+                pos = [i for i, (x, y) in enumerate(c_scan) if blk[y, x]]
+                if not pos or pos[-1] - pos[0] <= 3:
+                    continue
+                fx, fy = c_scan[pos[0]]
+                desired = 1 if blk[fy, fx] < 0 else 0
+                parity = int(np.abs(blk).sum()) & 1
+                if parity != desired:
+                    lx_, ly_ = c_scan[pos[-1]]
+                    blk[ly_, lx_] += 1 if blk[ly_, lx_] > 0 else -1
+        return q
+
     def _scan_for(self, mode, log2, cidx):
         sps = self.sps
         if log2 == 2 or (log2 == 3 and
@@ -689,7 +718,7 @@ class Encoder:
         q = self._quantize(residual, log2, self._qp_for(cidx), is_dst, cidx, True)
         if not q.any():
             return None
-        return q
+        return self._apply_sdh(q, log2, self._scan_for(mode, log2, cidx))
 
     def _intra_pred(self, cidx, x, y, log2, mode):
         n = 1 << log2
@@ -792,6 +821,7 @@ class Encoder:
                                         False, 0, False)
             if not coeffs.any():
                 coeffs = None
+            coeffs = self._apply_sdh(coeffs, log2_size, SCAN_DIAG)
         # rqt_root_cbf (merge==0 -> always present)
         sw.write_rqt_root_cbf(coeffs is not None)
         sw.record_tu(x0, y0, log2_size, coeffs is not None)
@@ -896,6 +926,7 @@ class Encoder:
             rsd = src - pred[0][py - y0:py - y0 + half, px - x0:px - x0 + half]
             q = self._quantize(rsd, log2_size - 1, self._qp_for(0), False,
                                0, False)
+            q = self._apply_sdh(q, log2_size - 1, SCAN_DIAG)
             ly[i] = q if q.any() else None
             if cat != 0:
                 cx, cy = px // sw_c, py // sh_c
@@ -907,6 +938,7 @@ class Encoder:
                                   cx - x0 // sw_c:cx - x0 // sw_c + cw_]
                     qc = self._quantize(srcc - pc, clog2,
                                         self._qp_for(ci), False, ci, False)
+                    qc = self._apply_sdh(qc, clog2, SCAN_DIAG)
                     lc[i, ci] = qc if qc.any() else None
         any_cb = any(lc.get((i, 1)) is not None for i in range(4))
         any_cr = any(lc.get((i, 2)) is not None for i in range(4))

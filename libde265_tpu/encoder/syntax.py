@@ -598,8 +598,15 @@ class SliceWriter:
                 ctx_inc = ctx_set if cidx == 0 else 4 + ctx_set
                 flag = 1 if abs(levels[first_g1]) > 2 else 0
                 c.encode_bin(self.ctx.at("coeff_abs_level_greater2_flag", ctx_inc), flag)
-            # signs (no sign hiding: pps.sign_data_hiding must be 0)
-            for lv in levels:
+            # signs; with sign_data_hiding the FIRST coefficient in scan
+            # order of a wide-enough sub-block omits its sign — the
+            # encoder pre-normalized the level-sum parity to carry it
+            # (reader: ctu.py sign_hiding/sum_abs)
+            hidden = bool(self.pps.sign_data_hiding_flag) and \
+                (sig_pos[0] - sig_pos[-1] > 3)
+            for k, lv in enumerate(levels):
+                if hidden and k == len(levels) - 1:
+                    continue
                 c.encode_bypass(1 if lv < 0 else 0)
             # remaining
             rice = 0

@@ -91,6 +91,10 @@ CASES = [
     # split inside a CU (deblock.cc:281-352) + SAO on top
     ("p_2pu_filters", 64, 64, 4, dict(inter_mode="2pu", num_ref_l0=2,
                                       disable_deblocking=False, sao=True)),
+    # sign data hiding: the first-in-scan sign inferred from level-sum
+    # parity per sub-block (7.4.9.11) — intra and inter residuals
+    ("p_sdh", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
+                              sign_data_hiding=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
