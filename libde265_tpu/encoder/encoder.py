@@ -529,12 +529,15 @@ class Encoder:
         # TB predicts from the top TB's reconstruction), then write the
         # bitstream in syntax order (all cbf flags precede residuals)
         cco = {}
+        cts = {}
         for ci in (1, 2):
             for tb in range(n_tb):
                 yc = cy_ + (tb << clog2)
                 cco[ci, tb] = self._intra_predict_and_quant(
                     ci, cx, yc, clog2, cmode, defer=True)
-                self._recon_intra(ci, cx, yc, clog2, cmode, cco[ci, tb])
+                cts[ci, tb] = self._last_ts
+                self._recon_intra(ci, cx, yc, clog2, cmode, cco[ci, tb],
+                                  ts=cts[ci, tb])
         # transform tree: no split (maxdepth 0, log2<=MaxTb); the 4:2:2
         # second cbf bit follows the first at non-split nodes
         for ci in (1, 2):
@@ -550,7 +553,8 @@ class Encoder:
             for tb in range(n_tb):
                 if cco[ci, tb] is not None:
                     sw.write_residual(cco[ci, tb], clog2, ci,
-                                      self._scan_for(cmode, clog2, ci))
+                                      self._scan_for(cmode, clog2, ci),
+                                      ts=cts[ci, tb])
 
     def _emit_intra_nxn_cu(self, sw, x0, y0, idx):
         """8x8 PART_NxN intra CU: 4 luma modes + forced TT split
@@ -576,6 +580,7 @@ class Encoder:
         # plus the top TB for the 4:2:2 bottom one). 4:4:4: parent=1,
         # the per-leaf flags decide.
         cco = {}
+        ctsb = {}
         if cat in (1, 2):
             cx, cy_ = x0 // sps.SubWidthC, y0 // sps.SubHeightC
             n_tb = 2 if cat == 2 else 1
@@ -584,7 +589,9 @@ class Encoder:
                     yc = cy_ + (tb << 2)
                     cco[ci, tb] = self._intra_predict_and_quant(
                         ci, cx, yc, 2, cmode_cu)
-                    self._recon_intra(ci, cx, yc, 2, cmode_cu, cco[ci, tb])
+                    ctsb[ci, tb] = self._last_ts
+                    self._recon_intra(ci, cx, yc, 2, cmode_cu, cco[ci, tb],
+                                      ts=ctsb[ci, tb])
             for ci in (1, 2):
                 for tb in range(n_tb):
                     sw.write_cbf_chroma(0, cco[ci, tb] is not None)
@@ -598,29 +605,36 @@ class Encoder:
             mode = modes[i]
             if cat == 3:
                 ccoef = {}
+                ctsl = {}
                 for ci in (1, 2):
                     ccoef[ci] = self._intra_predict_and_quant(
                         ci, px, py, 2, mode)
+                    ctsl[ci] = self._last_ts
                 sw.write_cbf_chroma(1, ccoef[1] is not None)
                 sw.write_cbf_chroma(1, ccoef[2] is not None)
             cy_coeffs = self._intra_predict_and_quant(0, px, py, 2, mode)
+            yts = self._last_ts
             sw.write_cbf_luma(False, cy_coeffs is not None)
             sw.record_tu(px, py, 2, cy_coeffs is not None)
             if cy_coeffs is not None:
-                sw.write_residual(cy_coeffs, 2, 0, self._scan_for(mode, 2, 0))
-            self._recon_intra(0, px, py, 2, mode, cy_coeffs)
+                sw.write_residual(cy_coeffs, 2, 0,
+                                  self._scan_for(mode, 2, 0), ts=yts)
+            self._recon_intra(0, px, py, 2, mode, cy_coeffs, ts=yts)
             if cat == 3:
                 for ci in (1, 2):
                     if ccoef[ci] is not None:
                         sw.write_residual(ccoef[ci], 2, ci,
-                                          self._scan_for(mode, 2, ci))
-                    self._recon_intra(ci, px, py, 2, mode, ccoef[ci])
+                                          self._scan_for(mode, 2, ci),
+                                          ts=ctsl[ci])
+                    self._recon_intra(ci, px, py, 2, mode, ccoef[ci],
+                                      ts=ctsl[ci])
             elif cat in (1, 2) and i == 3:
                 for ci in (1, 2):
                     for tb in range(2 if cat == 2 else 1):
                         if cco[ci, tb] is not None:
                             sw.write_residual(cco[ci, tb], 2, ci,
-                                              self._scan_for(cmode_cu, 2, ci))
+                                              self._scan_for(cmode_cu, 2, ci),
+                                              ts=ctsb[ci, tb])
 
     def _apply_sdh(self, q, log2, scan_idx):
         """Sign-data-hiding parity normalization: for every 4x4 coded
@@ -674,9 +688,10 @@ class Encoder:
         from ..reconstruct import _scaling_matrix
         return _scaling_matrix(self.sps.scaling_list, log2, cidx, is_intra)
 
-    def _basis(self, log2, qp, is_dst, cidx=0, is_intra=True):
+    def _basis(self, log2, qp, is_dst, cidx=0, is_intra=True, tskip=False):
         key = (log2, qp, is_dst, cidx if self.cfg.scaling_lists else 0,
-               is_intra if self.cfg.scaling_lists else True, self.cfg.bit_depth)
+               is_intra if self.cfg.scaling_lists else True,
+               self.cfg.bit_depth, tskip)
         if key in self._basis_cache:
             return self._basis_cache[key]
         n = 1 << log2
@@ -687,7 +702,7 @@ class Encoder:
         # decoder impulse response of a unit level at each coeff position
         resp = np.stack([
             transform_ref.scale_and_inv_transform(
-                eye[k], qp, log2, is_dst, False, False, self.cfg.bit_depth,
+                eye[k], qp, log2, is_dst, tskip, False, self.cfg.bit_depth,
                 smat, sdc)
             for k in range(n * n)])
         flat = resp.reshape(n * n, n * n).astype(np.float64)
@@ -696,28 +711,40 @@ class Encoder:
         self._basis_cache[key] = (flat, norms)
         return flat, norms
 
-    def _quantize(self, residual, log2, qp, is_dst, cidx=0, is_intra=True):
+    def _quantize(self, residual, log2, qp, is_dst, cidx=0, is_intra=True,
+                  tskip=False):
         """Project residual onto decoder impulse-response basis -> levels."""
         n = 1 << log2
-        flat, norms = self._basis(log2, qp, is_dst, cidx, is_intra)
+        flat, norms = self._basis(log2, qp, is_dst, cidx, is_intra, tskip)
         proj = flat @ residual.astype(np.float64).ravel() / norms
         levels = np.round(proj).astype(np.int32).reshape(n, n)
         return np.clip(levels, -32767, 32767)
 
+    def _tskip_for(self, x, y, log2):
+        """Deterministic per-TU transform-skip choice for 4x4 TUs when
+        the config enables it (vector generation: alternate by position)."""
+        return bool(self.cfg.transform_skip) and log2 == 2 and \
+            (((x >> 2) + (y >> 2)) & 1) == 1
+
     def _intra_predict_and_quant(self, cidx, x, y, log2, mode, defer=False):
         """Returns quantized coeffs or None if all-zero. Prediction uses the
-        current recon (neighbors already reconstructed in z-order)."""
+        current recon (neighbors already reconstructed in z-order).
+        Sets self._last_ts to the block's transform_skip_flag."""
         pred = self._intra_pred(cidx, x, y, log2, mode)
         n = 1 << log2
         src = self.src[cidx][y:y + n, x:x + n].astype(np.int32)
         residual = src - pred
+        self._last_ts = False
         if getattr(self, "_cur_bypass", False):
             q = np.clip(residual, -32767, 32767).astype(np.int32)
             return q if q.any() else None
-        is_dst = (cidx == 0 and log2 == 2)
-        q = self._quantize(residual, log2, self._qp_for(cidx), is_dst, cidx, True)
+        ts = self._tskip_for(x, y, log2)
+        is_dst = (cidx == 0 and log2 == 2 and not ts)
+        q = self._quantize(residual, log2, self._qp_for(cidx), is_dst, cidx,
+                           True, tskip=ts)
         if not q.any():
             return None
+        self._last_ts = ts
         return self._apply_sdh(q, log2, self._scan_for(mode, log2, cidx))
 
     def _intra_pred(self, cidx, x, y, log2, mode):
@@ -730,16 +757,16 @@ class Encoder:
                                        c444=self.sps.ChromaArrayType == 3)
         return intra_ref.predict(fref, mode, log2, cidx, bd)
 
-    def _recon_intra(self, cidx, x, y, log2, mode, coeffs):
+    def _recon_intra(self, cidx, x, y, log2, mode, coeffs, ts=False):
         pred = self._intra_pred(cidx, x, y, log2, mode)
         n = 1 << log2
         if coeffs is not None:
-            is_dst = (cidx == 0 and log2 == 2)
+            is_dst = (cidx == 0 and log2 == 2 and not ts)
             smat, sdc = self._smat(log2, cidx, True)
             if getattr(self, "_cur_bypass", False):
                 smat = sdc = None
             res = transform_ref.scale_and_inv_transform(
-                coeffs, self._qp_for(cidx), log2, is_dst, False,
+                coeffs, self._qp_for(cidx), log2, is_dst, ts,
                 getattr(self, "_cur_bypass", False) and True,
                 self.cfg.bit_depth, smat, sdc)
             out = np.clip(pred + res, 0, self.cfg.maxval)
@@ -910,6 +937,9 @@ class Encoder:
         sps = self.sps
         cat = sps.ChromaArrayType
         assert cat in (0, 1), "inter TT-split emission: 4:2:0/mono only"
+        # single-level split only: leaves at log2-1 (>= 8x8 luma)
+        assert log2_size >= 4 and cfg.log2_max_tb == log2_size - 1, \
+            "inter TT-split emission: one split level (log2_max_tb = CU-1)"
         half = 1 << (log2_size - 1)
         clog2 = log2_size - 2
         sw_c, sh_c = sps.SubWidthC, sps.SubHeightC
@@ -919,15 +949,18 @@ class Encoder:
         # quantize every leaf's luma + chroma residual first (cbf flags
         # precede all residual data in each subtree, and the depth-0
         # chroma gates precede everything)
-        ly, lc = {}, {}
+        ly, lc, lts = {}, {}, {}
         for i in range(4):
             px, py = x0 + (i & 1) * half, y0 + (i >> 1) * half
             src = self.src[0][py:py + half, px:px + half].astype(np.int32)
             rsd = src - pred[0][py - y0:py - y0 + half, px - x0:px - x0 + half]
+            lts[i] = self._tskip_for(px, py, log2_size - 1)
             q = self._quantize(rsd, log2_size - 1, self._qp_for(0), False,
-                               0, False)
+                               0, False, tskip=lts[i])
             q = self._apply_sdh(q, log2_size - 1, SCAN_DIAG)
             ly[i] = q if q.any() else None
+            if ly[i] is None:
+                lts[i] = False
             if cat != 0:
                 cx, cy = px // sw_c, py // sh_c
                 cw_, ch_ = half // sw_c, half // sh_c
@@ -962,14 +995,15 @@ class Encoder:
             sw.write_cbf_luma(False, cbf_l)
             sw.record_tu(px, py, log2_size - 1, cbf_l)
             if cbf_l:
-                sw.write_residual(ly[i], log2_size - 1, 0, SCAN_DIAG)
+                sw.write_residual(ly[i], log2_size - 1, 0, SCAN_DIAG,
+                                  ts=lts[i])
             if cat != 0:
                 for ci, cc in ((1, ccb), (2, ccr)):
                     if cc is not None:
                         sw.write_residual(cc, clog2, ci, SCAN_DIAG)
             # closed-loop recon of this leaf
             res = transform_ref.scale_and_inv_transform(
-                ly[i], self._qp_for(0), log2_size - 1, False, False, False,
+                ly[i], self._qp_for(0), log2_size - 1, False, lts[i], False,
                 cfg.bit_depth) if cbf_l else 0
             base = pred[0][py - y0:py - y0 + half, px - x0:px - x0 + half]
             self.recon[0][py:py + half, px:px + half] = \

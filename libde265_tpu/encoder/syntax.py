@@ -456,11 +456,16 @@ class SliceWriter:
         f.cbf_luma[gy:gy + gs, gx:gx + gs] = 1 if cbf_luma else 0
 
     # ------------------------------------------------------ residual (7.3.8.11)
-    def write_residual(self, coeffs, log2_size, cidx, scan_idx=SCAN_DIAG):
+    def write_residual(self, coeffs, log2_size, cidx, scan_idx=SCAN_DIAG,
+                       ts=False):
         """coeffs: (n,n) int array (y,x). Mirrors the reader exactly.
-        Assumes transform_skip disabled and sign hiding handled by caller
-        config (sign_data_hiding off)."""
+        ts: transform_skip_flag for this block (written whenever the PPS
+        enables transform skip and the block size allows it)."""
         c = self.cabac
+        if self.pps.transform_skip_enabled_flag and \
+                log2_size <= self.pps.log2_max_transform_skip_block_size:
+            c.encode_bin(self.ctx.at("transform_skip_flag",
+                                     0 if cidx == 0 else 1), 1 if ts else 0)
         size = 1 << log2_size
         nz = np.nonzero(coeffs)
         assert len(nz[0]) > 0

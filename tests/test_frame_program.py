@@ -38,6 +38,7 @@ CASES = [
     ("manifest_inter.json", "b_2pu_merge"),
     ("manifest_inter.json", "p_2pu_filters"),
     ("manifest_inter.json", "p_sdh"),
+    ("manifest_inter.json", "p_tskip"),
 ]
 
 

@@ -95,6 +95,11 @@ CASES = [
     # parity per sub-block (7.4.9.11) — intra and inter residuals
     ("p_sdh", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
                               sign_data_hiding=True)),
+    # transform-skip 4x4 TUs (intra luma via NxN + chroma at CU8)
+    ("i_tskip_nxn", 64, 64, 2, dict(cu_log2=3, nxn_intra=True,
+                                    transform_skip=True, intra_period=1)),
+    ("p_tskip", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
+                                cu_log2=3, transform_skip=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
