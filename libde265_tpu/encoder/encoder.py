@@ -139,11 +139,19 @@ class _CUEmitter:
     def want_split(self, x0, y0, log2_size, depth):
         return log2_size > self.enc.cfg.cu_log2
 
+    QP_CYCLE = (0, 2, -2, 4, -4, 7, -6, 1)
+
     def emit(self, sw: SliceWriter, x0, y0, log2_size, depth):
         enc = self.enc
         idx = self.cu_count
         self.cu_count += 1
         enc._cur_bypass = False
+        if enc.cfg.cu_qp_delta:
+            want = enc._frame_base_qp + self.QP_CYCLE[
+                idx % len(self.QP_CYCLE)]
+            want = max(0, min(51, want))
+            enc.cur_qp = want
+            enc._pending_qp_delta = want - sw.qp_pred()
         if enc.cfg.tq_bypass:
             enc._cur_bypass = (idx % 3 == 0)
             sw.write_tq_bypass(x0, y0, 1 << log2_size, enc._cur_bypass)
@@ -157,11 +165,9 @@ class _CUEmitter:
                 mode = "mv_res"
             if mode == "gmv":
                 enc._emit_gmv_cu(sw, x0, y0, log2_size, depth, idx)
-                return
-            if mode == "2pu":
+            elif mode == "2pu":
                 enc._emit_2pu_cu(sw, x0, y0, log2_size, depth, idx)
-                return
-            if mode == "intra":
+            elif mode == "intra":
                 sw.write_skip_flag(x0, y0, False)
                 sw.cu_metadata(x0, y0, log2_size, depth, MODE_INTRA, False)
                 sw.write_pred_mode(True)
@@ -172,6 +178,15 @@ class _CUEmitter:
             else:
                 enc._emit_mv_cu(sw, x0, y0, log2_size, depth, idx,
                                 with_residual=(mode == "mv_res"))
+        if enc.cfg.cu_qp_delta:
+            if enc._pending_qp_delta is not None:
+                # no coded cbf in the CU: the reader derives QP = pred
+                enc.cur_qp = sw.qp_pred()
+                enc._pending_qp_delta = None
+            sw.last_cu_qp = enc.cur_qp
+            gs = (1 << log2_size) >> 2
+            enc.frame.qp_y[y0 >> 2:(y0 >> 2) + gs,
+                           x0 >> 2:(x0 >> 2) + gs] = enc.cur_qp
 
 
 class Encoder:
@@ -180,6 +195,14 @@ class Encoder:
         if cfg.sign_data_hiding:
             assert not cfg.tq_bypass and not cfg.rdo, \
                 "sign hiding vectors: no tq-bypass/RDO mixing"
+        if cfg.cu_qp_delta:
+            # one-CU-per-CTB quantization groups, single substream
+            assert cfg.diff_cu_qp_delta_depth == 0 and \
+                cfg.cu_log2 == cfg.log2_ctb and cfg.tiles is None and \
+                not cfg.wpp and cfg.num_slices == 1 and not cfg.pcm and \
+                not cfg.nxn_intra and not cfg.rdo and not cfg.tq_bypass \
+                and cfg.log2_max_tb >= cfg.cu_log2, \
+                "cu_qp_delta emission: CU==CTB, single TU, single substream"
         if cfg.chroma_format != 1:
             # RDO mode decision is tuned for 4:2:0 distortion weighting
             assert not cfg.rdo, "non-4:2:0: no RDO"
@@ -193,6 +216,8 @@ class Encoder:
         self.dpb = DPB()
         self._basis_cache = {}
         self.cur_qp = cfg.qp           # per-frame QP (rate control)
+        self._pending_qp_delta = None
+        self._frame_base_qp = cfg.qp
         self.rc = None
         if getattr(cfg, "bitrate_kbps", 0):
             from .ratectrl import RateController
@@ -222,6 +247,8 @@ class Encoder:
 
     def _encode_frame(self, src_planes, poc, intra):
         cfg = self.cfg
+        self._frame_base_qp = self.cur_qp
+        self._pending_qp_delta = None
         from ..bitstream.sliceheader import SLICE_TYPE_B
         if intra:
             slice_type = SLICE_TYPE_I
@@ -514,6 +541,7 @@ class Encoder:
             sw.write_cbf_luma(True, cbf_y)
             sw.record_tu(x0, y0, log2_size, cbf_y)
             if cbf_y:
+                self._maybe_write_qp_delta(sw)
                 sw.write_residual(coeffs_y, log2_size,
                                   0, self._scan_for(mode, log2_size, 0))
             self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y)
@@ -545,6 +573,8 @@ class Encoder:
                 sw.write_cbf_chroma(0, cco[ci, tb] is not None)
         sw.write_cbf_luma(True, cbf_y)
         sw.record_tu(x0, y0, log2_size, cbf_y)
+        if cbf_y or any(v is not None for v in cco.values()):
+            self._maybe_write_qp_delta(sw)
         if cbf_y:
             sw.write_residual(coeffs_y, log2_size,
                               0, self._scan_for(mode, log2_size, 0))
@@ -720,6 +750,13 @@ class Encoder:
         levels = np.round(proj).astype(np.int32).reshape(n, n)
         return np.clip(levels, -32767, 32767)
 
+    def _maybe_write_qp_delta(self, sw):
+        """Write the pending cu_qp_delta at the first coded-cbf TU of
+        the CU (reader: transform_unit after the cbf flags)."""
+        if self.cfg.cu_qp_delta and self._pending_qp_delta is not None:
+            sw.write_cu_qp_delta(self._pending_qp_delta)
+            self._pending_qp_delta = None
+
     def _tskip_for(self, x, y, log2):
         """Deterministic per-TU transform-skip choice for 4x4 TUs when
         the config enables it (vector generation: alternate by position)."""
@@ -859,6 +896,7 @@ class Encoder:
             if cat != 0:
                 for _ in range(2 * (2 if cat == 2 else 1)):
                     sw.write_cbf_chroma(0, False)
+            self._maybe_write_qp_delta(sw)
             sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG)
             smat, sdc = self._smat(log2_size, 0, False)
             byp = getattr(self, "_cur_bypass", False)

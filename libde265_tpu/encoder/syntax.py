@@ -36,6 +36,7 @@ class SliceWriter:
         self.W = self.sps.pic_width_in_luma_samples
         self.H = self.sps.pic_height_in_luma_samples
         self.pic_w_ctbs = self.sps.PicWidthInCtbsY
+        self.last_cu_qp = sh.SliceQPY     # qPY_PREV (8.6.1)
 
     # availability identical to the reader's
     def available_zscan(self, x_curr, y_curr, x_nb, y_nb):
@@ -157,6 +158,29 @@ class SliceWriter:
                                cu_emitter)
         else:
             cu_emitter.emit(self, x0, y0, log2_size, depth)
+
+    def qp_pred(self):
+        """Luma QP prediction, one-CU-per-CTB quantization groups
+        (diff_cu_qp_delta_depth 0): both spatial neighbours live in other
+        CTBs, so the prediction is qPY_PREV — the previous CU's QP
+        (mirrors the reader's 8.6.1 derivation for this stream shape)."""
+        return self.last_cu_qp
+
+    def write_cu_qp_delta(self, delta):
+        """Mirror of the reader's _decode_cu_qp_delta: TU prefix (cMax 5,
+        bin0 ctx0 / bins 1-4 ctx1) + EG0 suffix + sign bypass."""
+        c = self.cabac
+        v = abs(int(delta))
+        prefix = min(v, 5)
+        c.encode_bin(self.ctx.at("cu_qp_delta_abs", 0), 1 if prefix else 0)
+        for _ in range(1, prefix):
+            c.encode_bin(self.ctx.at("cu_qp_delta_abs", 1), 1)
+        if 0 < prefix < 5:
+            c.encode_bin(self.ctx.at("cu_qp_delta_abs", 1), 0)
+        if v >= 5:
+            c.encode_eg_bypass(v - 5, 0)
+        if v:
+            c.encode_bypass(1 if delta < 0 else 0)
 
     # ------------------------------------------------------- CU primitives
     def cu_metadata(self, x0, y0, log2_size, depth, pred_mode, skip):

@@ -39,6 +39,7 @@ CASES = [
     ("manifest_inter.json", "p_2pu_filters"),
     ("manifest_inter.json", "p_sdh"),
     ("manifest_inter.json", "p_tskip"),
+    ("manifest_inter.json", "p_qpdelta"),
 ]
 
 

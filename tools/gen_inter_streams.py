@@ -100,6 +100,11 @@ CASES = [
                                     transform_skip=True, intra_period=1)),
     ("p_tskip", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
                                 cu_log2=3, transform_skip=True)),
+    # per-CU adaptive QP (cu_qp_delta + 8.6.1 prediction), with the QP
+    # map feeding deblock thresholds
+    ("p_qpdelta", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
+                                  cu_qp_delta=True, cu_log2=5,
+                                  disable_deblocking=False)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
