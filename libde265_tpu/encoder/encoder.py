@@ -110,6 +110,9 @@ class EncoderConfig:
                                       # only where prediction misses —
                                       # realistic pan-shot stream shape
     inter_residual: bool = False
+    constrained_intra: bool = False   # PPS constrained_intra_pred: intra
+                                      # borders substitute non-intra
+                                      # neighbours (gather_border cip)
     two_pu_merge: bool = False        # 2pu mode: odd CUs merge their
                                       # second PU (partIdx-1 candidate
                                       # exclusion paths)

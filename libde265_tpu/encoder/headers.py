@@ -146,7 +146,7 @@ def write_pps(cfg):
     # l1 default mirrors l0 for generalized-B configurations
     w.put_uvlc((cfg.num_ref_l0 - 1) if getattr(cfg, 'b_frames', False) else 0)
     w.put_svlc(cfg.qp - 26)
-    w.put_bit(0)       # constrained_intra_pred
+    w.put_bit(1 if getattr(cfg, 'constrained_intra', False) else 0)  # constrained_intra_pred
     w.put_bit(1 if cfg.transform_skip else 0)
     w.put_bit(1 if cfg.cu_qp_delta else 0)
     if cfg.cu_qp_delta:

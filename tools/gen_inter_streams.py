@@ -105,6 +105,14 @@ CASES = [
     ("p_qpdelta", 64, 64, 4, dict(inter_mode="mixed", inter_residual=True,
                                   cu_qp_delta=True, cu_log2=5,
                                   disable_deblocking=False)),
+    # PPS chroma QP offsets; 32x32 strong intra smoothing; constrained
+    # intra prediction (border substitution from non-intra neighbours)
+    ("p_qpoff", 64, 64, 3, dict(cb_qp_offset=3, cr_qp_offset=-4,
+                                inter_mode="mixed", inter_residual=True)),
+    ("i_strong32", 64, 64, 2, dict(cu_log2=5, intra_period=1,
+                                   strong_intra_smoothing=True)),
+    ("p_cip", 64, 64, 4, dict(constrained_intra=True, inter_mode="mixed",
+                              inter_residual=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
