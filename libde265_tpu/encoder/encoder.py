@@ -113,6 +113,8 @@ class EncoderConfig:
     constrained_intra: bool = False   # PPS constrained_intra_pred: intra
                                       # borders substitute non-intra
                                       # neighbours (gather_border cip)
+    ref_list_reverse: bool = False    # code ref_pic_lists_modification
+                                      # reversing the default RPS order
     two_pu_merge: bool = False        # 2pu mode: odd CUs merge their
                                       # second PU (partIdx-1 candidate
                                       # exclusion paths)
@@ -342,6 +344,14 @@ class Encoder:
             sh.num_ref_idx_l0_active = len(all_refs)
             if cfg.b_frames:
                 sh.num_ref_idx_l1_active = len(all_refs)
+        self._list_mod = None
+        if cfg.ref_list_reverse and not intra and n_total > 1:
+            # ref_pic_lists_modification: reverse the RPS order; the
+            # entries index the default list (7.3.6.2 / 8.3.4)
+            entries = list(range(n_total))[::-1]
+            all_refs = [all_refs[e] for e in entries]
+            lt_flags = [lt_flags[e] for e in entries]
+            self._list_mod = (n_total, entries)
         if cfg.b_frames and not intra:
             # generalized B: L1 = after(empty)+before = same past refs
             sh.RefPicList = [all_refs, list(all_refs)]
@@ -447,7 +457,9 @@ class Encoder:
                                                 if cfg.mixed_filter_slices else None),
                                      deblock_disabled=(
                                          ssh.slice_deblocking_filter_disabled_flag
-                                         if cfg.mixed_filter_slices else None))
+                                         if cfg.mixed_filter_slices else None),
+                                     list_mod=(None if intra
+                                               else self._list_mod))
             payload = add_emulation_prevention(bytes(hw2.bytes)) + b"".join(stuffed)
             nals.append(payload)
         nal = None

@@ -174,7 +174,7 @@ def write_pps(cfg):
         w.put_svlc(0)  # beta offset /2
         w.put_svlc(0)  # tc offset /2
     w.put_bit(0)       # pic_scaling_list_present
-    w.put_bit(0)       # lists_modification_present
+    w.put_bit(1 if getattr(cfg, 'ref_list_reverse', False) else 0)  # lists_modification_present
     w.put_uvlc(0)      # log2_parallel_merge_level_minus2
     w.put_bit(0)       # slice_segment_header_extension
     w.put_bit(0)       # pps_extension
@@ -186,7 +186,7 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                        num_neg_refs=1, num_active=None, entry_points=None,
                        dependent=False, tid=0, ref_deltas=None,
                        lt_pocs=None, sao_flags=None, deblock_disabled=None,
-                       qp_delta=0):
+                       qp_delta=0, list_mod=None):
     kwargs_dependent = [dependent]
     kwargs_lt = [lt_pocs or []]
     """Returns the BitWriter (caller appends CABAC data after alignment).
@@ -253,6 +253,20 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                 w.put_uvlc(num_active - 1)  # l1
         else:
             w.put_bit(0)  # num_ref_idx_active_override
+        if getattr(cfg, 'ref_list_reverse', False):
+            # ref_pic_lists_modification (7.3.6.2): list_mod =
+            # (num_total, entries) with entries indexing the RPS order
+            num_total, entries = list_mod if list_mod else (1, [])
+            if num_total > 1:
+                bits = max(1, (num_total - 1).bit_length())
+                na = num_active if num_active is not None else cfg.num_ref_l0
+                w.put_bit(1)
+                for e in entries[:na]:
+                    w.put_bits(e, bits)
+                if slice_type == 0:
+                    w.put_bit(1)
+                    for e in entries[:na]:
+                        w.put_bits(e, bits)
         if slice_type == 0:
             w.put_bit(0)  # mvd_l1_zero_flag
         if cfg.temporal_mvp:

@@ -113,6 +113,12 @@ CASES = [
                                    strong_intra_smoothing=True)),
     ("p_cip", 64, 64, 4, dict(constrained_intra=True, inter_mode="mixed",
                               inter_residual=True)),
+    # ref_pic_lists_modification: reversed RPS order (8.3.4)
+    ("p_reflist_mod", 64, 64, 5, dict(ref_list_reverse=True, num_ref_l0=3,
+                                      inter_mode="mv", inter_residual=True)),
+    ("b_reflist_mod", 64, 64, 5, dict(ref_list_reverse=True, num_ref_l0=3,
+                                      inter_mode="mixed",
+                                      inter_residual=True, b_frames=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
