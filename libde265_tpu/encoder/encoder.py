@@ -115,6 +115,8 @@ class EncoderConfig:
                                       # neighbours (gather_border cip)
     ref_list_reverse: bool = False    # code ref_pic_lists_modification
                                       # reversing the default RPS order
+    cabac_init: bool = False          # cabac_init_flag=1: swapped P/B
+                                      # context init tables (9.3.2.2)
     two_pu_merge: bool = False        # 2pu mode: odd CUs merge their
                                       # second PU (partIdx-1 candidate
                                       # exclusion paths)
@@ -294,7 +296,12 @@ class Encoder:
         sh = SliceHeader()
         sh.slice_type = slice_type
         sh.SliceQPY = self.cur_qp
-        sh.initType = 0 if intra else (2 if cfg.b_frames else 1)
+        if intra:
+            sh.initType = 0
+        elif cfg.b_frames:
+            sh.initType = 1 if cfg.cabac_init else 2
+        else:
+            sh.initType = 2 if cfg.cabac_init else 1
         sh.slice_segment_address = 0
         sh.SliceAddrRS = 0
         sh.MaxNumMergeCand = cfg.max_merge_cand

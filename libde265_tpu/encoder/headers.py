@@ -141,7 +141,7 @@ def write_pps(cfg):
     w.put_bit(0)       # output_flag_present
     w.put_bits(0, 3)   # num_extra_slice_header_bits
     w.put_bit(1 if cfg.sign_data_hiding else 0)
-    w.put_bit(0)       # cabac_init_present
+    w.put_bit(1 if getattr(cfg, 'cabac_init', False) else 0)  # cabac_init_present
     w.put_uvlc(cfg.num_ref_l0 - 1)
     # l1 default mirrors l0 for generalized-B configurations
     w.put_uvlc((cfg.num_ref_l0 - 1) if getattr(cfg, 'b_frames', False) else 0)
@@ -269,6 +269,8 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                         w.put_bits(e, bits)
         if slice_type == 0:
             w.put_bit(0)  # mvd_l1_zero_flag
+        if getattr(cfg, 'cabac_init', False):
+            w.put_bit(1)  # cabac_init_flag: swap P/B context init tables
         if cfg.temporal_mvp:
             # collocated_from_l0 defaults 1 for P; explicit for B
             if slice_type == 0:

@@ -119,6 +119,11 @@ CASES = [
     ("b_reflist_mod", 64, 64, 5, dict(ref_list_reverse=True, num_ref_l0=3,
                                       inter_mode="mixed",
                                       inter_residual=True, b_frames=True)),
+    # cabac_init_flag: swapped P/B context init tables (9.3.2.2)
+    ("p_cabacinit", 64, 64, 3, dict(cabac_init=True, inter_mode="mixed",
+                                    inter_residual=True)),
+    ("b_cabacinit", 64, 64, 3, dict(cabac_init=True, inter_mode="mixed",
+                                    inter_residual=True, b_frames=True)),
     ("p_cu8", 64, 64, 3, dict(inter_mode="mixed", inter_residual=True, cu_log2=3)),
     ("p_cif_mixed", 128, 96, 3, dict(inter_mode="mixed", inter_residual=True,
                                      disable_deblocking=False, sao=True,
