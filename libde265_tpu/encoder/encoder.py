@@ -117,6 +117,8 @@ class EncoderConfig:
                                       # reversing the default RPS order
     cabac_init: bool = False          # cabac_init_flag=1: swapped P/B
                                       # context init tables (9.3.2.2)
+    mvd_l1_zero: bool = False         # B slices: L1 mvd inferred zero
+                                      # for bi-pred PUs
     two_pu_merge: bool = False        # 2pu mode: odd CUs merge their
                                       # second PU (partIdx-1 candidate
                                       # exclusion paths)
@@ -882,7 +884,10 @@ class Encoder:
             sw.write_mvp_flag(0)
         if inter_dir != 0:
             sw.write_ref_idx(ref1, n_act1)
-            sw.write_mvd(mvd1)
+            if cfg.mvd_l1_zero and inter_dir == 2:
+                mvd1 = (0, 0)     # inferred zero, not coded (7.3.8.6)
+            else:
+                sw.write_mvd(mvd1)
             sw.write_mvp_flag(0)
         self.motion.decode_amvp(sw, x0, y0, x0, y0, size, size, 0, PART_2Nx2N,
                                 depth, inter_dir, [ref_idx, ref1],

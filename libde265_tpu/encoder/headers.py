@@ -268,7 +268,7 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                     for e in entries[:na]:
                         w.put_bits(e, bits)
         if slice_type == 0:
-            w.put_bit(0)  # mvd_l1_zero_flag
+            w.put_bit(1 if getattr(cfg, 'mvd_l1_zero', False) else 0)
         if getattr(cfg, 'cabac_init', False):
             w.put_bit(1)  # cabac_init_flag: swap P/B context init tables
         if cfg.temporal_mvp:

@@ -119,6 +119,10 @@ CASES = [
     ("b_reflist_mod", 64, 64, 5, dict(ref_list_reverse=True, num_ref_l0=3,
                                       inter_mode="mixed",
                                       inter_residual=True, b_frames=True)),
+    # mvd_l1_zero_flag: BI PUs infer L1 mvd = (0,0) without coding it
+    # (7.4.7.1 / slice.cc read_prediction_unit)
+    ("b_mvdl1zero", 64, 64, 4, dict(mvd_l1_zero=True, inter_mode="mv",
+                                    inter_residual=True, b_frames=True)),
     # cabac_init_flag: swapped P/B context init tables (9.3.2.2)
     ("p_cabacinit", 64, 64, 3, dict(cabac_init=True, inter_mode="mixed",
                                     inter_residual=True)),
