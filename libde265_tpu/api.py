@@ -177,12 +177,6 @@ def decode_stream_native(data: bytes, backend="numpy", **kw):
     plans = fe.parse(data, spss, ppss)
     refs = _RefShim()
     done = []
-    if backend == "device" and any(
-            s.ChromaArrayType != 1 for s in spss.values()):
-        # non-4:2:0 range extensions: the device DPB/program geometry is
-        # 4:2:0; decode on the numpy backend instead
-        backend = "numpy"
-        from .reconstruct import reconstruct_frame
     if backend == "device":
         from .device_stream import DeviceStreamDecoder
         dev = DeviceStreamDecoder(plans, plans[0].sps) if plans else None

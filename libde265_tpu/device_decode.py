@@ -25,9 +25,11 @@ def reconstruct_frame_device(plan, dpb_images=None, bitdepth=None):
     sps = plan.sps
     H, W = plan.H, plan.W
     dt = np.uint8 if bitdepth == 8 else np.uint16
+    cw, ch = ((W // sps.SubWidthC, H // sps.SubHeightC)
+              if sps.ChromaArrayType != 0 else (0, 0))
     planes = [np.zeros((H, W), dt),
-              np.zeros((H // 2, W // 2), dt),
-              np.zeros((H // 2, W // 2), dt)]
+              np.zeros((ch, cw), dt),
+              np.zeros((ch, cw), dt)]
     # 1) inter prediction (dense per-4x4-block, one program per resolution)
     if plan.pus:
         motion_compensate_frame_dense(plan, planes, dpb_images, bitdepth)
@@ -39,9 +41,11 @@ def reconstruct_frame_device(plan, dpb_images=None, bitdepth=None):
             n = 1 << tu.log2
             planes[0][tu.y:tu.y + n, tu.x:tu.x + n] = tu.pcm_y
             if sps.ChromaArrayType:
-                cn = n // 2
-                planes[1][tu.y // 2:tu.y // 2 + cn, tu.x // 2:tu.x // 2 + cn] = tu.pcm_c[0]
-                planes[2][tu.y // 2:tu.y // 2 + cn, tu.x // 2:tu.x // 2 + cn] = tu.pcm_c[1]
+                sw, sh = sps.SubWidthC, sps.SubHeightC
+                cx, cy = tu.x // sw, tu.y // sh
+                cnw, cnh = n // sw, n // sh
+                planes[1][cy:cy + cnh, cx:cx + cnw] = tu.pcm_c[0]
+                planes[2][cy:cy + cnh, cx:cx + cnw] = tu.pcm_c[1]
             continue
         if tu.pred_mode != MODE_INTER or tu.coeffs is None:
             continue

@@ -51,16 +51,27 @@ class DeviceStreamDecoder:
         self.plans = plans
         self.cfg = stream_cfg(plans, sps, use_pallas=use_pallas)
         H, W = self.cfg.H, self.cfg.W
+        # chroma stack geometry per format; the fused fast path (and its
+        # tile tables) exists only for 4:2:0 — other formats route every
+        # frame through the hybrid path, with the device DPB stacks kept
+        # at the format's chroma dims (mono: 1-row dummies, never read)
+        fmt = self.cfg.chroma_fmt
+        self.mono = fmt == 0
+        self.Hc, self.Wc = {0: (1, 128), 1: (H // 2, W // 2),
+                            2: (H, W // 2), 3: (H, W)}[fmt]
         self.dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16)
-        self.dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
-        self.dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
+        self.dcb = jnp.zeros((REF_SLOTS, self.Hc, self.Wc), jnp.int16)
+        self.dcr = jnp.zeros((REF_SLOTS, self.Hc, self.Wc), jnp.int16)
         # persistent MC tile tables, one build per decoded frame
-        self.ty, self.tc = init_tables(self.cfg)
+        self.has_fast = fmt == 1
+        self.ty, self.tc = init_tables(self.cfg) if self.has_fast \
+            else (jnp.zeros((1, 128), jnp.int16),
+                  jnp.zeros((1, 128), jnp.int16))
         self.slot_of = {}              # fid -> slot
         self.slot_fid = [None] * REF_SLOTS
         self.frames = {}               # fid -> {plan, host(np)|None, fast}
         self.last_use = self._last_uses(plans)
-        self._prog = get_program(self.cfg)
+        self._prog = get_program(self.cfg) if self.has_fast else None
         self._mk_util_programs()
         self.dtype = np.uint8 if self.cfg.bitdepth == 8 else np.uint16
 
@@ -86,19 +97,22 @@ class DeviceStreamDecoder:
 
         def insert(dy, dcb, dcr, ty, tc, y, cb, cr, slot):
             dy = jax.lax.dynamic_update_slice(dy, y[None], (slot, 0, 0))
-            dcb = jax.lax.dynamic_update_slice(dcb, cb[None], (slot, 0, 0))
-            dcr = jax.lax.dynamic_update_slice(dcr, cr[None], (slot, 0, 0))
-            ty, tc = update_tables(ty, tc, y, cb, cr, slot, cfg)
+            if cb is not None:
+                dcb = jax.lax.dynamic_update_slice(dcb, cb[None],
+                                                   (slot, 0, 0))
+                dcr = jax.lax.dynamic_update_slice(dcr, cr[None],
+                                                   (slot, 0, 0))
+            if self.has_fast:
+                ty, tc = update_tables(ty, tc, y, cb, cr, slot, cfg)
             return dy, dcb, dcr, ty, tc
         self._insert = jax.jit(insert, donate_argnums=(0, 1, 2, 3, 4))
 
         def fetch(dy, dcb, dcr, slot):
             H, W = dy.shape[1], dy.shape[2]
+            Hc, Wc = dcb.shape[1], dcb.shape[2]
             y = jax.lax.dynamic_slice(dy, (slot, 0, 0), (1, H, W))[0]
-            cb = jax.lax.dynamic_slice(dcb, (slot, 0, 0),
-                                       (1, H // 2, W // 2))[0]
-            cr = jax.lax.dynamic_slice(dcr, (slot, 0, 0),
-                                       (1, H // 2, W // 2))[0]
+            cb = jax.lax.dynamic_slice(dcb, (slot, 0, 0), (1, Hc, Wc))[0]
+            cr = jax.lax.dynamic_slice(dcr, (slot, 0, 0), (1, Hc, Wc))[0]
             return y, cb, cr
         self._fetch = jax.jit(fetch)
 
@@ -126,12 +140,15 @@ class DeviceStreamDecoder:
 
     def _do_insert(self, planes, slot):
         jnp = self.jnp
+        cb = cr = None
+        if not self.mono:
+            cb = jnp.asarray(planes[1].astype(np.int16))
+            cr = jnp.asarray(planes[2].astype(np.int16))
         (self.dy, self.dcb, self.dcr, self.ty, self.tc) = \
             self._insert(
                 self.dy, self.dcb, self.dcr, self.ty, self.tc,
                 jnp.asarray(planes[0].astype(np.int16)),
-                jnp.asarray(planes[1].astype(np.int16)),
-                jnp.asarray(planes[2].astype(np.int16)), np.int32(slot))
+                cb, cr, np.int32(slot))
 
     def _ensure_in_stack(self, fid, frame_idx, needed):
         if fid in self.slot_of:
@@ -147,9 +164,13 @@ class DeviceStreamDecoder:
             s = self.slot_of[fid]
             y, cb, cr = self._fetch(self.dy, self.dcb, self.dcr,
                                     np.int32(s))
-            f["host"] = [np.asarray(y).astype(self.dtype),
-                         np.asarray(cb).astype(self.dtype),
-                         np.asarray(cr).astype(self.dtype)]
+            if self.mono:
+                z = np.zeros((0, 0), self.dtype)
+                f["host"] = [np.asarray(y).astype(self.dtype), z, z]
+            else:
+                f["host"] = [np.asarray(y).astype(self.dtype),
+                             np.asarray(cb).astype(self.dtype),
+                             np.asarray(cr).astype(self.dtype)]
         return f["host"]
 
     # ----------------------------------------------------------- decode
@@ -170,11 +191,8 @@ class DeviceStreamDecoder:
         fid = plan.frame_id
         needed = self.ref_fids(plan)
         if plan.nal_type == -1:           # concealment: grey frame
-            grey = 1 << (self.cfg.bitdepth - 1)
-            H, W = self.cfg.H, self.cfg.W
-            planes = [np.full((H, W), grey, self.dtype),
-                      np.full((H // 2, W // 2), grey, self.dtype),
-                      np.full((H // 2, W // 2), grey, self.dtype)]
+            from .plan import grey_planes
+            planes = grey_planes(plan.sps, self.cfg.W, self.cfg.H)
             self.frames[fid] = {"plan": plan, "host": planes, "fast": False}
             s = self._alloc_slot(fid, frame_idx, needed)
             self._do_insert(planes, s)
@@ -196,7 +214,7 @@ class DeviceStreamDecoder:
             self._do_insert(planes, s)
 
     def _fast_ok(self, plan):
-        return True
+        return self.has_fast
 
     def _run_fast(self, plan, out_slot):
         jnp = self.jnp

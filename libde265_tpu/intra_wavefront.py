@@ -36,28 +36,30 @@ def assign_levels(plan):
                 # PCM paste finalizes its blocks at level 0
                 continue
             continue
-        sub = 1 if tu.cidx == 0 else 2
+        subw = 1 if tu.cidx == 0 else plan.sps.SubWidthC
+        subh = 1 if tu.cidx == 0 else plan.sps.SubHeightC
         n = 1 << tu.log2
-        # luma-grid coords of this TU's region
-        x0 = tu.x * sub
-        y0 = tu.y * sub
-        span = n * sub
+        # luma-grid coords of this TU's region (per-axis chroma scale)
+        x0 = tu.x * subw
+        y0 = tu.y * subh
+        spanx, spany = n * subw, n * subh
         g = L[tu.cidx]
         gx0, gy0 = x0 >> 2, y0 >> 2
-        gspan = max(1, span >> 2)
+        gspanx = max(1, spanx >> 2)
+        gspany = max(1, spany >> 2)
         # border source blocks: left column (x0-1, y0..y0+2n-1),
         # top row (x0-1..x0+2n-1, y0-1)
         dep = 0
         bx = (x0 - 1) >> 2
         if bx >= 0:
-            y_end = min(gh - 1, (y0 + 2 * span - 1) >> 2)
+            y_end = min(gh - 1, (y0 + 2 * spany - 1) >> 2)
             dep = max(dep, int(g[gy0:y_end + 1, bx].max(initial=0)))
         by = (y0 - 1) >> 2
         if by >= 0:
-            x_end = min(gw - 1, (x0 + 2 * span - 1) >> 2)
+            x_end = min(gw - 1, (x0 + 2 * spanx - 1) >> 2)
             dep = max(dep, int(g[by, max(0, bx):x_end + 1].max(initial=0)))
         lvl = dep + 1
-        g[gy0:gy0 + gspan, gx0:gx0 + gspan] = lvl
+        g[gy0:gy0 + gspany, gx0:gx0 + gspanx] = lvl
         levels.append(lvl)
         n_levels = max(n_levels, lvl)
     return levels, n_levels

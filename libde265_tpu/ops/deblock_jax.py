@@ -204,18 +204,23 @@ def deblock_luma_pass(Y, bs, qp, beta_off, tc_off, p_off, q_off,
 
 
 def plan_chroma_metadata(plan, vertical):
-    """Host-side chroma metadata: segments of 2 chroma lines on the 16-luma
-    grid; bS==2 only (spec 8.7.2)."""
+    """Host-side chroma metadata: segments of 2 chroma lines, edges every
+    8 CHROMA samples (8.7.2 filters chroma where xC/yC is an 8-multiple —
+    luma 16-grid for 4:2:0, but e.g. every 8 luma rows for 4:2:2
+    horizontal edges); bS==2 only. Edge/bS/QP lookups map back to luma
+    coordinates via SubWidthC/SubHeightC."""
     W, H = plan.W, plan.H
     sps, pps = plan.sps, plan.pps
+    subw, subh = sps.SubWidthC, sps.SubHeightC
+    Wc, Hc = W // subw, H // subh
     sh_map = {int(s.slice_segment_address): s for s in plan.slice_headers}
     log2ctb = sps.Log2CtbSizeY
     if vertical:
-        xs = list(range(16, W, 16))
-        ys = list(range(0, H, 4))
+        xs = list(range(8, Wc, 8))        # chroma cols
+        ys = list(range(0, Hc, 2))        # 2-chroma-row segments
     else:
-        xs = list(range(0, W, 4))
-        ys = list(range(16, H, 16))
+        xs = list(range(0, Wc, 2))
+        ys = list(range(8, Hc, 8))
     n_e = len(xs) if vertical else len(ys)
     n_s = len(ys) if vertical else len(xs)
     act = np.zeros((2, n_s, n_e), bool)   # per chroma component
@@ -224,7 +229,8 @@ def plan_chroma_metadata(plan, vertical):
     q_off = np.zeros((n_s, n_e), bool)
     for ei, e in enumerate(xs if vertical else ys):
         for si, s in enumerate(ys if vertical else xs):
-            x, y = (e, s) if vertical else (s, e)
+            xc, yc = (e, s) if vertical else (s, e)
+            x, y = xc * subw, yc * subh
             edge = plan.tu_boundary[y >> 2, x >> 2] | plan.cb_boundary[y >> 2, x >> 2]
             if not (edge & (1 if vertical else 2)):
                 continue

@@ -64,19 +64,27 @@ def mc_dense(refs_y, refs_cb, refs_cr, mv, slot, pf,
         return out >> 6                          # (N, 4, 4) 14-bit
 
     def chroma_pred(refs_c, l):
+        # format-general per motion.cc:190-191: the luma quarter-pel MV
+        # scales by 2/SubWidthC (resp. /SubHeightC) into chroma
+        # eighth-pel units; subsampling factors come from the static
+        # plane shapes, so 4:2:0 / 4:2:2 / 4:4:4 each trace their own
+        # block geometry (2x2 / 2x4 / 4x4)
         Hc, Wc = refs_c.shape[1], refs_c.shape[2]
-        mvx, mvy = mv[:, l, 0], mv[:, l, 1]
-        x0 = (bx >> 1) + (mvx >> 3) - 1
-        y0 = (by >> 1) + (mvy >> 3) - 1
-        rows = jnp.clip(y0[:, None] + jnp.arange(5)[None, :], 0, Hc - 1)
-        cols = jnp.clip(x0[:, None] + jnp.arange(5)[None, :], 0, Wc - 1)
+        subw, subh = W // Wc, H // Hc
+        cw, ch = 4 // subw, 4 // subh
+        mvx = mv[:, l, 0] * (2 // subw)
+        mvy = mv[:, l, 1] * (2 // subh)
+        x0 = (bx // subw) + (mvx >> 3) - 1
+        y0 = (by // subh) + (mvy >> 3) - 1
+        rows = jnp.clip(y0[:, None] + jnp.arange(ch + 3)[None, :], 0, Hc - 1)
+        cols = jnp.clip(x0[:, None] + jnp.arange(cw + 3)[None, :], 0, Wc - 1)
         win = refs_c[slot[:, l, None, None], rows[:, :, None], cols[:, None, :]]
         th = etaps[mvx & 7]
         tv = etaps[mvy & 7]
-        tmp = sum(th[:, k, None, None] * win[:, :, k:k + 2] for k in range(4))
+        tmp = sum(th[:, k, None, None] * win[:, :, k:k + cw] for k in range(4))
         tmp = tmp >> shift1
-        out = sum(tv[:, k, None, None] * tmp[:, k:k + 2, :] for k in range(4))
-        return out >> 6                          # (N, 2, 2) 14-bit
+        out = sum(tv[:, k, None, None] * tmp[:, k:k + ch, :] for k in range(4))
+        return out >> 6                          # (N, ch, cw) 14-bit
 
     def combine(p0, p1, ci):
         has1 = (pf[:, 0] * pf[:, 1])[:, None, None] != 0
@@ -103,11 +111,15 @@ def mc_dense(refs_y, refs_cb, refs_cr, mv, slot, pf,
     yplane = yv.reshape(n_by, n_bx, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
     planes = [yplane]
     for ci, refs_c in ((1, refs_cb), (2, refs_cr)):
+        if refs_c is None:               # monochrome
+            continue
+        Hc, Wc = refs_c.shape[1], refs_c.shape[2]
+        cw, ch = (4 * Wc) // W, (4 * Hc) // H
         c0 = chroma_pred(refs_c, 0)
         c1 = chroma_pred(refs_c, 1)
         cv = combine(c0, c1, ci)
-        planes.append(cv.reshape(n_by, n_bx, 2, 2)
-                        .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
+        planes.append(cv.reshape(n_by, n_bx, ch, cw)
+                        .transpose(0, 2, 1, 3).reshape(Hc, Wc))
     return planes
 
 
@@ -173,21 +185,24 @@ def motion_compensate_frame_dense(plan, planes, dpb, bitdepth=8):
     if not fids:
         return
     slot_of = {fid: i for i, fid in enumerate(fids)}
+    mono = planes[1].size == 0
     stacks = []
-    for ci in range(3):
+    for ci in range(1 if mono else 3):
         arrs = [np.asarray(dpb.pics[f].planes[ci], np.int32) for f in fids]
         while len(arrs) < REF_STACK:
             arrs.append(np.zeros_like(arrs[0]))
         stacks.append(jnp.asarray(np.stack(arrs[:REF_STACK])))
+    if mono:
+        stacks += [None, None]
     mv, slot, pf, wts, ex, inter = build_block_arrays(plan, slot_of, bitdepth)
     outs = mc_dense(stacks[0], stacks[1], stacks[2],
                     jnp.asarray(mv), jnp.asarray(slot), jnp.asarray(pf),
                     jnp.asarray(wts), jnp.asarray(ex), bitdepth)
     n_by, n_bx = plan.H // 4, plan.W // 4
-    m_y = np.kron(inter.reshape(n_by, n_bx), np.ones((4, 4), bool))
-    m_c = np.kron(inter.reshape(n_by, n_bx), np.ones((2, 2), bool))
     dt = planes[0].dtype
-    for ci in range(3):
-        m = m_y if ci == 0 else m_c
+    for ci in range(1 if mono else 3):
+        ch, cw = ((4, 4) if ci == 0 else
+                  (planes[ci].shape[0] // n_by, planes[ci].shape[1] // n_bx))
+        m = np.kron(inter.reshape(n_by, n_bx), np.ones((ch, cw), bool))
         out = np.asarray(outs[ci]).astype(dt)
         planes[ci][m] = out[m]

@@ -38,13 +38,14 @@ def host_border_info(plan, avail, tus, cidx, log2, bitdepth):
     n = 1 << log2
     L = 4 * n + 1
     c = 2 * n
-    sub = 1 if cidx == 0 else plan.sps.SubWidthC
+    subw = 1 if cidx == 0 else plan.sps.SubWidthC
+    subh = 1 if cidx == 0 else plan.sps.SubHeightC
     N = len(tus)
     by = np.zeros((N, L), np.int32)
     bx = np.zeros((N, L), np.int32)
     ok = np.zeros((N, L), bool)
-    H = plan.H // (1 if cidx == 0 else plan.sps.SubHeightC)
-    W = plan.W // sub
+    H = plan.H // subh
+    W = plan.W // subw
     cip = plan.pps.constrained_intra_pred_flag
     pm = plan.pred_mode
     for t, tu in enumerate(tus):
@@ -56,21 +57,24 @@ def host_border_info(plan, avail, tus, cidx, log2, bitdepth):
             i = c - k
             if x > 0 and sy < H:
                 by[t, i] = sy; bx[t, i] = x - 1
-                ok[t, i] = avail.available(x * sub, y * sub, (x - 1) * sub, sy * sub)
-                if ok[t, i] and cip and pm[(sy * sub) >> 2, ((x - 1) * sub) >> 2] != MODE_INTRA:
+                ok[t, i] = avail.available(x * subw, y * subh,
+                                           (x - 1) * subw, sy * subh)
+                if ok[t, i] and cip and pm[(sy * subh) >> 2, ((x - 1) * subw) >> 2] != MODE_INTRA:
                     ok[t, i] = False
         if x > 0 and y > 0:
             by[t, c] = y - 1; bx[t, c] = x - 1
-            ok[t, c] = avail.available(x * sub, y * sub, (x - 1) * sub, (y - 1) * sub)
-            if ok[t, c] and cip and pm[((y - 1) * sub) >> 2, ((x - 1) * sub) >> 2] != MODE_INTRA:
+            ok[t, c] = avail.available(x * subw, y * subh,
+                                       (x - 1) * subw, (y - 1) * subh)
+            if ok[t, c] and cip and pm[((y - 1) * subh) >> 2, ((x - 1) * subw) >> 2] != MODE_INTRA:
                 ok[t, c] = False
         for k in range(1, 2 * n + 1):
             sx = x + k - 1
             i = c + k
             if y > 0 and sx < W:
                 by[t, i] = y - 1; bx[t, i] = sx
-                ok[t, i] = avail.available(x * sub, y * sub, sx * sub, (y - 1) * sub)
-                if ok[t, i] and cip and pm[((y - 1) * sub) >> 2, (sx * sub) >> 2] != MODE_INTRA:
+                ok[t, i] = avail.available(x * subw, y * subh,
+                                           sx * subw, (y - 1) * subh)
+                if ok[t, i] and cip and pm[((y - 1) * subh) >> 2, (sx * subw) >> 2] != MODE_INTRA:
                     ok[t, i] = False
     # substitution source index per position (scan order = linear index)
     idx = np.arange(L)[None, :].repeat(N, 0)
@@ -82,9 +86,10 @@ def host_border_info(plan, avail, tus, cidx, log2, bitdepth):
     return by, bx, src, ~any_ok
 
 
-@partial(jax.jit, static_argnames=("log2", "cidx", "bitdepth", "strong"))
+@partial(jax.jit,
+         static_argnames=("log2", "cidx", "bitdepth", "strong", "smooth"))
 def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
-                  xs, ys, valid, log2, cidx, bitdepth, strong):
+                  xs, ys, valid, log2, cidx, bitdepth, strong, smooth=None):
     """One wavefront-level bucket: border gather + substitution + filtering +
     35-mode prediction + residual add + scatter. plane (H,W) int32;
     coeff_res (N,n,n) residual (already inverse-transformed).
@@ -98,13 +103,16 @@ def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
     ref = jnp.take_along_axis(raw, src, axis=1)
     ref = jnp.where(none_avail[:, None], 1 << (bitdepth - 1), ref)
 
-    # ---- filtering (8.4.4.2.3)
-    if cidx == 0 and n >= 8:
+    # ---- filtering (8.4.4.2.3): luma, and chroma too for 4:4:4
+    # (intrapred.cc:1086: cIdx==0 || ChromaArrayType==CHROMA_444)
+    if smooth is None:
+        smooth = cidx == 0
+    if smooth and n >= 8:
         md = jnp.minimum(jnp.abs(modes - 26), jnp.abs(modes - 10))
         thresh = {8: 7, 16: 1, 32: 0}[n]
         fflag = (modes != 1) & (md > thresh)
-        # strong smoothing (only n==32)
-        if strong and n == 32:
+        # strong smoothing (luma n==32 only, intrapred.cc:848)
+        if strong and n == 32 and cidx == 0:
             bt = 1 << (bitdepth - 5)
             condT = jnp.abs(ref[:, c] + ref[:, c + 2 * n] - 2 * ref[:, c + n]) < bt
             condL = jnp.abs(ref[:, c] + ref[:, c - 2 * n] - 2 * ref[:, c - n]) < bt
@@ -300,11 +308,13 @@ def intra_reconstruct_device(plan, planes, bitdepth=8, strong=False):
                         cidx == 0 and log2 == 2, bitdepth))
                     for k, i in enumerate(std_idx):
                         res[i] = r[k]
+                smooth = (cidx == 0 or plan.sps.ChromaArrayType == 3) \
+                    and not plan.sps.intra_smoothing_disabled_flag
                 dev_planes[cidx] = predict_level(
                     dev_planes[cidx], jnp.asarray(by), jnp.asarray(bx),
                     jnp.asarray(src), jnp.asarray(na), jnp.asarray(modes),
                     jnp.asarray(res), jnp.asarray(has), jnp.asarray(xs),
                     jnp.asarray(ys), jnp.asarray(valid), log2, cidx,
-                    bitdepth, strong)
+                    bitdepth, strong, smooth)
     for ci in range(3):
         planes[ci][...] = np.asarray(dev_planes[ci]).astype(planes[ci].dtype)

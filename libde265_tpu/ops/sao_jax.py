@@ -18,10 +18,12 @@ def plan_sao_maps(plan, cidx):
     Returns (type_map, eo_map, band_pos_map, offsets_map(4), skip_map,
     allow_left/right/up/down maps) or None if SAO is entirely off."""
     sps, pps = plan.sps, plan.pps
-    sub = 1 if cidx == 0 else sps.SubWidthC
-    H = plan.H // sub
-    W = plan.W // sub
-    ctb = sps.CtbSizeY // sub
+    subw = 1 if cidx == 0 else sps.SubWidthC
+    subh = 1 if cidx == 0 else sps.SubHeightC
+    H = plan.H // subh
+    W = plan.W // subw
+    ctbw = sps.CtbSizeY // subw
+    ctbh = sps.CtbSizeY // subh
     sh_map = {int(s.slice_segment_address): s for s in plan.slice_headers}
 
     t = plan.sao.type_idx[:, :, cidx]
@@ -39,7 +41,7 @@ def plan_sao_maps(plan, cidx):
                 sh.slice_sao_chroma_flag
 
     def expand(a):
-        full = np.repeat(np.repeat(a, ctb, 0), ctb, 1)
+        full = np.repeat(np.repeat(a, ctbh, 0), ctbw, 1)
         return full[:H, :W]
 
     type_map = expand(np.where(enable, t, 0))
@@ -48,19 +50,19 @@ def plan_sao_maps(plan, cidx):
     off_maps = np.stack([expand(plan.sao.offsets[:, :, cidx, k])
                          for k in range(4)], axis=0)
     # per-sample skip (pcm/tq-bypass)
-    gy = (np.arange(H) * sub) >> 2
-    gx = (np.arange(W) * sub) >> 2
+    gy = (np.arange(H) * subh) >> 2
+    gx = (np.arange(W) * subw) >> 2
     tq = plan.tq_bypass[np.ix_(gy, gx)] > 0
     skip = tq
     if sps.pcm_loop_filter_disable_flag:
         skip = skip | (plan.pcm_flag[np.ix_(gy, gx)] > 0)
     # neighbor-availability: across tile/slice boundaries when filters off.
     # Build per-sample "neighbor sample usable" via CTB-level checks expanded.
-    avail = _neighbor_avail_maps(plan, sh_map, cidx, H, W, ctb)
+    avail = _neighbor_avail_maps(plan, sh_map, cidx, H, W, ctbh, ctbw)
     return type_map, eo_map, band_map, off_maps, skip, avail
 
 
-def _neighbor_avail_maps(plan, sh_map, cidx, H, W, ctb):
+def _neighbor_avail_maps(plan, sh_map, cidx, H, W, ctbh, ctbw):
     """(4,H,W) bool: neighbor at left/right/up/down direction allowed.
     Only CTB-boundary samples can be blocked (tile/slice rules)."""
     pps = plan.pps
@@ -85,8 +87,8 @@ def _neighbor_avail_maps(plan, sh_map, cidx, H, W, ctb):
     # directions: 0 left, 1 right, 2 up, 3 down
     for cy in range(nctby):
         for cx in range(nctbx):
-            y0, y1 = cy * ctb, min((cy + 1) * ctb, H)
-            x0, x1 = cx * ctb, min((cx + 1) * ctb, W)
+            y0, y1 = cy * ctbh, min((cy + 1) * ctbh, H)
+            x0, x1 = cx * ctbw, min((cx + 1) * ctbw, W)
             if x0 < W and not ctb_pair_ok(cy, cx, cy, cx - 1):
                 out[0, y0:y1, x0] = False
             if x1 - 1 < W and not ctb_pair_ok(cy, cx, cy, cx + 1):
