@@ -3,13 +3,15 @@
 The tile table (ops/mc_tile_jax.py) is a 16x data expansion of each padded
 reference plane into stride-4 overlapping tiles — a pure data shuffle
 whose XLA form costs ~50 ms/frame at 4K (35x off the HBM floor) in the
-column-interleave + transpose stages. The kernel DMAs the T plane rows of
-each band DIRECTLY from the padded plane (leading-dim dynamic slices —
-no XLA staging copy of the 4x-overlapping bands), transposes a whole
-B-band group at once so the vector ops run on (., B*T)-lane shapes
-(the band-at-a-time form spent ~6 ms/4K frame in 12%-lane-occupancy
-rolls/stores), splits sublanes (ntx0, 4, B*T) — the lane-preserving
-reshape direction Mosaic accepts — and emits each tile column c with a
+column-interleave + transpose stages. The kernel DMAs each B-band group's
+whole row SPAN (rows [32*t, 32*t + 4*(B-1) + T)) from the padded plane in
+ONE aligned async copy — the group start 32*t is provably 8-divisible, a
+Mosaic requirement for dynamic sublane-dim slices, and transferring the
+span once instead of per-band T-row windows cuts DMA traffic ~2.7x (the
+4x band overlap is re-materialized in-register with static sublane
+slices). The whole group is transposed at once so the vector ops run on
+(., B*T)-lane shapes, split (ntx0, 4, B*T) — the lane-preserving reshape
+direction Mosaic accepts — and each tile column c is emitted with a
 sublane roll + static stores. Double-buffered DMA overlaps the next
 group.
 
@@ -24,41 +26,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+B = 8                       # bands per group (tile rows per grid step)
 
-def _kernel(hbm_ref, out_ref, scratch, sems, *, T, B, ngrp, ntx, ntx0,
-            total, out_dtype):
+
+def _kernel(hbm_ref, out_ref, scratch, sems, *, T, ngrp, ntx, ntx0,
+            total, span_p, out_dtype):
     r = pl.program_id(0)
     t = pl.program_id(1)
     step = r * ngrp + t
 
-    def dma(slot, b, rr, tt):
-        # band b of group tt: T contiguous plane rows from 4*(tt*B + b)
+    def dma(slot, rr, tt):
+        # group tt: its bands' full row span, one aligned copy.
+        # 4*B*tt = 32*tt is divisible by the (8,128) sublane tiling.
+        start = pl.multiple_of(4 * B * tt, 8)
         return pltpu.make_async_copy(
-            hbm_ref.at[rr, pl.ds(4 * (tt * B + b), T)],
-            scratch.at[slot, b],
-            sems.at[slot, b],
+            hbm_ref.at[rr, pl.ds(start, span_p)],
+            scratch.at[slot],
+            sems.at[slot],
         )
 
     slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
     def _():
-        for b in range(B):
-            dma(0, b, r, t).start()
+        dma(0, r, t).start()
 
     @pl.when(step + 1 < total)
     def _():
         nstep = step + 1
         nr = nstep // ngrp
         nt = jax.lax.rem(nstep, ngrp)
-        for b in range(B):
-            dma(1 - slot, b, nr, nt).start()
+        dma(1 - slot, nr, nt).start()
 
-    for b in range(B):
-        dma(slot, b, r, t).wait()
-    # ONE transpose for the whole B-band group: vector ops then run on
-    # (., B*T)-lane shapes instead of (., T)
-    big = scratch[slot].reshape(B * T, scratch.shape[-1])  # [(b,rr), x]
+    dma(slot, r, t).wait()
+    span = scratch[slot]                       # (span_p, Wp_p)
+    # re-materialize the 4x-overlapping bands in-register (static
+    # sublane slices), then ONE transpose for the whole group: vector
+    # ops run on (., B*T)-lane shapes instead of (., T)
+    big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
+                          axis=0)              # [(b,rr), x]
     bt = big.astype(jnp.int32).T               # (Wp_p, B*T): [x, (b,rr)]
     r3 = bt.reshape(ntx0, 4, B * T)            # [x0, dx, (b,rr)]
     for c in range(T):
@@ -84,13 +90,17 @@ def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
     ntx = (Wp - T + 4) // 4
     Wp_p = -(-Wp // 128) * 128                  # DMA wants 128-mult lanes
     ntx0 = Wp_p // 4
-    B = 8 if nty % 8 == 0 else next(
-        b for b in (7, 6, 5, 4, 3, 2, 1) if nty % b == 0)
-    ngrp = nty // B
-    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, Wp_p - Wp)))
+    nty_p = -(-nty // B) * B                    # pad tile rows to B=8
+    ngrp = nty_p // B
+    span = 4 * (B - 1) + T                      # group row span
+    span_p = -(-span // 8) * 8                  # 8-aligned DMA length
+    Hp_p = 4 * B * (ngrp - 1) + span_p          # rows the last DMA reads
+    padded = jnp.pad(padded, ((0, 0), (0, max(0, Hp_p - Hp)),
+                              (0, Wp_p - Wp)))
     out = pl.pallas_call(
-        functools.partial(_kernel, T=T, B=B, ngrp=ngrp, ntx=ntx, ntx0=ntx0,
-                          total=R * ngrp, out_dtype=out_dtype),
+        functools.partial(_kernel, T=T, ngrp=ngrp, ntx=ntx, ntx0=ntx0,
+                          total=R * ngrp, span_p=span_p,
+                          out_dtype=out_dtype),
         grid=(R, ngrp),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, 1, B, ntx, T * T),
@@ -98,9 +108,10 @@ def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, ngrp, B, ntx, T * T), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, B, T, Wp_p), jnp.int16),
-            pltpu.SemaphoreType.DMA((2, B)),
+            pltpu.VMEM((2, span_p, Wp_p), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(padded)
+    out = out.reshape(R, nty_p, ntx, T * T)[:, :nty]
     return out.reshape(R * nty * ntx, T * T)

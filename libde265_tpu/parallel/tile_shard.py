@@ -22,7 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..plan import MODE_INTRA
 from ..frame_program import ProgramCfg, REF_SLOTS, pack_frame
@@ -265,11 +268,13 @@ def get_sharded_program(cfg: ProgramCfg, mesh: Mesh):
             t.update(trep_l)
             return decode_frame_tiles_local(dy, dcb, dcr, t, x0a, oslot,
                                             cfg, ndev)
-        sm = shard_map(
-            body, mesh=mesh,
-            in_specs=(P(), P(), P(), P("t"), P(), P("t"), P()),
-            out_specs=(P(), P(), P()),
-            check_rep=False)
+        kw = dict(mesh=mesh,
+                  in_specs=(P(), P(), P(), P("t"), P(), P("t"), P()),
+                  out_specs=(P(), P(), P()))
+        try:
+            sm = shard_map(body, check_vma=False, **kw)
+        except TypeError:  # pre-0.8 jax spelling
+            sm = shard_map(body, check_rep=False, **kw)
         return sm(dy, dcb, dcr, tsh, trep, x0s, out_slot)
 
     prog = jax.jit(run, donate_argnums=(0, 1, 2))
