@@ -58,12 +58,12 @@ class ProgramCfg:
                                       # slower on v5e (see COMPONENTS.md),
                                       # kept for A/B (use_pallas covers only
                                       # the table BUILDER, mandatory on TPU)
-    mc_caps: tuple = ()               # ((16,) h-class, (16,) v-class)
-                                      # static capacities for the class-
-                                      # sorted MXU luma MC (mc_mxu_jax);
+    mc_caps: tuple = ()               # (h ids, v ids): populated class
+                                      # sets for the class-masked MXU
+                                      # luma MC (mc_mxu_jax);
                                       # () = VPU tap path
-    mc_caps_c: tuple = ()             # ((32,),(32,)) chroma class caps
-                                      # for the paired Cb|Cr MXU pipeline
+    mc_caps_c: tuple = ()             # chroma (h ids, v ids) for the
+                                      # paired Cb|Cr MXU pipeline
     pack_bits: bool = True            # 0/1 4x4 grids upload bit-packed
                                       # (8x fewer bytes on the dominant
                                       # per-frame tensors); device unpacks

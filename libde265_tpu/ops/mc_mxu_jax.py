@@ -1,42 +1,51 @@
-"""Class-sorted MXU motion compensation: the luma tap passes as matmuls.
+"""Class-masked MXU motion compensation: the tap passes as matmuls.
 
 The VPU form of the two shifted-tap passes (mc_tile_jax._luma_pred_tile)
 costs ~9 ms/frame at 4K: 22 shifted int32 multiply-adds over (N,80/64)
 lanes that XLA cannot fuse into anything denser. But within one
 (fractional-phase, tile-misalignment) CLASS the shifted tap vector is a
-CONSTANT, so the pass over a class-contiguous row block is a dense
-matmul with a small banded matrix — MXU work. Measured on v5e
-(tools/probe_mxu_mc.py): gather + h-matmul + row-permute + v-matmul =
-2.3 ms/frame vs 13.1 ms for gather + VPU taps at 4K.
+CONSTANT, so each pass is a per-row matmul with one of <=16 (luma) /
+<=32 (chroma) small banded matrices — MXU work.
+
+Rows are routed to their class matrix by MASKING, not sorting: one
+stacked matmul (N,K)@(K,J*n_cls) computes every populated class's
+result for every row, and a one-hot multiply-reduce keeps each row's
+own class (_class_pass). An earlier design counting-sorted rows into
+class-contiguous segments on device so each class ran one tight
+matmul; measured on v5e the sort's (N,32) f32 row scatter ALONE cost
+37 ms/4K-frame (TPU scatters serialize) vs <1 ms of redundant MXU
+FLOPs and one extra (N, J*n_cls) f32 round-trip for the masked form.
+Streams with a single populated class (constant-phase motion) skip
+the mask entirely; the stream-wide worst case (all 16/32 classes)
+bounds the overhead at a few ms — still an order of magnitude under
+the sort.
 
 Pipeline (per prediction list):
-  1. classes: hcls = (mvx&3)*4 + dx, vcls = (mvy&3)*4 + dy  (16 each),
+  1. classes: hcls = (mvx&3)*4 + dx, vcls = (mvy&3)*4 + dy  (16 each
+     for luma; 8 eighth-pel phases x 4 misalignments = 32 for chroma),
      where dx/dy is the window's misalignment inside its stride-4 tile
      (mc_tile_jax geometry, incl. the edge clamp).
-  2. counting sort by hcls ON DEVICE (nothing extra is uploaded): a
-     (N,16) one-hot cumsum ranks blocks within each class. Class slice
-     boundaries are STATIC per-stream capacities (ProgramCfg.mc_caps,
-     computed by stream_cfg from the same numpy geometry) so every
-     matmul below has a static shape; over-capacity is impossible (the
-     caps are per-stream maxima over the identical class derivation)
-     and padding rows gather table row 0, then drop at the final
-     un-sort gather.
-  3. gather table rows in h-sorted order (the sort costs no extra data
-     movement — it permutes the 1-D gather indices).
-  4. per-h-class (seg,256)@(256,80) matmul. bf16 x bf16 -> f32 for
-     8-bit: every sample < 2^8 and |tap| <= 58 is exact in bf16, each
-     product is exact in the f32 accumulator, and |tmp| <= 255*112 =
-     28560 < 2^24 so the sum is exact. f32 x f32 (HIGHEST precision:
-     >= bf16x3 passes — exact because the tap operand has no low bf16
-     half and samples fit 16 mantissa bits) for 10-bit.
-  5. re-sort the (.,80) rows by vcls (second counting sort, one f32
-     row scatter) and run per-v-class (seg,80)@(80,16) f32 matmuls
-     (|out| <= 28560*112 = 3.2M < 2^24: exact).
-  6. un-sort by one (N,) row gather, >> 6 in int32 (f32->int32 cast is
-     exact: the values are integers).
+  2. ONE (N,) table-row gather in natural block order.
+  3. h-pass via _class_pass. bf16 x bf16 -> f32 for 8-bit: every
+     sample < 2^8 and |tap| <= 58 is exact in bf16, each product is
+     exact in the f32 accumulator, and |tmp| <= 255*112 = 28560 < 2^24
+     so the sum is exact (the one-hot reduce adds exact f32 values).
+     f32 x f32 (HIGHEST precision: >= bf16x3 passes — exact because
+     the tap operand has no low bf16 half and samples fit 16 mantissa
+     bits) for 10-bit.
+  4. v-pass via _class_pass in f32 (|out| <= 28560*112 = 3.2M < 2^24:
+     exact), >> 6 in int32 (f32->int32 cast is exact: integers).
+
+The populated class-id sets are STATIC per stream (ProgramCfg.mc_caps
+/ mc_caps_c, from stream_cfg's numpy run of the same class
+derivation over every frame's mv grid), so the stacked matrices are
+compile-time constants. A row whose class is unpopulated (possible
+only for non-inter blocks, whose grid mv is arbitrary) reduces to 0
+and is masked off by the caller's inter mask.
 
 Reference kernels: qpel SSE paths acceleration.h:29-201, mc_luma
-motion.cc:49-170.
+motion.cc:49-170; epel paths acceleration.h:115-201, mc_chroma
+motion.cc:172-223.
 """
 import numpy as np
 import jax
@@ -101,133 +110,52 @@ def luma_class_counts(mv_lane, H, W):
 
 
 def caps_from_counts(hmax, vmax):
-    """(16,) per-class max counts (h and v) -> hashable cfg capacities,
-    padded at 1/8-pow2 granularity (bounds compiled-shape variety;
-    wastes <=12.5% of the padded rows)."""
-    def pad(n):
-        n = int(n)
-        if n == 0:
-            return 0
-        if n <= 128:
-            return 128
-        step = 1 << max(3, n.bit_length() - 3)
-        return -(-n // step) * step
-    return (tuple(pad(h) for h in hmax), tuple(pad(v) for v in vmax))
+    """Per-class max counts (h and v) -> hashable cfg class sets: the
+    tuples of POPULATED class ids. (The name is historical — an earlier
+    sorted design carried padded per-class capacities here; the masked
+    design only needs to know which class matrices to stack.)"""
+    return (tuple(i for i, h in enumerate(hmax) if h),
+            tuple(i for i, v in enumerate(vmax) if v))
 
 
-_CHUNK = 1024
-
-
-def _rank_in_class(cls, ncls=NCLS):
-    """(n,) class ids in [0,ncls] (ncls = padding sentinel) -> 0-based
-    rank among earlier same-class rows, via chunked triangular bf16
-    matmuls: prefix-sum of the one-hot = one-hot @ upper-triangular
-    ones, exact in the f32 accumulator (values are 0/1, counts <= n <
-    2^24). XLA's native cumsum lowers to ~20 shifted-add passes over
-    the (n,ncls) one-hot (~9 ms/4K-frame on v5e); this is ~0.2 ms of
-    MXU work. Sentinel rows get rank 0 (their one-hot is all-zero;
-    callers route them to drop slots anyway)."""
-    n = cls.shape[0]
-    G = -(-n // _CHUNK)
-    npad = G * _CHUNK
-    cp = jnp.concatenate([cls, jnp.full(npad - n, ncls, cls.dtype)]) \
-        if npad != n else cls
-    oh = (cp[None, :] == jnp.arange(ncls, dtype=cls.dtype)[:, None])
-    oh3 = oh.astype(jnp.bfloat16).reshape(ncls, G, _CHUNK)
-    tri = jnp.asarray(np.triu(np.ones((_CHUNK, _CHUNK), np.float32)),
-                      jnp.bfloat16)                  # tri[c,j] = c <= j
-    pref = jnp.einsum("xgc,cj->xgj", oh3, tri,
-                      preferred_element_type=jnp.float32)
-    totals = pref[:, :, -1].astype(jnp.int32)        # (ncls,G) chunk counts
-    offs = jnp.cumsum(totals, axis=1) - totals       # exclusive, tiny
-    rank = pref.astype(jnp.int32) - 1 + offs[:, :, None]
-    rank_n = (rank * oh.reshape(ncls, G, _CHUNK).astype(jnp.int32)) \
-        .sum(axis=0).reshape(npad)
-    return rank_n[:n]
-
-
-def _sort_dest(cls, caps, ncls=NCLS):
-    """(n,) class ids in [0,ncls] (ncls = padding sentinel) ->
-    destination row in the class-sorted layout. Real ids land at
-    base[cls] + rank-within-class; sentinels land at unique
-    out-of-bounds slots (>= L) for mode='drop' scatters."""
-    n = cls.shape[0]
-    base = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
-    L = int(base[-1])
-    rank = _rank_in_class(cls, ncls)
-    d = jnp.asarray(base[:-1], jnp.int32)[jnp.clip(cls, 0, ncls - 1)] + rank
-    return jnp.where(cls < ncls, d,
-                     L + jnp.arange(n, dtype=jnp.int32)), L
+def _class_pass(x, cls, ids, mats_np, prec):
+    """Per-row matmul x[n] @ mats[cls[n]], cls restricted to the static
+    id set `ids`: ONE stacked matmul (N,K)@(K,J*n_ids) + one-hot
+    reduce. Rows whose class is outside `ids` produce 0. x: (N,K) bf16
+    or f32; returns (N,J) f32 (exact — see module docstring)."""
+    n_ids = len(ids)
+    J = mats_np.shape[2]
+    if n_ids == 1:
+        return jnp.matmul(x, jnp.asarray(mats_np[ids[0]], x.dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+    stack = np.concatenate([mats_np[h] for h in ids], axis=1)
+    tall = jnp.matmul(x, jnp.asarray(stack, x.dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=prec)                 # (N, J*n_ids)
+    oh = (cls[:, None] == jnp.asarray(ids, jnp.int32)) \
+        .astype(jnp.float32)                          # (N, n_ids)
+    return (tall.reshape(-1, n_ids, J) * oh[:, :, None]).sum(axis=1)
 
 
 def mc_luma_mxu(table_y, nty, ntx, bx, by, mvx, mvy, slot, H, W, shift1,
                 caps, bitdepth=8):
     """One list's luma prediction for all N 4x4 blocks: (N,4,4) int32
     (14-bit scale). Drop-in for mc_tile_jax._luma_pred_tile; caps =
-    (hcaps, vcaps) from caps_from_counts via ProgramCfg.mc_caps."""
-    hcaps, vcaps = caps
-    N = bx.shape[0]
-    nh = sum(1 for c in hcaps if c)
-    nv = sum(1 for c in vcaps if c)
+    (h class ids, v class ids) from caps_from_counts via
+    ProgramCfg.mc_caps."""
+    hids, vids = caps
     idx, hcls, vcls = luma_geom(jnp, bx, by, mvx, mvy, slot, nty, ntx, H, W)
     in_dt = jnp.bfloat16 if bitdepth == 8 else jnp.float32
     prec = jax.lax.Precision.HIGHEST
 
-    # counting sort by h-class: permute the gather indices. A single
-    # populated class (constant-phase stream, e.g. global-pan content)
-    # needs no sort at all — every row takes the same matrix.
-    if nh > 1:
-        dest1, Lh = _sort_dest(hcls.astype(jnp.int32), hcaps)
-        idx1 = jnp.zeros(Lh, idx.dtype).at[dest1].set(idx,
-                                                      unique_indices=True)
-        vcls1 = jnp.full(Lh, NCLS, jnp.int32).at[dest1].set(
-            vcls.astype(jnp.int32), unique_indices=True)
-    else:
-        dest1, Lh = None, N
-        idx1, vcls1 = idx, vcls.astype(jnp.int32)
-
-    win = table_y[idx1]                                   # (Lh, 256)
-    tmps = []
-    off = 0
-    for h in range(NCLS):
-        c = hcaps[h] if nh > 1 else (Lh if hcaps[h] else 0)
-        if c == 0:
-            continue
-        tmps.append(jnp.matmul(win[off:off + c].astype(in_dt),
-                               jnp.asarray(MH_NP[h], in_dt),
-                               preferred_element_type=jnp.float32,
-                               precision=prec))           # (c, 80) f32
-        off += c
-    tmp = jnp.concatenate(tmps) if len(tmps) > 1 else tmps[0]   # (Lh, 80)
+    win = table_y[idx].astype(in_dt)                      # (N, 256)
+    tmp = _class_pass(win, hcls.astype(jnp.int32), hids, MH_NP, prec)
     if shift1:
         tmp = (tmp.astype(jnp.int32) >> shift1).astype(jnp.float32)
-
-    # second counting sort: re-permute the f32 rows by v-class (skipped
-    # when a single v-class covers every row — order is irrelevant then)
-    if nv > 1:
-        dest2, Lv = _sort_dest(vcls1, vcaps)
-        tmp2 = jnp.zeros((Lv, 80), jnp.float32).at[dest2].set(
-            tmp, mode="drop", unique_indices=True)
-        outs = []
-        off = 0
-        for v in range(NCLS):
-            c = vcaps[v]
-            if c == 0:
-                continue
-            outs.append(jnp.matmul(tmp2[off:off + c],
-                                   jnp.asarray(MV_NP[v], jnp.float32),
-                                   precision=prec))       # (c, 16)
-            off += c
-        out_sorted = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-        pos = dest2[dest1] if dest1 is not None else dest2[:N]
-    else:
-        v_only = next(v for v in range(NCLS) if vcaps[v])
-        out_sorted = jnp.matmul(tmp, jnp.asarray(MV_NP[v_only],
-                                                 jnp.float32),
-                                precision=prec)           # (Lh, 16)
-        pos = dest1
-    gathered = out_sorted if pos is None else out_sorted[pos]
-    out = gathered[:N].astype(jnp.int32) >> 6             # (N, 16)
+    out = _class_pass(tmp, vcls.astype(jnp.int32), vids,
+                      MV_NP.astype(np.float32), prec)     # (N, 16)
+    out = out.astype(jnp.int32) >> 6
     # lane j*4+i -> (N, i, j)
     return out.reshape(-1, 4, 4).transpose(0, 2, 1)
 
@@ -314,66 +242,21 @@ def mc_chroma_mxu(table_c2, nty, ntx, bx, by, mvx, mvy, slot,
     ((N,2,2), (N,2,2)) int32 (14-bit scale). table_c2 carries the
     interleaved [Cb 64 | Cr 64] rows, so both planes' windows arrive
     with ONE row gather. Drop-in pair for two
-    mc_tile_jax._chroma_pred_tile calls; caps = ProgramCfg.mc_caps_c."""
-    hcaps, vcaps = caps
-    N = bx.shape[0]
-    nh = sum(1 for c in hcaps if c)
-    nv = sum(1 for c in vcaps if c)
+    mc_tile_jax._chroma_pred_tile calls; caps = (h class ids, v class
+    ids) = ProgramCfg.mc_caps_c."""
+    hids, vids = caps
     idx, hcls, vcls = chroma_geom(jnp, bx, by, mvx, mvy, slot, nty, ntx,
                                   Hc, Wc)
     in_dt = jnp.bfloat16 if bitdepth == 8 else jnp.float32
     prec = jax.lax.Precision.HIGHEST
 
-    if nh > 1:
-        dest1, Lh = _sort_dest(hcls.astype(jnp.int32), hcaps, NCLS_C)
-        idx1 = jnp.zeros(Lh, idx.dtype).at[dest1].set(idx,
-                                                      unique_indices=True)
-        vcls1 = jnp.full(Lh, NCLS_C, jnp.int32).at[dest1].set(
-            vcls.astype(jnp.int32), unique_indices=True)
-    else:
-        dest1, Lh = None, N
-        idx1, vcls1 = idx, vcls.astype(jnp.int32)
-
-    win = table_c2[idx1]                                  # (Lh, 128)
-    tmps = []
-    off = 0
-    for h in range(NCLS_C):
-        c = hcaps[h] if nh > 1 else (Lh if hcaps[h] else 0)
-        if c == 0:
-            continue
-        tmps.append(jnp.matmul(win[off:off + c].astype(in_dt),
-                               jnp.asarray(MHC2_NP[h], in_dt),
-                               preferred_element_type=jnp.float32,
-                               precision=prec))           # (c, 32) f32
-        off += c
-    tmp = jnp.concatenate(tmps) if len(tmps) > 1 else tmps[0]   # (Lh, 32)
+    win = table_c2[idx].astype(in_dt)                     # (N, 128)
+    tmp = _class_pass(win, hcls.astype(jnp.int32), hids, MHC2_NP, prec)
     if shift1:
         tmp = (tmp.astype(jnp.int32) >> shift1).astype(jnp.float32)
-
-    if nv > 1:
-        dest2, Lv = _sort_dest(vcls1, vcaps, NCLS_C)
-        tmp2 = jnp.zeros((Lv, 32), jnp.float32).at[dest2].set(
-            tmp, mode="drop", unique_indices=True)
-        outs = []
-        off = 0
-        for v in range(NCLS_C):
-            c = vcaps[v]
-            if c == 0:
-                continue
-            outs.append(jnp.matmul(tmp2[off:off + c],
-                                   jnp.asarray(MVC2_NP[v], jnp.float32),
-                                   precision=prec))       # (c, 8)
-            off += c
-        out_sorted = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-        pos = dest2[dest1] if dest1 is not None else dest2[:N]
-    else:
-        v_only = next(v for v in range(NCLS_C) if vcaps[v])
-        out_sorted = jnp.matmul(tmp, jnp.asarray(MVC2_NP[v_only],
-                                                 jnp.float32),
-                                precision=prec)           # (Lh, 8)
-        pos = dest1
-    gathered = out_sorted if pos is None else out_sorted[pos]
-    g = gathered[:N].astype(jnp.int32) >> 6               # (N, 8)
+    g = _class_pass(tmp, vcls.astype(jnp.int32), vids,
+                    MVC2_NP.astype(np.float32), prec)     # (N, 8)
+    g = g.astype(jnp.int32) >> 6
     # plane lanes [4*pl + j*2 + i] -> (N, i, j)
     cb = g[:, :4].reshape(-1, 2, 2).transpose(0, 2, 1)
     cr = g[:, 4:].reshape(-1, 2, 2).transpose(0, 2, 1)
