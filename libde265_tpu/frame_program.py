@@ -256,8 +256,9 @@ def table_geom(cfg: ProgramCfg):
     (see ops/mc_tile_jax.py). Returns ((rows_y, 256), (rows_c, 64), dtype)
     for ONE slot; the carried tables have REF_SLOTS x rows."""
     import jax.numpy as jnp
-    nty, ntx = (cfg.H + 20) // 4, (cfg.W + 20) // 4
-    ntyc, ntxc = (cfg.H // 2 + 12) // 4, (cfg.W // 2 + 12) // 4
+    from .ops.mc_tile_jax import n_tiles_y, n_tiles_c
+    nty, ntx = n_tiles_y(cfg.H, cfg.W)
+    ntyc, ntxc = n_tiles_c(cfg.H // 2, cfg.W // 2)
     dt = jnp.uint8 if cfg.bitdepth <= 8 else jnp.int16
     return (nty * ntx, 256), (ntyc * ntxc, 128), dt
 

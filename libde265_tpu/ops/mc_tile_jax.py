@@ -31,6 +31,24 @@ from .inter_jax import QPEL_TAPS, EPEL_TAPS
 
 PAD_Y = 16
 PAD_C = 8
+ROWPAD = 8      # tile rows per slot pad to a multiple of the pallas
+                # builder's band-group size: the kernel then writes its
+                # output layout directly (no post-kernel slice copy of
+                # the ~134 MB 4K table, measured ~2 ms/frame)
+
+
+def n_tiles_y(H, W):
+    """Luma tile-table grid for an (H, W) plane: (padded row count,
+    column count). Rows beyond (H+20)//4 exist only for layout and are
+    never gathered (window clamping keeps ty < (H+20)//4)."""
+    nty = (H + 20) // 4
+    return -(-nty // ROWPAD) * ROWPAD, (W + 20) // 4
+
+
+def n_tiles_c(Hc, Wc):
+    """Chroma tile-table grid for an (Hc, Wc) plane (padded rows)."""
+    nty = (Hc + 12) // 4
+    return -(-nty // ROWPAD) * ROWPAD, (Wc + 12) // 4
 
 
 def _mk_shift_tables():
@@ -65,13 +83,16 @@ def pad_plane(p, pad):
 
 
 def build_tile_table_y(padded, out_dtype=jnp.int16):
-    """padded: (R, H+32, W+32) -> (R*nty*ntx, 256) stride-4 16x16
+    """padded: (R, H+32, W+32) -> (R*nty_p*ntx, 256) stride-4 16x16
     tiles, element [c*16 + r] = tile[row r, col c] (column-major within the
     tile — the layout the pallas builder emits without any transposes).
-    nty = (H+20)//4, ntx = (W+20)//4. out_dtype uint8 for 8-bit streams
-    halves the table (the decode path's dominant HBM tenant)."""
+    (nty_p, ntx) = n_tiles_y(H, W); the ROWPAD-padding rows hold zeros
+    (pallas emits garbage there — never gathered either way). out_dtype
+    uint8 for 8-bit streams halves the table (the decode path's dominant
+    HBM tenant)."""
     R, Hp, Wp = padded.shape
     nty, ntx = (Hp - 12) // 4, (Wp - 12) // 4
+    nty_p = -(-nty // ROWPAD) * ROWPAD
     padded = padded.astype(out_dtype)
     rows = jnp.concatenate(
         [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp)
@@ -79,14 +100,17 @@ def build_tile_table_y(padded, out_dtype=jnp.int16):
     tiles = jnp.concatenate(
         [rows[:, :, :, 4 * s:4 * s + 4 * ntx].reshape(R, nty, 16, ntx, 4)
          for s in range(4)], axis=4)                        # (R,nty,16r,ntx,16c)
-    return tiles.transpose(0, 1, 3, 4, 2).reshape(R * nty * ntx, 256)
+    t5 = tiles.transpose(0, 1, 3, 4, 2)                     # (R,nty,ntx,c,r)
+    t5 = jnp.pad(t5, ((0, 0), (0, nty_p - nty), (0, 0), (0, 0), (0, 0)))
+    return t5.reshape(R * nty_p * ntx, 256)
 
 
 def build_tile_table_c(padded, out_dtype=jnp.int16):
-    """padded: (R, Hc+16, Wc+16) -> (R*nty*ntx, 64) stride-4 8x8 tiles,
-    element [c*8 + r]. nty = (Hc+12)//4, ntx = (Wc+12)//4."""
+    """padded: (R, Hc+16, Wc+16) -> (R*nty_p*ntx, 64) stride-4 8x8 tiles,
+    element [c*8 + r]. (nty_p, ntx) = n_tiles_c(Hc, Wc)."""
     R, Hp, Wp = padded.shape
     nty, ntx = (Hp - 4) // 4, (Wp - 4) // 4
+    nty_p = -(-nty // ROWPAD) * ROWPAD
     padded = padded.astype(out_dtype)
     rows = jnp.concatenate(
         [padded[:, 4 * s:4 * s + 4 * nty, :].reshape(R, nty, 4, Wp)
@@ -94,7 +118,9 @@ def build_tile_table_c(padded, out_dtype=jnp.int16):
     tiles = jnp.concatenate(
         [rows[:, :, :, 4 * s:4 * s + 4 * ntx].reshape(R, nty, 8, ntx, 4)
          for s in range(2)], axis=4)                        # (R,nty,8r,ntx,8c)
-    return tiles.transpose(0, 1, 3, 4, 2).reshape(R * nty * ntx, 64)
+    t5 = tiles.transpose(0, 1, 3, 4, 2)                     # (R,nty,ntx,c,r)
+    t5 = jnp.pad(t5, ((0, 0), (0, nty_p - nty), (0, 0), (0, 0), (0, 0)))
+    return t5.reshape(R * nty_p * ntx, 64)
 
 
 def _pad_refs(refs_y, refs_cb, refs_cr):
@@ -256,9 +282,9 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
     H, W = dims
     table_y, table_c2 = tables
     table_cb, table_cr = table_c2[:, :64], table_c2[:, 64:]
-    nty, ntx = (H + 20) // 4, (W + 20) // 4
+    nty, ntx = n_tiles_y(H, W)
     Hc, Wc = H // 2, W // 2
-    ntyc, ntxc = (Hc + 12) // 4, (Wc + 12) // 4
+    ntyc, ntxc = n_tiles_c(Hc, Wc)
     n_by = H // 4
     n_bx = (W if strip is None else strip) // 4
     N = n_by * n_bx

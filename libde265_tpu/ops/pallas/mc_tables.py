@@ -83,8 +83,12 @@ def _kernel(hbm_ref, out_ref, scratch, sems, *, T, ngrp, ntx, ntx0,
 def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
                             interpret=False):
     """padded: (R, Hp, Wp) int16 edge-padded plane stack.
-    T: tile side (16 luma, 8 chroma). Returns (R*nty*ntx, T*T) of
-    out_dtype (uint8 for 8-bit samples — halves the table write)."""
+    T: tile side (16 luma, 8 chroma). Returns (R*nty_p*ntx, T*T) of
+    out_dtype (uint8 for 8-bit samples — halves the table write),
+    nty_p = tile rows padded to the band-group size B (the canonical
+    table layout, mc_tile_jax.ROWPAD == B): the kernel's output ships
+    as-is — no post-kernel slice copy. Pad rows hold whatever the roll
+    produced from the zero-padded plane; they are never gathered."""
     R, Hp, Wp = padded.shape
     nty = (Hp - T + 4) // 4
     ntx = (Wp - T + 4) // 4
@@ -113,5 +117,4 @@ def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
         ],
         interpret=interpret,
     )(padded)
-    out = out.reshape(R, nty_p, ntx, T * T)[:, :nty]
-    return out.reshape(R * nty * ntx, T * T)
+    return out.reshape(R * nty_p * ntx, T * T)
