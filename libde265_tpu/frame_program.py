@@ -278,7 +278,22 @@ def update_tables(ty, tc, Y, Cb, Cr, slot, cfg: ProgramCfg):
     planes directly, motion.cc:69-98); our tile layout trades this one-time
     build for contiguous-row MC gathers."""
     import jax.numpy as jnp
-    from .ops.mc_tile_jax import build_tables
+    from .ops.mc_tile_jax import build_tables, PAD_Y, PAD_C
+    if cfg.use_pallas:
+        # in-place slot write: the kernel's out index_map lands on the
+        # slot's blocks directly (no build-then-dynamic_update_slice
+        # round trip — ~2 full table copies per 4K frame saved)
+        from .ops.pallas.mc_tables import update_tile_table_pallas
+        py = jnp.pad(Y.astype(jnp.int16),
+                     ((PAD_Y, PAD_Y), (PAD_Y, PAD_Y)), mode="edge")
+        pcb = jnp.pad(Cb.astype(jnp.int16),
+                      ((PAD_C, PAD_C), (PAD_C, PAD_C)), mode="edge")
+        pcr = jnp.pad(Cr.astype(jnp.int16),
+                      ((PAD_C, PAD_C), (PAD_C, PAD_C)), mode="edge")
+        ty = update_tile_table_pallas(ty, py, slot, 16)
+        tc = update_tile_table_pallas(tc, pcb, slot, 8, planes=2, plane=0)
+        tc = update_tile_table_pallas(tc, pcr, slot, 8, planes=2, plane=1)
+        return ty, tc
     (ry, _), (rc, _), _ = table_geom(cfg)
     ny, nc = build_tables(Y[None], Cb[None], Cr[None],
                           use_pallas=cfg.use_pallas,

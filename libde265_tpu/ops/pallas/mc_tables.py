@@ -118,3 +118,104 @@ def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
         interpret=interpret,
     )(padded)
     return out.reshape(R * nty_p * ntx, T * T)
+
+
+def _upd_kernel(slot_ref, hbm_ref, tin_ref, out_ref, scratch, sems, *,
+                T, ngrp, ntx, ntx0, span_p, out_dtype, P):
+    """In-place slot update: all P planes' tile rows for one band group,
+    written directly into the persistent table block mapped by the
+    scalar-prefetched slot (the out index_map); same band-group pipeline
+    as _kernel. P = 1 (luma) or 2 (interleaved [Cb|Cr] rows — the whole
+    128-lane row is produced, so the write-only out block is fully
+    covered)."""
+    del slot_ref, tin_ref                       # slot consumed by index_map
+    t = pl.program_id(0)
+
+    def dma(sbuf, tt, p):
+        start = pl.multiple_of(4 * B * tt, 8)
+        return pltpu.make_async_copy(
+            hbm_ref.at[p, pl.ds(start, span_p)],
+            scratch.at[sbuf, p],
+            sems.at[sbuf, p],
+        )
+
+    sbuf = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for p in range(P):
+            dma(0, 0, p).start()
+
+    @pl.when(t + 1 < ngrp)
+    def _():
+        for p in range(P):
+            dma(1 - sbuf, t + 1, p).start()
+
+    for p in range(P):
+        dma(sbuf, t, p).wait()
+    for p in range(P):
+        span = scratch[sbuf, p]                 # (span_p, Wp_p)
+        big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
+                              axis=0)
+        bt = big.astype(jnp.int32).T            # (Wp_p, B*T)
+        r3 = bt.reshape(ntx0, 4, B * T)
+        for c in range(T):
+            q = r3[:, c % 4, :]
+            if c // 4:
+                q = pltpu.roll(q, ntx0 - c // 4, axis=0)
+            qo = q[:ntx].astype(out_dtype)
+            base = p * T * T + c * T
+            for b in range(B):
+                out_ref[0, b, :, base:base + T] = \
+                    qo[:, b * T:(b + 1) * T]
+
+
+def update_tile_table_pallas(table, padded, slot, T, interpret=False):
+    """In-place insert of one frame's tile rows into the persistent
+    tile-table stack at `slot` — the kernel writes the slot's blocks
+    directly (scalar-prefetched out index_map + input/output aliasing),
+    replacing the build-then-dynamic_update_slice round trip (~2 full
+    table copies per 4K frame).
+
+    table : (NSLOTS*nty_p*ntx, P*T*T) — P=2 for the interleaved
+            [Cb 64 | Cr 64] chroma table.
+    padded: (P, Hp, Wp) int16 edge-padded plane stack (P matches table).
+    slot  : () int32 (traced).
+    Returns the updated table (same buffer when XLA honors the alias)."""
+    P, Hp, Wp = padded.shape
+    nty = (Hp - T + 4) // 4
+    ntx = (Wp - T + 4) // 4
+    Wp_p = -(-Wp // 128) * 128
+    ntx0 = Wp_p // 4
+    nty_p = -(-nty // B) * B
+    ngrp = nty_p // B
+    span = 4 * (B - 1) + T
+    span_p = -(-span // 8) * 8
+    Hp_p = 4 * B * (ngrp - 1) + span_p
+    padded = jnp.pad(padded, ((0, 0), (0, max(0, Hp_p - Hp)),
+                              (0, Wp_p - Wp)))
+    nrows, width = table.shape
+    assert width == P * T * T, (width, P, T)
+    ns = nrows // (nty_p * ntx)
+    t4 = table.reshape(ns * ngrp, B, ntx, width)
+    out = pl.pallas_call(
+        functools.partial(_upd_kernel, T=T, ngrp=ngrp, ntx=ntx, ntx0=ntx0,
+                          span_p=span_p, out_dtype=table.dtype, P=P),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ngrp,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, B, ntx, width),
+                lambda t, s: (s[0] * ngrp + t, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, P, span_p, Wp_p), jnp.int16),
+                pltpu.SemaphoreType.DMA((2, P)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(t4.shape, table.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.asarray(slot, jnp.int32).reshape(1), padded, t4)
+    return out.reshape(nrows, width)

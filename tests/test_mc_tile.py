@@ -228,3 +228,48 @@ def test_mc_chroma_mxu_matches_vpu(seed, bitdepth, weighted):
             raise AssertionError(
                 f"plane {ci}: {len(bad)} mismatches, first at {bad[0]} "
                 f"{aa[tuple(bad[0])]} vs {bb[tuple(bad[0])]}")
+
+
+def test_inplace_table_update_matches_build_dus():
+    """update_tile_table_pallas (scalar-prefetch slot + in/out aliasing)
+    must equal XLA build + dynamic_update_slice on the valid rows, for
+    luma and both halves of the interleaved chroma table, and must leave
+    the other slots untouched."""
+    import jax
+    import jax.numpy as jnp
+    from libde265_tpu.ops.mc_tile_jax import (build_tables, PAD_Y, PAD_C,
+                                              n_tiles_y, n_tiles_c)
+    from libde265_tpu.ops.pallas.mc_tables import update_tile_table_pallas
+    rng = np.random.RandomState(7)
+    H, W = 72, 136
+    NS = 4
+    Y = rng.randint(0, 256, (H, W)).astype(np.int16)
+    Cb = rng.randint(0, 256, (H // 2, W // 2)).astype(np.int16)
+    Cr = rng.randint(0, 256, (H // 2, W // 2)).astype(np.int16)
+    ny, nc = build_tables(jnp.asarray(Y)[None], jnp.asarray(Cb)[None],
+                          jnp.asarray(Cr)[None], bitdepth=8)
+    ry, rc = ny.shape[0], nc.shape[0]
+    ty = jnp.zeros((NS * ry, 256), jnp.uint8)
+    tc = jnp.zeros((NS * rc, 128), jnp.uint8)
+    slot = 2
+    want_y = jax.lax.dynamic_update_slice(ty, ny, (slot * ry, 0))
+    want_c = jax.lax.dynamic_update_slice(tc, nc, (slot * rc, 0))
+    py = jnp.pad(jnp.asarray(Y), ((PAD_Y,) * 2,) * 2, mode="edge")
+    pcb = jnp.pad(jnp.asarray(Cb), ((PAD_C,) * 2,) * 2, mode="edge")
+    pcr = jnp.pad(jnp.asarray(Cr), ((PAD_C,) * 2,) * 2, mode="edge")
+    got_y = update_tile_table_pallas(ty, py, np.int32(slot), 16,
+                                     interpret=True)
+    got_c = update_tile_table_pallas(tc, pcb, np.int32(slot), 8,
+                                     planes=2, plane=0, interpret=True)
+    got_c = update_tile_table_pallas(got_c, pcr, np.int32(slot), 8,
+                                     planes=2, plane=1, interpret=True)
+    ntyp, ntx = n_tiles_y(H, W)
+    ntyc, ntxc = n_tiles_c(H // 2, W // 2)
+    nty_true = (H + 20) // 4
+    ntyc_true = (H // 2 + 12) // 4
+    gy = np.asarray(got_y).reshape(NS, ntyp, ntx, 256)
+    wy = np.asarray(want_y).reshape(NS, ntyp, ntx, 256)
+    gc = np.asarray(got_c).reshape(NS, ntyc, ntxc, 128)
+    wc = np.asarray(want_c).reshape(NS, ntyc, ntxc, 128)
+    assert (gy[:, :nty_true] == wy[:, :nty_true]).all()
+    assert (gc[:, :ntyc_true] == wc[:, :ntyc_true]).all()
