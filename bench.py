@@ -228,7 +228,10 @@ def main():
     ts = timed_rounds()
     n_done = ROUNDS * nfr
     for retry in range(2):
-        if nfr / min(ts) > 10.0:     # at least one clean-link round
+        # absolute floor, not a ratio: one clean-link round must beat
+        # 10 fps (empirically <1/3 of any observed device-only rate on
+        # this stream class; a collapsed tunnel session yields ~1 fps)
+        if nfr / min(ts) > 10.0:
             break
         print(f"# link collapsed (best round {nfr/min(ts):.1f} fps); "
               f"retrying timed loop", file=sys.stderr, flush=True)
@@ -248,7 +251,9 @@ def main():
         dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
                                      sd, slots_d)
     float(dy[1, 0, 0])
-    dev_fps = n_done / (time.time() - t0)
+    # numerator = frames this diagnostic loop actually executed (NOT
+    # n_done, which accumulates e2e retry rounds)
+    dev_fps = ROUNDS * nfr / (time.time() - t0)
     nbytes = sum(v.nbytes for v in blob.values())
     t0 = time.time()
     for r in range(2):
@@ -262,8 +267,10 @@ def main():
         "stream": STREAM,
         "value": round(fps, 2),
         "unit": "frames/s (real 4K stream, fused device decode, "
-                "MD5-verified vs dec265; upload+compute)",
+                "MD5-verified vs dec265; best round, upload+compute; "
+                "all-rounds mean in sustained_fps)",
         "vs_baseline": round(fps / baseline, 2),
+        "sustained_fps": round(sustained, 2),
         "fe_parse_fps": round(nf / t_parse, 1),
         "pack_fps": round(len(packed) / t_pack, 1),
         "device_only_fps": round(dev_fps, 2),

@@ -290,9 +290,8 @@ def update_tables(ty, tc, Y, Cb, Cr, slot, cfg: ProgramCfg):
                       ((PAD_C, PAD_C), (PAD_C, PAD_C)), mode="edge")
         pcr = jnp.pad(Cr.astype(jnp.int16),
                       ((PAD_C, PAD_C), (PAD_C, PAD_C)), mode="edge")
-        ty = update_tile_table_pallas(ty, py, slot, 16)
-        tc = update_tile_table_pallas(tc, pcb, slot, 8, planes=2, plane=0)
-        tc = update_tile_table_pallas(tc, pcr, slot, 8, planes=2, plane=1)
+        ty = update_tile_table_pallas(ty, py[None], slot, 16)
+        tc = update_tile_table_pallas(tc, jnp.stack([pcb, pcr]), slot, 8)
         return ty, tc
     (ry, _), (rc, _), _ = table_geom(cfg)
     ny, nc = build_tables(Y[None], Cb[None], Cr[None],

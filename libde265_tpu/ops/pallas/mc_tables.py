@@ -95,6 +95,11 @@ def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
     Wp_p = -(-Wp // 128) * 128                  # DMA wants 128-mult lanes
     ntx0 = Wp_p // 4
     nty_p = -(-nty // B) * B                    # pad tile rows to B=8
+    # The nty..nty_p-1 pad rows hold roll residue (the XLA builder zeros
+    # them). Safe because the MC gather clamps tile row ty to
+    # (Hp-T)//4 == nty-1 (mc_tile_jax.py luma/chroma geometry: the MV
+    # clip keeps y0 <= Hp-T), so pad rows are NEVER gathered. Any new
+    # consumer of the table must preserve that clamp.
     ngrp = nty_p // B
     span = 4 * (B - 1) + T                      # group row span
     span_p = -(-span // 8) * 8                  # 8-aligned DMA length

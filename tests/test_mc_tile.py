@@ -257,12 +257,10 @@ def test_inplace_table_update_matches_build_dus():
     py = jnp.pad(jnp.asarray(Y), ((PAD_Y,) * 2,) * 2, mode="edge")
     pcb = jnp.pad(jnp.asarray(Cb), ((PAD_C,) * 2,) * 2, mode="edge")
     pcr = jnp.pad(jnp.asarray(Cr), ((PAD_C,) * 2,) * 2, mode="edge")
-    got_y = update_tile_table_pallas(ty, py, np.int32(slot), 16,
+    got_y = update_tile_table_pallas(ty, py[None], np.int32(slot), 16,
                                      interpret=True)
-    got_c = update_tile_table_pallas(tc, pcb, np.int32(slot), 8,
-                                     planes=2, plane=0, interpret=True)
-    got_c = update_tile_table_pallas(got_c, pcr, np.int32(slot), 8,
-                                     planes=2, plane=1, interpret=True)
+    got_c = update_tile_table_pallas(tc, jnp.stack([pcb, pcr]),
+                                     np.int32(slot), 8, interpret=True)
     ntyp, ntx = n_tiles_y(H, W)
     ntyc, ntxc = n_tiles_c(H // 2, W // 2)
     nty_true = (H + 20) // 4
