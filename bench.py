@@ -1,22 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark: real 4K HEVC decode on one TPU chip, MD5-verified.
 
-Decodes tests/data/ld4k.bin (3840x2160 low-delay, 1 IDR + 8 P frames,
+Decodes tests/data/<stream>.bin (3840x2160 low-delay, IDR + 8 P frames,
 mv+residual everywhere, 2 refs, TMVP, deblock+SAO — our encoder, dec265
 golden MD5s) through the fused device-resident frame program
 (libde265_tpu/frame_program.py): tile-table MC with pallas-built tables,
-bucketed residual transforms, on-device filter planning, HBM DPB.
+bucketed residual transforms, fused intra wavefront scan (IDR included —
+nothing is bootstrapped from the reference decoder), on-device filter
+planning, HBM DPB.
 
 Protocol:
   1. native C++ front-end parses the whole stream (timed: fe_fps)
   2. host packs per-frame plan tensors (timed: pack_fps)
-  3. one UNTIMED verification round decodes every P frame and checks
+  3. one UNTIMED verification round decodes EVERY frame (IDR through the
+     fused intra program, P frames through the scan program) and checks
      per-plane MD5s against the dec265 goldens (hard fail on mismatch)
-  4. timed rounds re-decode the 8 P frames: per frame one device_put of
-     the plan tensors (overlaps device compute) + one chained dispatch
-     on the donated DPB carry; one sync at the end.
-The IDR frame is bootstrapped from the reference decoder's output (it
-anchors the DPB; every verified P-frame MD5 transitively checks it).
+  4. timed rounds re-decode all frames: one blob upload + one dispatch
+     for the IDR, one blob upload + one scan dispatch for the P run, all
+     chained on the donated DPB carry; one sync at the end.
 The headline value is the timed-loop fps (upload + device compute);
 fe/pack/device rates are reported alongside — in a pipelined deployment
 stages overlap and the achievable rate is the slowest stage.
@@ -27,7 +28,7 @@ baseline = the reference's published 36 fps 4K software decode
 """
 import json
 import os
-import subprocess
+
 import sys
 import time
 
@@ -62,35 +63,6 @@ def parse_stream(data):
     return NativeFrontend().parse(data, spss, ppss)
 
 
-def bootstrap_frame0(path, w, h):
-    """Decoded IDR pixels: .bench_cache, else dec265, else hybrid path."""
-    cache = os.path.join(REPO, ".bench_cache")
-    os.makedirs(cache, exist_ok=True)
-    npz = os.path.join(cache, STREAM + "_f0.npz")
-    if os.path.exists(npz):
-        z = np.load(npz)
-        return [z["y"], z["u"], z["v"]]
-    dec = os.path.join(REPO, ".ref_build", "dec265", "dec265")
-    ysz, csz = w * h, (w // 2) * (h // 2)
-    if os.path.exists(dec):
-        out = os.path.join(cache, "f0.yuv")
-        subprocess.run([dec, "-q", "-f", "1", "-o", out, path], check=True,
-                       capture_output=True, timeout=600)
-        buf = np.fromfile(out, np.uint8, ysz + 2 * csz)
-        os.remove(out)
-    else:   # slow fallback: our own hybrid intra path
-        import jax
-        from libde265_tpu.api import decode_stream_native
-        pics = decode_stream_native(open(path, "rb").read()[:10**9])
-        p = pics[0]
-        buf = np.concatenate([np.asarray(x).ravel() for x in p.planes])
-    y = buf[:ysz].reshape(h, w)
-    u = buf[ysz:ysz + csz].reshape(h // 2, w // 2)
-    v = buf[ysz + csz:].reshape(h // 2, w // 2)
-    np.savez_compressed(npz, y=y, u=u, v=v)
-    return [y, u, v]
-
-
 def main():
     import jax
     try:
@@ -111,10 +83,11 @@ def main():
                   file=sys.stderr, flush=True)
             time.sleep(120)
     import jax.numpy as jnp
+    from dataclasses import replace
     from libde265_tpu.frame_program import (REF_SLOTS, stream_cfg,
                                             pack_frame, frame_compatible,
-                                            get_program, get_stream_program,
-                                            init_tables, update_tables)
+                                            frame_has_intra, frame_has_mc,
+                                            init_tables)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     path = os.path.join(DATA, STREAM + ".bin")
@@ -132,62 +105,65 @@ def main():
           f"({nf / t_parse:.1f} fps)", file=sys.stderr)
 
     cfg = stream_cfg(plans, plans[0].sps, use_pallas=on_tpu)
-    pframes = [p for p in plans if p.nal_type != -1 and frame_compatible(p)]
-    assert len(pframes) == nf - 1, "bench stream must be IDR + pure-P"
+    frames = [p for p in plans if p.nal_type != -1]
+    assert all(frame_compatible(p) for p in frames), "bench stream must " \
+        "be fully fused-compatible"
+    iframes = [p for p in frames if frame_has_intra(p)]
+    pframes = [p for p in frames if not frame_has_intra(p)]
+    assert iframes and not any(frame_has_mc(p) for p in iframes), \
+        "bench expects pure-intra IDR(s) + P frames"
+    cfg_i = replace(cfg, skip_mc=True)        # IDR: no motion uploads
+    cfg_p = replace(cfg, intra=(), intra_C=0)  # P scan: no intra stage
 
     # static slot map: IDR pinned in slot 0, P frames cycle 1..7
-    fid_slot = {plans[0].frame_id: 0}
+    fid_slot = {p.frame_id: 0 for p in iframes}
     for i, p in enumerate(pframes):
         fid_slot[p.frame_id] = 1 + i % (REF_SLOTS - 1)
 
     t0 = time.time()
-    packed = [pack_frame(p, cfg, fid_slot, real_slots=True) for p in pframes]
+    packed_i = [pack_frame(p, cfg_i, fid_slot, real_slots=True)
+                for p in iframes]
+    packed = [pack_frame(p, cfg_p, fid_slot, real_slots=True)
+              for p in pframes]
     t_pack = time.time() - t0
-    print(f"# packed {len(packed)} frames in {t_pack:.2f}s "
-          f"({len(packed) / t_pack:.1f} fps)", file=sys.stderr)
+    print(f"# packed {nf} frames in {t_pack:.2f}s "
+          f"({nf / t_pack:.1f} fps)", file=sys.stderr)
 
-    f0 = bootstrap_frame0(path, W, H)
     dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16)
     dcb = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
     dcr = jnp.zeros((REF_SLOTS, H // 2, W // 2), jnp.int16)
-    dy = dy.at[0].set(jnp.asarray(f0[0].astype(np.int16)))
-    dcb = dcb.at[0].set(jnp.asarray(f0[1].astype(np.int16)))
-    dcr = dcr.at[0].set(jnp.asarray(f0[2].astype(np.int16)))
     ty, tc = init_tables(cfg)
-    ty, tc = jax.jit(update_tables, static_argnames=("cfg",))(
-        ty, tc, dy[0], dcb[0], dcr[0], np.int32(0), cfg=cfg)
 
-    prog = get_program(cfg)
-
-    # ---- verification round (also compiles)
-    import hashlib
-    t0 = time.time()
-    for i, (p, t) in enumerate(zip(pframes, packed)):
-        td = {k: jnp.asarray(v) for k, v in t.items()}
-        s = fid_slot[p.frame_id]
-        dy, dcb, dcr, ty, tc = prog(dy, dcb, dcr, ty, tc,
-                                    td, np.int32(s))
-        got = [hashlib.md5(np.asarray(pl[s]).astype(np.uint8).tobytes())
-               .hexdigest() for pl in (dy, dcb, dcr)]
-        want = [man["md5"][p.poc][k] for k in ("y", "u", "v")]
-        assert got == want, f"frame poc {p.poc}: {got} != {want}"
-    print(f"# verification round (incl. compile): {time.time()-t0:.1f}s, "
-          f"all {len(pframes)} P-frame MD5s match dec265", file=sys.stderr)
-
-    # ---- whole-stream scan program: stack plans on a frame axis and
-    # serialize the batch into one flat buffer per dtype (~4 transfers per
-    # batch — the tunneled link pays a round-trip per array)
+    # ---- blob programs: IDR as a 1-frame scan through the intra
+    # program, P frames as one multi-frame scan; each batch ships as one
+    # flat buffer per dtype (~4 transfers — the tunneled link pays a
+    # round-trip per array)
     from libde265_tpu.frame_program import (blob_meta, pack_blob,
                                             get_stream_program_blob)
-    stacked = {k: np.stack([t[k] for t in packed])
-               for k in packed[0]}
-    meta, totals = blob_meta(stacked)
-    blob = pack_blob(stacked, meta, totals)
-    sprog = get_stream_program_blob(cfg, meta)
+
+    def mk_blob(pack_list, cfg_use):
+        stacked = {k: np.stack([t[k] for t in pack_list])
+                   for k in pack_list[0]}
+        meta, totals = blob_meta(stacked)
+        return pack_blob(stacked, meta, totals), \
+            get_stream_program_blob(cfg_use, meta)
+
+    blob_i, iprog = mk_blob(packed_i, cfg_i)
+    blob, sprog = mk_blob(packed, cfg_p)
+    islots = np.array([fid_slot[p.frame_id] for p in iframes], np.int32)
     out_slots = np.array([fid_slot[p.frame_id] for p in pframes], np.int32)
-    # untimed scan round (compiles) + bit-exactness vs the per-frame path:
-    # each DPB slot must hold the last frame written to it
+
+    # ---- verification round (also compiles): every frame, IDR included,
+    # decodes on-device; per-slot MD5s vs the dec265 goldens
+    import hashlib
     t0 = time.time()
+    sdi = jax.device_put(blob_i)
+    dy, dcb, dcr, ty, tc = iprog(dy, dcb, dcr, ty, tc,
+                                 sdi, jnp.asarray(islots))
+    got = [hashlib.md5(np.asarray(pl[0]).astype(np.uint8).tobytes())
+           .hexdigest() for pl in (dy, dcb, dcr)]
+    want = [man["md5"][iframes[-1].poc][k] for k in ("y", "u", "v")]
+    assert got == want, f"IDR (fused intra): {got} != {want}"
     sd = jax.device_put(blob)
     dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
                                  sd, jnp.asarray(out_slots))
@@ -199,8 +175,9 @@ def main():
                .hexdigest() for pl in (dy, dcb, dcr)]
         want = [man["md5"][poc][k] for k in ("y", "u", "v")]
         assert got == want, f"scan slot {s} (poc {poc}): {got} != {want}"
-    print(f"# scan round (incl. compile): {time.time()-t0:.1f}s, "
-          f"DPB slots MD5-match the per-frame path", file=sys.stderr)
+    print(f"# verification (incl. compile): {time.time()-t0:.1f}s, IDR + "
+          f"{len(pframes)} P frames MD5-match dec265 (no bootstrap)",
+          file=sys.stderr)
 
     # ---- timed rounds: one upload + ONE dispatch per 8-frame pass.
     # The tunneled axon link's throughput swings ~100x between sessions
@@ -210,14 +187,18 @@ def main():
     # all-rounds mean ships alongside as sustained_fps. If every round
     # is link-collapsed (<1/3 of the device-only rate) the loop retries
     # up to twice to ride out transient congestion.
-    nfr = len(pframes)
+    nfr = nf
     slots_j = jnp.asarray(out_slots)
+    islots_j = jnp.asarray(islots)
 
     def timed_rounds():
         nonlocal dy, dcb, dcr, ty, tc
         ts = []
         for r in range(ROUNDS):
             t0 = time.time()
+            sdi = jax.device_put(blob_i)
+            dy, dcb, dcr, ty, tc = iprog(dy, dcb, dcr, ty, tc,
+                                         sdi, islots_j)
             sd = jax.device_put(blob)
             dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
                                          sd, slots_j)
@@ -248,13 +229,16 @@ def main():
     slots_d = jax.device_put(jnp.asarray(out_slots))
     t0 = time.time()
     for r in range(ROUNDS):
+        dy, dcb, dcr, ty, tc = iprog(dy, dcb, dcr, ty, tc,
+                                     sdi, islots_j)
         dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
                                      sd, slots_d)
     float(dy[1, 0, 0])
     # numerator = frames this diagnostic loop actually executed (NOT
     # n_done, which accumulates e2e retry rounds)
     dev_fps = ROUNDS * nfr / (time.time() - t0)
-    nbytes = sum(v.nbytes for v in blob.values())
+    nbytes = sum(v.nbytes for v in blob.values()) + \
+        sum(v.nbytes for v in blob_i.values())
     t0 = time.time()
     for r in range(2):
         sd2 = jax.device_put(blob)
@@ -272,9 +256,9 @@ def main():
         "vs_baseline": round(fps / baseline, 2),
         "sustained_fps": round(sustained, 2),
         "fe_parse_fps": round(nf / t_parse, 1),
-        "pack_fps": round(len(packed) / t_pack, 1),
+        "pack_fps": round(nf / t_pack, 1),
         "device_only_fps": round(dev_fps, 2),
-        "upload_mb_per_frame": round(nbytes / len(pframes) / 1e6, 1),
+        "upload_mb_per_frame": round(nbytes / nfr / 1e6, 1),
         "link_mbps": round(up_mbps, 1),
         "frames_timed": n_done,
     }))

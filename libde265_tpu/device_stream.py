@@ -14,9 +14,10 @@ with uploads of the next frames overlapping device compute.
 """
 import numpy as np
 
-from .frame_program import (REF_SLOTS, frame_compatible, stream_cfg,
-                            pack_frame, get_program, get_stream_program,
-                            init_tables, update_tables)
+from .frame_program import (REF_SLOTS, frame_compatible, frame_has_intra,
+                            frame_has_mc, stream_cfg, pack_frame,
+                            get_program, get_stream_program, init_tables,
+                            update_tables)
 
 
 class _HostRefShim:
@@ -71,7 +72,21 @@ class DeviceStreamDecoder:
         self.slot_fid = [None] * REF_SLOTS
         self.frames = {}               # fid -> {plan, host(np)|None, fast}
         self.last_use = self._last_uses(plans)
-        self._prog = get_program(self.cfg) if self.has_fast else None
+        # program variants sharing one carry: scan cfg (no intra stage)
+        # for inter runs; the full cfg for intra-containing frames; a
+        # skip_mc flavor for zero-PU frames (I-frames)
+        from dataclasses import replace
+        self.cfg_scan = replace(self.cfg, intra=(), intra_C=0)
+        self._prog = None
+        self._progs = {}
+        if self.has_fast:
+            self._prog = get_program(self.cfg_scan)
+            self._progs[(False, True)] = (self.cfg_scan, self._prog)
+            if self.cfg.intra:
+                ci = self.cfg
+                self._progs[(True, True)] = (ci, get_program(ci))
+                c0 = replace(self.cfg, skip_mc=True)
+                self._progs[(True, False)] = (c0, get_program(c0))
         self._mk_util_programs()
         self.dtype = np.uint8 if self.cfg.bitdepth == 8 else np.uint16
 
@@ -214,15 +229,19 @@ class DeviceStreamDecoder:
             self._do_insert(planes, s)
 
     def _fast_ok(self, plan):
+        if frame_has_intra(plan) and not self.cfg.intra:
+            return False
         return self.has_fast
 
     def _run_fast(self, plan, out_slot):
         jnp = self.jnp
-        t = pack_frame(plan, self.cfg, self.slot_of, real_slots=True)
+        key = (frame_has_intra(plan), frame_has_mc(plan))
+        cfg, prog = self._progs.get(key) or self._progs[(False, True)]
+        t = pack_frame(plan, cfg, self.slot_of, real_slots=True)
         td = {k: jnp.asarray(v) for k, v in t.items()}
         (self.dy, self.dcb, self.dcr, self.ty, self.tc) = \
-            self._prog(self.dy, self.dcb, self.dcr,
-                       self.ty, self.tc, td, np.int32(out_slot))
+            prog(self.dy, self.dcb, self.dcr,
+                 self.ty, self.tc, td, np.int32(out_slot))
 
     def decode_all(self):
         """Decode the whole plan list; maximal runs of consecutive
@@ -249,9 +268,9 @@ class DeviceStreamDecoder:
         for i in range(i0, len(self.plans)):
             plan = self.plans[i]
             if plan.nal_type == -1 or not frame_compatible(plan) \
-                    or not self._fast_ok(plan) or type(self) is not \
-                    DeviceStreamDecoder:
-                break
+                    or frame_has_intra(plan) or not self._fast_ok(plan) \
+                    or type(self) is not DeviceStreamDecoder:
+                break                  # intra frames: singleton dispatch
             needed = self.ref_fids(plan)
             if any(rf not in sim_of for rf in needed):
                 break                      # ref needs a host upload
@@ -271,7 +290,8 @@ class DeviceStreamDecoder:
             sim_of[plan.frame_id] = s
             sim_fid[s] = plan.frame_id
             run.append((plan, i, s,
-                        pack_frame(plan, self.cfg, sim_of, real_slots=True)))
+                        pack_frame(plan, self.cfg_scan, sim_of,
+                                   real_slots=True)))
         return run
 
     def _run_fast_scan(self, run):
@@ -284,7 +304,7 @@ class DeviceStreamDecoder:
         buf = {k: jnp.asarray(v)
                for k, v in pack_blob(stacked, meta, totals).items()}
         slots = jnp.asarray([s for (_, _, s, _) in run], dtype=jnp.int32)
-        sprog = get_stream_program_blob(self.cfg, meta)
+        sprog = get_stream_program_blob(self.cfg_scan, meta)
         (self.dy, self.dcb, self.dcr, self.ty, self.tc) = sprog(
             self.dy, self.dcb, self.dcr, self.ty, self.tc,
             buf, slots)
@@ -313,9 +333,11 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
         self.mesh = mesh
         self.ndev = mesh.shape["t"]
         self._split = split_strips
-        self._sprog = get_sharded_program(self.cfg, mesh)
+        self._sprog = get_sharded_program(self.cfg_scan, mesh)
 
     def _fast_ok(self, plan):
+        if frame_has_intra(plan):
+            return False           # sharded program is inter-only (yet)
         pps = plan.pps
         if not getattr(pps, "tiles_enabled_flag", False):
             return False
@@ -331,7 +353,7 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
 
     def _run_fast(self, plan, out_slot):
         jnp = self.jnp
-        tsh, trep, x0s = self._split(plan, self.cfg, self.slot_of,
+        tsh, trep, x0s = self._split(plan, self.cfg_scan, self.slot_of,
                                      self.ndev)
         tsh = {k: jnp.asarray(v) for k, v in tsh.items()}
         trep = {k: jnp.asarray(v) for k, v in trep.items()}

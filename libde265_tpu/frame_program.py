@@ -79,6 +79,15 @@ class ProgramCfg:
                                       # device row-scatters them back
     mv8: bool = False                 # all |mv| <= 127: ship int8 MVs
     poc8: bool = False                # all |poc delta| <= 127: int8
+    intra: tuple = ()                 # fused-path intra classes:
+                                      # ((pl, log2, Ktot, Klvl, E), ...)
+                                      # pl 0=luma 1=chroma (intra_fused.py);
+                                      # () = intra TUs not supported
+    intra_C: int = 0                  # wavefront level cap (fori trip)
+    strong: bool = False              # sps strong_intra_smoothing
+    skip_mc: bool = False             # zero-PU frames (I-frames): drop the
+                                      # whole MC stage + motion uploads;
+                                      # filter planners see zero grids
 
     @property
     def fcfg(self):
@@ -110,7 +119,8 @@ def _ceil_sched(n):
 
 # ------------------------------------------------------- host plan packing
 def frame_compatible(plan):
-    """Can this frame run through the fused inter program?"""
+    """Can this frame run through the fused device program? (Intra TUs
+    are fused since round 3 — intra_fused.py wavefront scan.)"""
     if plan.sps.scaling_list_enable_flag or plan.sps.ChromaArrayType != 1:
         return False
     tu_meta = plan._tu_arrays[0] if plan._tu_arrays is not None else None
@@ -121,11 +131,21 @@ def frame_compatible(plan):
             return False
         if (tu_meta[:, 6] != 0).any() or (tu_meta[:, 7] != 0).any():
             return False                            # tskip / tq-bypass
-        if (tu_meta[:, 8] == MODE_INTRA).any():
-            return False                            # intra TUs
     if not len(plan.slice_headers):
         return False
     return True
+
+
+def frame_has_intra(plan):
+    tu_meta = plan._tu_arrays[0] if plan._tu_arrays is not None else None
+    if tu_meta is None or not tu_meta.shape[0]:
+        return False
+    return bool((tu_meta[:, 8] == MODE_INTRA).any())
+
+
+def frame_has_mc(plan):
+    pu = plan._pu_arrays[0] if plan._pu_arrays is not None else None
+    return pu is not None and bool(pu.shape[0])
 
 
 def stream_cfg(plans, sps, use_pallas=False):
@@ -136,6 +156,9 @@ def stream_cfg(plans, sps, use_pallas=False):
     has_bi = False
     grid8 = True
     r_act = 1
+    qp8 = True
+    imax = {}                     # (pl, log2) -> [Klvl, Ktot, E] intra caps
+    intra_C = 0
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
             continue
@@ -179,6 +202,19 @@ def stream_cfg(plans, sps, use_pallas=False):
         smax = max(smax, len(plan.slice_headers))
         has_w = has_w or any(s.pred_weight is not None
                              for s in plan.slice_headers)
+        if qp8:
+            q = np.asarray(plan.qp_y)
+            qs = np.repeat(np.repeat(q[::2, ::2], 2, 0), 2, 1)
+            qp8 = bool(np.array_equal(qs[:q.shape[0], :q.shape[1]], q))
+        if frame_has_intra(plan):
+            from .intra_fused import intra_frame_stats
+            nlv, st = intra_frame_stats(plan)
+            intra_C = max(intra_C, nlv)
+            for key, (mlvl, tot, ne) in st.items():
+                e = imax.setdefault(key, [0, 0, 0])
+                e[0] = max(e[0], mlvl)
+                e[1] = max(e[1], tot)
+                e[2] = max(e[2], ne)
     # class-sorted MXU MC capacities: per-(h,v)-class max counts over
     # every compatible frame and every lane the program will run, using
     # the SAME numpy geometry the device traces (mc_mxu_jax.luma_geom)
@@ -190,20 +226,16 @@ def stream_cfg(plans, sps, use_pallas=False):
     hmax_c = np.zeros(NCLS_C, np.int64)
     vmax_c = np.zeros(NCLS_C, np.int64)
     any_mc = False
-    qp8 = True
     mvmax = 0
     pocmax = 0
     for plan in plans:
-        if plan.nal_type == -1 or not frame_compatible(plan):
-            continue
+        if plan.nal_type == -1 or not frame_compatible(plan) \
+                or not frame_has_mc(plan):
+            continue              # zero-PU frames run the skip_mc variant
         any_mc = True
         mvmax = max(mvmax, int(np.abs(np.asarray(plan.mv)).max()))
         pocmax = max(pocmax, int(np.abs(
             np.asarray(plan.ref_poc, np.int64) - plan.poc).max()))
-        if qp8:
-            q = np.asarray(plan.qp_y)
-            qs = np.repeat(np.repeat(q[::2, ::2], 2, 0), 2, 1)
-            qp8 = bool(np.array_equal(qs[:q.shape[0], :q.shape[1]], q))
         mv = np.asarray(plan.mv, np.int64)          # (gh,gw,2,2)
         pf = np.asarray(plan.pred_flag)
         N = mv.shape[0] * mv.shape[1]
@@ -247,7 +279,15 @@ def stream_cfg(plans, sps, use_pallas=False):
         r_act=min(r_act, REF_SLOTS), has_bi=has_bi, pu_grid8=grid8,
         mc_caps=mc_caps, mc_caps_c=mc_caps_c, qp_grid8=qp8 and any_mc,
         lane0=not has_bi and not has_w and any_mc,
-        mv8=any_mc and mvmax <= 127, poc8=any_mc and pocmax <= 127)
+        mv8=any_mc and mvmax <= 127, poc8=any_mc and pocmax <= 127,
+        # fused intra: Ktot pads the flat arrays with a full Klvl window
+        # of headroom so every per-level dynamic_slice stays in bounds
+        intra=tuple(
+            (pl, l, _ceil_sched(e[1] + _ceil_sched(e[0])),
+             _ceil_sched(e[0]), _ceil_sched(e[2]) if e[2] else 0)
+            for (pl, l), e in sorted(imax.items())),
+        intra_C=intra_C,
+        strong=bool(sps.strong_intra_smoothing_enable_flag))
 
 
 def table_geom(cfg: ProgramCfg):
@@ -318,6 +358,52 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
                       constant_values=(1 if k == "sh_disable" else 0))
     t["sidx"] = np.minimum(t["sidx"], S1 - 1)
 
+    if cfg.intra:
+        from .intra_fused import pack_intra
+        t.update(pack_intra(plan, cfg))
+    if cfg.skip_mc:
+        # zero-PU frame program: no motion uploads at all (the deblock
+        # planner gets zero grids on device)
+        for k in ("mv", "poc", "pf"):
+            del t[k]
+    else:
+        _pack_motion(t, plan, cfg, fid_slot, real_slots, S1)
+    _pack_residual_buckets(t, plan, cfg, real_slots)
+    if real_slots and cfg.pack_bits:
+        # 0/1 4x4-granular grids ship bit-packed (row-major bits,
+        # numpy 'big' bit order); 2-bit edge masks (bit0 left, bit1 top)
+        # ship as two stacked bit-planes; decode_frame_device unpacks
+        for k in BIT_KEYS:
+            t[k] = np.packbits(t[k].astype(bool), axis=1)
+        for k in BIT2_KEYS:
+            a = t[k]
+            t[k] = np.packbits(
+                np.stack([a & 1, (a >> 1) & 1]).astype(bool), axis=2)
+        if cfg.qp_grid8:
+            t["qp"] = np.ascontiguousarray(t["qp"][::2, ::2])
+    if real_slots and cfg.lane0 and not cfg.skip_mc:
+        # single-list stream: collapse the motion grids to ONE lane on
+        # host (the swap the device would do anyway), halving the
+        # dominant remaining upload tensors; the device re-widens with
+        # a duplicate lane1 + pf1=0, which is semantics-neutral (the
+        # deblock bS planner's single-vector path selects by pf and
+        # every block has at most one vector)
+        sw = t["pf"][:, :, 0] == 0
+        t["mv"] = np.where(sw[:, :, None], t["mv"][:, :, 1, :],
+                           t["mv"][:, :, 0, :])
+        for k in ("poc", "slot"):
+            t[k] = np.where(sw, t[k][:, :, 1], t[k][:, :, 0])
+        t["pf"] = (t["pf"][:, :, 0] | t["pf"][:, :, 1])
+    if real_slots and not cfg.skip_mc:
+        # adaptive narrow dtypes (every consumer casts to int32 anyway)
+        if cfg.mv8:
+            t["mv"] = t["mv"].astype(np.int8)
+        if cfg.poc8:
+            t["poc"] = t["poc"].astype(np.int8)
+    return t
+
+
+def _pack_motion(t, plan, cfg, fid_slot, real_slots, S1):
     # ref-list tables (slice, list, idx) -> COMPACT ref slot / poc, from
     # pu_meta; sel_slots maps compact ids to DPB stack slots so the
     # program builds MC tables only for referenced frames.
@@ -395,7 +481,9 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
         t["wt_denom"] = denom
         t["has_pw"] = has_pw
 
-    # TU residual buckets
+
+def _pack_residual_buckets(t, plan, cfg, real_slots):
+    # TU residual buckets (inter; intra residuals ship via pack_intra)
     tu_meta, coeff_pool, _ = plan._tu_arrays
     sel = (tu_meta[:, 9] >= 0) & (tu_meta[:, 8] == MODE_INTER) \
         if tu_meta.shape[0] else np.zeros(0, bool)
@@ -469,39 +557,6 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
         t[f"rq_{cidx}_{log2}"] = qp
         t[f"rs_{cidx}_{log2}"] = slots
 
-    if real_slots and cfg.pack_bits:
-        # 0/1 4x4-granular grids ship bit-packed (row-major bits,
-        # numpy 'big' bit order); 2-bit edge masks (bit0 left, bit1 top)
-        # ship as two stacked bit-planes; decode_frame_device unpacks
-        for k in BIT_KEYS:
-            t[k] = np.packbits(t[k].astype(bool), axis=1)
-        for k in BIT2_KEYS:
-            a = t[k]
-            t[k] = np.packbits(
-                np.stack([a & 1, (a >> 1) & 1]).astype(bool), axis=2)
-        if cfg.qp_grid8:
-            t["qp"] = np.ascontiguousarray(t["qp"][::2, ::2])
-    if real_slots and cfg.lane0:
-        # single-list stream: collapse the motion grids to ONE lane on
-        # host (the swap the device would do anyway), halving the
-        # dominant remaining upload tensors; the device re-widens with
-        # a duplicate lane1 + pf1=0, which is semantics-neutral (the
-        # deblock bS planner's single-vector path selects by pf and
-        # every block has at most one vector)
-        sw = t["pf"][:, :, 0] == 0
-        t["mv"] = np.where(sw[:, :, None], t["mv"][:, :, 1, :],
-                           t["mv"][:, :, 0, :])
-        for k in ("poc", "slot"):
-            t[k] = np.where(sw, t[k][:, :, 1], t[k][:, :, 0])
-        t["pf"] = (t["pf"][:, :, 0] | t["pf"][:, :, 1])
-    if real_slots:
-        # adaptive narrow dtypes (every consumer casts to int32 anyway)
-        if cfg.mv8:
-            t["mv"] = t["mv"].astype(np.int8)
-        if cfg.poc8:
-            t["poc"] = t["poc"].astype(np.int8)
-    return t
-
 
 # ----------------------------------------------------------- device pieces
 BIT_KEYS = ("pm", "cbf", "off")          # 0/1 grids
@@ -563,7 +618,8 @@ def _scatter_residual_slots(plane, res, slots, log2, maxv):
 
 def decode_frame_device(dy, dcb, dcr, ty, tc, t, out_slot,
                         cfg: ProgramCfg,
-                        stages=("mc", "res", "dbk", "sao", "tables")):
+                        stages=("mc", "res", "intra", "dbk", "sao",
+                                "tables")):
     """The fused program body (trace-time; wrap with jit via get_program).
     dy/dcb/dcr: (R,H,W)/(R,Hc,Wc) int16 device DPB stacks.
     ty/tc: persistent MC tile tables (init_tables; tc carries the
@@ -593,7 +649,13 @@ def decode_frame_device(dy, dcb, dcr, ty, tc, t, out_slot,
             t[k] = _unpack_bits(a[0], gw) | (_unpack_bits(a[1], gw) << 1)
         if cfg.qp_grid8:
             t["qp"] = _expand_grid2(t["qp"], gh, gw)
-    if cfg.lane0:
+    if cfg.skip_mc:
+        # zero-PU frame: no motion uploads — the deblock planner reads
+        # all-zero grids (bS comes from the intra pm grid alone)
+        t["mv"] = jnp.zeros((gh, gw, 2, 2), jnp.int32)
+        t["poc"] = jnp.zeros((gh, gw, 2), jnp.int32)
+        t["pf"] = jnp.zeros((gh, gw, 2), jnp.int32)
+    if cfg.lane0 and not cfg.skip_mc:
         # re-widen the host-collapsed motion grids: duplicate lane1
         # (never consulted — pf1=0 keeps both MC and the bS planner on
         # their single-vector paths)
@@ -601,12 +663,12 @@ def decode_frame_device(dy, dcb, dcr, ty, tc, t, out_slot,
         for k in ("poc", "slot"):
             t[k] = jnp.stack([t[k], t[k]], axis=-1)
         t["pf"] = jnp.stack([t["pf"], jnp.zeros_like(t["pf"])], axis=-1)
-    if cfg.pu_grid8:
+    if cfg.pu_grid8 and not cfg.skip_mc:
         for k in (("mv", "poc", "pf", "slot", "ref_idx")
                   if cfg.has_weights else ("mv", "poc", "pf", "slot")):
             t[k] = _expand_grid2(t[k], gh, gw)
 
-    if "mc" not in stages:
+    if "mc" not in stages or cfg.skip_mc:
         Y = jnp.zeros((H, W), jnp.int32)
         Cb = jnp.zeros((Hc, Wc), jnp.int32)
         Cr = jnp.zeros((Hc, Wc), jnp.int32)
@@ -703,6 +765,12 @@ def _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg, stages,
             planes[cidx] = _scatter_residual_slots(
                 planes[cidx], res, t[f"rs_{cidx}_{log2}"], log2, maxv)
         Y, Cb, Cr = planes
+
+    # ---- fused intra wavefront (reads post-inter-residual neighbors,
+    # exactly the reference's in-loop order: decode_TU slice.cc:3424)
+    if cfg.intra and "intra" in stages:
+        from .intra_fused import intra_stage
+        Y, Cb, Cr = intra_stage(Y, Cb, Cr, t, cfg)
 
     # ---- deblock (metadata derived on device)
     if "dbk" in stages:

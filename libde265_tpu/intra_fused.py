@@ -1,0 +1,363 @@
+"""Fused-path intra reconstruction: wavefront levels inside the frame
+program.
+
+The reference decodes intra TUs inline in the serial CTB loop
+(/root/reference/libde265/intrapred.cc:1074-1164, slice.cc:3424-3488).
+The TPU answer keeps whole frames device-resident: the host assigns every
+intra TU a wavefront *level* (longest border-dependency chain,
+intra_wavefront.py semantics) and ships, per (luma/chroma, log2) class,
+a flat level-sorted TU array plus per-level offsets. On device a single
+`lax.fori_loop` walks the levels; each step dynamic-slices a fixed-size
+window of that level's TUs per class, gathers borders from the flattened
+Y|Cb|Cr plane buffer, substitutes via the host-packed availability bits
+(spec 8.4.4.2.2), predicts (ops/intra_jax.predict_core — shared with the
+hybrid oracle path), adds the pre-computed residual and scatters back.
+Residuals are level-independent, so ONE batched inverse transform per
+class runs before the loop (MXU), leaving only the serial-by-nature
+border chain inside it.
+
+Host-side cost is vectorized numpy except the per-TU level DP (a strict
+decode-order recurrence); the native front-end mirrors it in C++ when
+available.
+"""
+import numpy as np
+
+from .plan import MODE_INTRA
+
+# class id: (pl, log2) with pl 0 = luma, 1 = chroma (Cb and Cr rows share
+# a class — identical geometry/levels, plane chosen per row)
+INTRA_LOG2S = (2, 3, 4, 5)
+
+
+def _okbytes(log2):
+    return (4 * (1 << log2) + 1 + 7) // 8
+
+
+# --------------------------------------------------------------- host side
+def _spread_bits(v):
+    out = 0
+    b = 0
+    while v:
+        out |= (v & 1) << (2 * b)
+        v >>= 1
+        b += 1
+    return out
+
+
+def _avail_grids(plan):
+    """(zg, sa4, tid4) at 4x4-luma-block granularity. zg is the global
+    decode order (tile-scan CTB order × z-order within the CTB), so
+    `zg[nb] < zg[cur]` == the reference's ts/z-scan availability check
+    (image.cc available_zscan)."""
+    g = getattr(plan, "_avail_grids", None)
+    if g is not None:
+        return g
+    sps, pps = plan.sps, plan.pps
+    gh, gw = plan.gh, plan.gw
+    s = sps.Log2CtbSizeY - 2
+    by4, bx4 = np.mgrid[0:gh, 0:gw]
+    cy, cx = by4 >> s, bx4 >> s
+    rs = cy * sps.PicWidthInCtbsY + cx
+    ts = np.asarray(pps.CtbAddrRStoTS, np.int64)[rs]
+    spread = np.asarray([_spread_bits(v) for v in range(1 << s)], np.int64)
+    m = (1 << s) - 1
+    zin = spread[bx4 & m] | (spread[by4 & m] << 1)
+    zg = (ts << (2 * s)) | zin
+    sa4 = plan.slice_addr_rs[cy, cx]
+    tid4 = np.asarray(pps.TileId, np.int64)[rs]
+    plan._avail_grids = (zg, sa4, tid4)
+    return plan._avail_grids
+
+
+def assign_levels_meta(plan):
+    """Per-tu_meta-row wavefront level (0 = not an intra TU). Exact
+    longest-chain DP in decode order (intra_wavefront.assign_levels
+    semantics, operating on the SoA tu_meta instead of TURecords)."""
+    cached = getattr(plan, "_intra_levels", None)
+    if cached is not None:
+        return cached
+    tm = plan._tu_arrays[0]
+    N = tm.shape[0]
+    levels = np.zeros(N, np.int32)
+    if N:
+        sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+        gh, gw = plan.gh, plan.gw
+        L = [np.zeros((gh, gw), np.int32) for _ in range(3)]
+        cidx_c = tm[:, 0]
+        x_c = tm[:, 1]
+        y_c = tm[:, 2]
+        log2_c = tm[:, 3]
+        pm_c = tm[:, 8]
+        for i in range(N):
+            cidx = cidx_c[i]
+            if cidx < 0 or pm_c[i] != MODE_INTRA:
+                continue
+            sc = 1 if cidx == 0 else sub
+            n = 1 << log2_c[i]
+            x0 = x_c[i] * sc
+            y0 = y_c[i] * sc
+            span = n * sc
+            g = L[cidx]
+            gx0, gy0 = x0 >> 2, y0 >> 2
+            gspan = max(1, span >> 2)
+            dep = 0
+            bx = (x0 - 1) >> 2
+            if bx >= 0:
+                y_end = min(gh - 1, (y0 + 2 * span - 1) >> 2)
+                col = g[gy0:y_end + 1, bx]
+                if col.size:
+                    dep = int(col.max())
+            by = (y0 - 1) >> 2
+            if by >= 0:
+                x_end = min(gw - 1, (x0 + 2 * span - 1) >> 2)
+                row = g[by, max(0, bx):x_end + 1]
+                if row.size:
+                    dep = max(dep, int(row.max()))
+            lvl = dep + 1
+            g[gy0:gy0 + gspan, gx0:gx0 + gspan] = lvl
+            levels[i] = lvl
+    plan._intra_levels = levels
+    return levels
+
+
+def _border_ok(plan, xs, ys, cidx_arr, log2):
+    """Vectorized availability for a class batch: (N, 4n+1) bool mask of
+    border-sample availability incl. constrained-intra-pred (spec 6.4.1 +
+    8.4.4.2.2; reference intra_border_computer intrapred.cc:437-530)."""
+    zg, sa4, tid4 = _avail_grids(plan)
+    gh, gw = zg.shape
+    sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+    sc = np.where(cidx_arr == 0, 1, sub).astype(np.int64)[:, None]
+    n = 1 << log2
+    Lb = 4 * n + 1
+    c = 2 * n
+    pos = np.arange(Lb, dtype=np.int64)[None, :]
+    x = xs.astype(np.int64)[:, None]
+    y = ys.astype(np.int64)[:, None]
+    by = np.where(pos < c, y + c - pos - 1, y - 1)
+    bx = np.where(pos > c, x + pos - c - 1, x - 1)
+    # plane bounds (own sample units)
+    Hp_l = np.where(cidx_arr == 0, plan.H, plan.H // sub)[:, None]
+    Wp_l = np.where(cidx_arr == 0, plan.W, plan.W // sub)[:, None]
+    inb = (bx >= 0) & (by >= 0) & (bx < Wp_l) & (by < Hp_l)
+    nby = np.clip((by * sc) >> 2, 0, gh - 1)
+    nbx = np.clip((bx * sc) >> 2, 0, gw - 1)
+    cby = np.clip((y * sc) >> 2, 0, gh - 1)
+    cbx = np.clip((x * sc) >> 2, 0, gw - 1)
+    ok = (inb & (zg[nby, nbx] < zg[cby, cbx])
+          & (sa4[nby, nbx] == sa4[cby, cbx])
+          & (tid4[nby, nbx] == tid4[cby, cbx]))
+    if plan.pps.constrained_intra_pred_flag:
+        ok &= plan.pred_mode[nby, nbx] == MODE_INTRA
+    return ok
+
+
+def intra_frame_stats(plan):
+    """Per-class level histogram for stream_cfg capacity derivation.
+    Returns (n_levels, {(pl, log2): (max_per_level, total, n_escapes)})."""
+    tm, coeff_pool, _ = plan._tu_arrays
+    levels = assign_levels_meta(plan)
+    out = {}
+    n_levels = int(levels.max()) if levels.size else 0
+    for log2 in INTRA_LOG2S:
+        for pl in (0, 1):
+            sel = ((levels > 0) & (tm[:, 3] == log2)
+                   & ((tm[:, 0] == 0) if pl == 0 else (tm[:, 0] > 0)))
+            k = int(sel.sum())
+            if not k:
+                continue
+            lv = levels[sel]
+            cnt = np.bincount(lv)
+            ne = 0
+            co = tm[sel, 9]
+            has = co >= 0
+            if has.any():
+                nn = 1 << (2 * log2)
+                gi = co[has][:, None] + np.arange(nn)[None, :]
+                ne = int((np.abs(coeff_pool[gi]) > 127).sum())
+            out[(pl, log2)] = (int(cnt.max()), k, ne)
+    return n_levels, out
+
+
+def pack_intra(plan, cfg):
+    """Host: per-class flat level-sorted tensors for the device scan.
+    Emits (into a dict) for each cfg.intra class (pl, log2, Ktot, Klvl, E):
+      ixy_{pl}_{l}: (Ktot,2) int16 x,y (plane units)
+      imd_{pl}_{l}: (Ktot,)  int8  mode
+      iok_{pl}_{l}: (Ktot,OB) uint8 packed border-availability bits
+      ipl_{pl}_{l}: (Ktot,)  int8  cidx (chroma classes only)
+      icf_{pl}_{l}: (Ktot,n*n) int8 coeff body (+ iei/iev escapes when E)
+      iqp_{pl}_{l}: (Ktot,)  int8  QP
+      ioff_{pl}_{l}: (C+1,) int32 level offsets"""
+    t = {}
+    tm, coeff_pool, _ = plan._tu_arrays
+    levels = assign_levels_meta(plan)
+    C = cfg.intra_C
+    for (pl, log2, Ktot, Klvl, E) in cfg.intra:
+        n = 1 << log2
+        nn = n * n
+        OB = _okbytes(log2)
+        sel = ((levels > 0) & (tm[:, 3] == log2)
+               & ((tm[:, 0] == 0) if pl == 0 else (tm[:, 0] > 0)))
+        idx = np.flatnonzero(sel)
+        lv = levels[idx]
+        order = np.argsort(lv, kind="stable")
+        idx = idx[order]
+        lv = lv[order]
+        k = idx.size
+        assert k + Klvl <= Ktot, (pl, log2, k, Klvl, Ktot)
+        cnt = np.bincount(lv, minlength=C + 1)
+        assert lv.size == 0 or (int(lv.max()) <= C
+                                and int(cnt[1:].max()) <= Klvl), \
+            (pl, log2, C, Klvl)
+        off = np.zeros(C + 1, np.int32)
+        off[1:] = np.cumsum(cnt[1:C + 1])
+        xy = np.zeros((Ktot, 2), np.int16)
+        xy[:k, 0] = tm[idx, 1]
+        xy[:k, 1] = tm[idx, 2]
+        md = np.ones(Ktot, np.int8)
+        md[:k] = tm[idx, 4]
+        okb = np.zeros((Ktot, OB), np.uint8)
+        if k:
+            ok = _border_ok(plan, tm[idx, 1], tm[idx, 2], tm[idx, 0], log2)
+            okb[:k] = np.packbits(ok, axis=1)
+        qp = np.zeros(Ktot, np.int8)
+        qp[:k] = tm[idx, 5]
+        cf = np.zeros((Ktot, nn), np.int16)
+        co = tm[idx, 9]
+        has = co >= 0
+        if has.any():
+            gi = co[has][:, None] + np.arange(nn)[None, :]
+            cf[np.flatnonzero(has)] = coeff_pool[gi]
+        c8 = np.clip(cf, -128, 127).astype(np.int8)
+        sfx = f"_{pl}_{log2}"
+        if E:
+            flat = cf.reshape(-1)
+            eidx = np.flatnonzero(flat != c8.reshape(-1))
+            assert eidx.size <= E, (pl, log2, eidx.size, E)
+            ridx = np.full(E, Ktot * nn, np.int32)
+            rval = np.zeros(E, np.int16)
+            ridx[:eidx.size] = eidx
+            rval[:eidx.size] = flat[eidx]
+            t["iei" + sfx] = ridx
+            t["iev" + sfx] = rval
+        else:
+            assert (cf == c8).all(), "intra escape capacity 0 but |v|>127"
+        t["ixy" + sfx] = xy
+        t["imd" + sfx] = md
+        t["iok" + sfx] = okb
+        t["iqp" + sfx] = qp
+        t["icf" + sfx] = c8
+        t["ioff" + sfx] = off
+        if pl == 1:
+            ip = np.ones(Ktot, np.int8)
+            ip[:k] = tm[idx, 0]
+            t["ipl" + sfx] = ip
+    return t
+
+
+# ------------------------------------------------------------- device side
+def intra_stage(Y, Cb, Cr, t, cfg):
+    """Device: run all intra TUs as a level fori_loop over the flattened
+    Y|Cb|Cr buffer. Planes arrive with inter prediction + inter residuals
+    applied; returns updated (Y, Cb, Cr) int32."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.intra_jax import predict_core
+    from .ops.transform_jax import residual_batch
+
+    H, W = cfg.H, cfg.W
+    Hc, Wc = H // 2, W // 2
+    bd = cfg.bitdepth
+    maxv = (1 << bd) - 1
+    SZ = H * W + 2 * Hc * Wc
+    flat = jnp.concatenate([Y.reshape(-1), Cb.reshape(-1), Cr.reshape(-1)])
+
+    # residuals are level-independent: one batched inverse transform per
+    # class before the loop (transform.cc:352-625 capability; DST for
+    # luma 4x4 intra)
+    res_all = {}
+    for (pl, log2, Ktot, Klvl, E) in cfg.intra:
+        n = 1 << log2
+        nn = n * n
+        sfx = f"_{pl}_{log2}"
+        c = t["icf" + sfx].astype(jnp.int32)
+        if E:
+            fl = jnp.concatenate([c.reshape(Ktot * nn),
+                                  jnp.zeros(1, jnp.int32)])
+            fl = fl.at[t["iei" + sfx]].set(t["iev" + sfx].astype(jnp.int32))
+            c = fl[:Ktot * nn]
+        c = c.reshape(Ktot, n, n)
+        res_all[sfx] = residual_batch(c, t["iqp" + sfx].astype(jnp.int32),
+                                      log2, pl == 0 and log2 == 2, bd)
+
+    def class_step(flat, i, pl, log2, Ktot, Klvl, E):
+        n = 1 << log2
+        Lb = 4 * n + 1
+        c2 = 2 * n
+        OB = _okbytes(log2)
+        sfx = f"_{pl}_{log2}"
+        off = t["ioff" + sfx]
+        start = off[i]
+        end = off[i + 1]
+
+        def run(flat):
+            xy = jax.lax.dynamic_slice(t["ixy" + sfx], (start, 0),
+                                       (Klvl, 2)).astype(jnp.int32)
+            md = jax.lax.dynamic_slice_in_dim(t["imd" + sfx], start,
+                                              Klvl).astype(jnp.int32)
+            okb = jax.lax.dynamic_slice(t["iok" + sfx], (start, 0),
+                                        (Klvl, OB))
+            resw = jax.lax.dynamic_slice(res_all[sfx], (start, 0, 0),
+                                         (Klvl, n, n))
+            xw, yw = xy[:, 0], xy[:, 1]
+            if pl == 0:
+                base = jnp.zeros(Klvl, jnp.int32)
+                Hp_, Wp_ = H, W
+            else:
+                sel = jax.lax.dynamic_slice_in_dim(
+                    t["ipl" + sfx], start, Klvl).astype(jnp.int32)
+                base = H * W + (sel - 1) * (Hc * Wc)
+                Hp_, Wp_ = Hc, Wc
+            pos = jnp.arange(Lb, dtype=jnp.int32)[None, :]
+            by = jnp.where(pos < c2, yw[:, None] + c2 - pos - 1,
+                           yw[:, None] - 1)
+            bx = jnp.where(pos > c2, xw[:, None] + pos - c2 - 1,
+                           xw[:, None] - 1)
+            gi = base[:, None] + jnp.clip(by, 0, Hp_ - 1) * Wp_ + \
+                jnp.clip(bx, 0, Wp_ - 1)
+            raw = flat[gi]                                   # (Klvl, Lb)
+            bits = (okb[:, :, None] >>
+                    (7 - jnp.arange(8, dtype=jnp.uint8))[None, None, :]) & 1
+            okm = bits.reshape(Klvl, OB * 8)[:, :Lb] != 0
+            idxv = jnp.where(okm, pos, -1)
+            ffill = jax.lax.cummax(idxv, axis=1)
+            anyok = okm.any(axis=1)
+            first = jnp.argmax(okm, axis=1).astype(jnp.int32)
+            src = jnp.where(ffill >= 0, ffill, first[:, None])
+            ref = jnp.take_along_axis(raw, src, axis=1)
+            ref = jnp.where(anyok[:, None], ref, 1 << (bd - 1))
+            pred = predict_core(ref, md, log2, pl == 0, bd, cfg.strong,
+                                smooth=pl == 0)
+            out = jnp.clip(pred + resw, 0, maxv)
+            valid = start + jnp.arange(Klvl, dtype=jnp.int32) < end
+            rr = jnp.arange(n, dtype=jnp.int32)
+            didx = (base[:, None, None]
+                    + (yw[:, None, None] + rr[None, :, None]) * Wp_
+                    + xw[:, None, None] + rr[None, None, :])
+            didx = jnp.where(valid[:, None, None], didx, SZ)
+            return flat.at[didx.reshape(-1)].set(
+                out.reshape(-1), mode="drop", unique_indices=True)
+
+        return jax.lax.cond(end > start, run, lambda f: f, flat)
+
+    def body(i, flat):
+        for (pl, log2, Ktot, Klvl, E) in cfg.intra:
+            flat = class_step(flat, i, pl, log2, Ktot, Klvl, E)
+        return flat
+
+    flat = jax.lax.fori_loop(0, cfg.intra_C, body, flat)
+    Y = flat[:H * W].reshape(H, W)
+    Cb = flat[H * W:H * W + Hc * Wc].reshape(Hc, Wc)
+    Cr = flat[H * W + Hc * Wc:SZ].reshape(Hc, Wc)
+    return Y, Cb, Cr

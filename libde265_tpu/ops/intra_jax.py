@@ -86,33 +86,26 @@ def host_border_info(plan, avail, tus, cidx, log2, bitdepth):
     return by, bx, src, ~any_ok
 
 
-@partial(jax.jit,
-         static_argnames=("log2", "cidx", "bitdepth", "strong", "smooth"))
-def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
-                  xs, ys, valid, log2, cidx, bitdepth, strong, smooth=None):
-    """One wavefront-level bucket: border gather + substitution + filtering +
-    35-mode prediction + residual add + scatter. plane (H,W) int32;
-    coeff_res (N,n,n) residual (already inverse-transformed).
-    Returns updated plane."""
+def predict_core(ref, modes, log2, luma, bitdepth, strong, smooth):
+    """Border filtering (8.4.4.2.3) + 35-mode prediction (8.4.4.2.4-6)
+    from an already-substituted border array. ref: (N, 4n+1) int32 in
+    bottom-left..top-right scan order (corner at index 2n); modes: (N,)
+    int32. luma gates the DC/mode-10/26 boundary filters (cIdx==0 only,
+    intrapred.cc:1058-1070); smooth gates [1,2,1]/strong filtering
+    (cIdx==0 or 4:4:4). Returns (N, n, n) int32 prediction. Shared by the
+    hybrid wavefront path (predict_level) and the fused in-program intra
+    scan (frame_program) so both stay bit-exact by construction."""
     n = 1 << log2
     L = 4 * n + 1
     c = 2 * n
-    N = by.shape[0]
+    N = ref.shape[0]
     maxv = (1 << bitdepth) - 1
-    raw = plane[by, bx]                                     # (N, L)
-    ref = jnp.take_along_axis(raw, src, axis=1)
-    ref = jnp.where(none_avail[:, None], 1 << (bitdepth - 1), ref)
-
-    # ---- filtering (8.4.4.2.3): luma, and chroma too for 4:4:4
-    # (intrapred.cc:1086: cIdx==0 || ChromaArrayType==CHROMA_444)
-    if smooth is None:
-        smooth = cidx == 0
     if smooth and n >= 8:
         md = jnp.minimum(jnp.abs(modes - 26), jnp.abs(modes - 10))
         thresh = {8: 7, 16: 1, 32: 0}[n]
         fflag = (modes != 1) & (md > thresh)
         # strong smoothing (luma n==32 only, intrapred.cc:848)
-        if strong and n == 32 and cidx == 0:
+        if strong and n == 32 and luma:
             bt = 1 << (bitdepth - 5)
             condT = jnp.abs(ref[:, c] + ref[:, c + 2 * n] - 2 * ref[:, c + n]) < bt
             condL = jnp.abs(ref[:, c] + ref[:, c - 2 * n] - 2 * ref[:, c - n]) < bt
@@ -151,7 +144,7 @@ def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
     # DC
     dc = (top.sum(1) + left.sum(1) + n) >> (int(np.log2(n)) + 1)
     dcp = jnp.broadcast_to(dc[:, None, None], (N, n, n))
-    if cidx == 0 and n < 32:
+    if luma and n < 32:
         row0 = (top + 3 * dc[:, None] + 2) >> 2
         col0 = (left + 3 * dc[:, None] + 2) >> 2
         corner00 = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
@@ -197,7 +190,7 @@ def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
     angp = jnp.where(is_vert[:, None, None], angp,
                      jnp.swapaxes(angp, 1, 2))
     # boundary filters for modes 26/10 (luma, n<32)
-    if cidx == 0 and n < 32:
+    if luma and n < 32:
         corner = ref[:, c]
         col26 = jnp.clip(ref[:, c + 1][:, None] + ((left - corner[:, None]) >> 1),
                          0, maxv)
@@ -208,8 +201,28 @@ def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
         angp = jnp.where((modes == 10)[:, None, None],
                          angp.at[:, 0, :].set(row10), angp)
 
-    pred = jnp.where((modes == 0)[:, None, None], planar,
+    return jnp.where((modes == 0)[:, None, None], planar,
                      jnp.where((modes == 1)[:, None, None], dcp, angp))
+
+
+@partial(jax.jit,
+         static_argnames=("log2", "cidx", "bitdepth", "strong", "smooth"))
+def predict_level(plane, by, bx, src, none_avail, modes, coeff_res, has_res,
+                  xs, ys, valid, log2, cidx, bitdepth, strong, smooth=None):
+    """One wavefront-level bucket: border gather + substitution + filtering +
+    35-mode prediction + residual add + scatter. plane (H,W) int32;
+    coeff_res (N,n,n) residual (already inverse-transformed).
+    Returns updated plane."""
+    n = 1 << log2
+    maxv = (1 << bitdepth) - 1
+    raw = plane[by, bx]                                     # (N, L)
+    ref = jnp.take_along_axis(raw, src, axis=1)
+    ref = jnp.where(none_avail[:, None], 1 << (bitdepth - 1), ref)
+    if smooth is None:
+        smooth = cidx == 0
+    pred = predict_core(ref, modes, log2, cidx == 0, bitdepth, strong,
+                        smooth)
+    N = by.shape[0]
     out = jnp.clip(pred + jnp.where(has_res[:, None, None], coeff_res, 0),
                    0, maxv)
     # scatter back: delta-add into a slot table (TU positions are n-aligned
