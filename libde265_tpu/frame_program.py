@@ -79,6 +79,22 @@ class ProgramCfg:
                                       # device row-scatters them back
     mv8: bool = False                 # all |mv| <= 127: ship int8 MVs
     poc8: bool = False                # all |poc delta| <= 127: int8
+    scaling: bool = False             # sps/pps scaling lists: per-frame
+                                      # (n,n) scale matrices upload per
+                                      # bucket/class; dequant switches to
+                                      # the m[x][y] path (8.6.3,
+                                      # transform.cc:477-510)
+    pcm: tuple = ()                   # PCM paste buckets ((log2, Kp), ...):
+                                      # raw samples scatter into the frame
+                                      # before the intra scan (the pm grid
+                                      # masks MC out of PCM regions, so the
+                                      # paste lands on zeros; read_pcm_
+                                      # samples slice.cc:4144-4215)
+    res_kinds: tuple = ()             # per-bucket residual-kind bitmask:
+                                      # 1 = transform-skip present, 2 =
+                                      # tq-bypass present (0 = pure IDCT;
+                                      # nonzero ships a per-TU kind byte
+                                      # and selects the variant on device)
     intra: tuple = ()                 # fused-path intra classes:
                                       # ((pl, log2, Ktot, Klvl, E), ...)
                                       # pl 0=luma 1=chroma (intra_fused.py);
@@ -121,16 +137,14 @@ def _ceil_sched(n):
 def frame_compatible(plan):
     """Can this frame run through the fused device program? (Intra TUs
     are fused since round 3 — intra_fused.py wavefront scan.)"""
-    if plan.sps.scaling_list_enable_flag or plan.sps.ChromaArrayType != 1:
+    if plan.sps.ChromaArrayType != 1:
         return False
+    if getattr(plan.sps, "implicit_rdpcm_enabled_flag", 0) or \
+            getattr(plan.sps, "transform_skip_rotation_enabled_flag", 0):
+        return False              # rext rdpcm / tskip-rotation semantics
     tu_meta = plan._tu_arrays[0] if plan._tu_arrays is not None else None
     if tu_meta is None:
         return False              # python front-end path: use hybrid
-    if tu_meta.shape[0]:
-        if (tu_meta[:, 0] == -1).any():            # PCM
-            return False
-        if (tu_meta[:, 6] != 0).any() or (tu_meta[:, 7] != 0).any():
-            return False                            # tskip / tq-bypass
     if not len(plan.slice_headers):
         return False
     return True
@@ -159,6 +173,7 @@ def stream_cfg(plans, sps, use_pallas=False):
     qp8 = True
     imax = {}                     # (pl, log2) -> [Klvl, Ktot, E] intra caps
     intra_C = 0
+    pcm_max = {}                  # log2 -> max PCM block count
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
             continue
@@ -188,7 +203,7 @@ def stream_cfg(plans, sps, use_pallas=False):
                     k = int(mm.sum())
                     if k:
                         key = (cidx, log2)
-                        kmax.setdefault(key, [0, 0, 0])
+                        kmax.setdefault(key, [0, 0, 0, 0])
                         kmax[key][0] = max(kmax[key][0], k)
                         n2 = 1 << (2 * log2)
                         gi = tu_meta[mm, 9][:, None] + np.arange(n2)[None, :]
@@ -199,6 +214,19 @@ def stream_cfg(plans, sps, use_pallas=False):
                         sb = cc.reshape(k, n_ // 4, 4, n_ // 4, 4)
                         nz = int((sb != 0).any(axis=(2, 4)).sum())
                         kmax[key][2] = max(kmax[key][2], nz)
+                        # residual-kind bitmask: 1 = any transform-skip,
+                        # 2 = any transquant-bypass (transform.cc:352-625)
+                        if (tu_meta[mm, 6] != 0).any():
+                            kmax[key][3] |= 1
+                        if (tu_meta[mm, 7] != 0).any():
+                            kmax[key][3] |= 2
+        if tu_meta.shape[0]:
+            pm_rows = tu_meta[:, 0] == -1
+            if pm_rows.any():
+                for log2 in (3, 4, 5):
+                    kp = int((pm_rows & (tu_meta[:, 3] == log2)).sum())
+                    if kp:
+                        pcm_max[log2] = max(pcm_max.get(log2, 0), kp)
         smax = max(smax, len(plan.slice_headers))
         has_w = has_w or any(s.pred_weight is not None
                              for s in plan.slice_headers)
@@ -210,11 +238,12 @@ def stream_cfg(plans, sps, use_pallas=False):
             from .intra_fused import intra_frame_stats
             nlv, st = intra_frame_stats(plan)
             intra_C = max(intra_C, nlv)
-            for key, (mlvl, tot, ne) in st.items():
-                e = imax.setdefault(key, [0, 0, 0])
+            for key, (mlvl, tot, ne, kinds) in st.items():
+                e = imax.setdefault(key, [0, 0, 0, 0])
                 e[0] = max(e[0], mlvl)
                 e[1] = max(e[1], tot)
                 e[2] = max(e[2], ne)
+                e[3] |= kinds
     # class-sorted MXU MC capacities: per-(h,v)-class max counts over
     # every compatible frame and every lane the program will run, using
     # the SAME numpy geometry the device traces (mc_mxu_jax.luma_geom)
@@ -269,6 +298,9 @@ def stream_cfg(plans, sps, use_pallas=False):
         buckets=tuple((c, l, _ceil_sched(ke[0])) for (c, l), ke in order),
         escapes=tuple(_ceil_sched(ke[1]) if ke[1] else 0
                       for (c, l), ke in order),
+        res_kinds=tuple(ke[3] for (c, l), ke in order),
+        pcm=tuple((l, _ceil_sched(k)) for l, k in sorted(pcm_max.items())),
+        scaling=bool(sps.scaling_list_enable_flag),
         # sub-block upload only when it saves >=30% vs the dense body
         # (20 B/sub-block: 16 int8 values + int32 index)
         sb_caps=tuple(
@@ -284,7 +316,7 @@ def stream_cfg(plans, sps, use_pallas=False):
         # of headroom so every per-level dynamic_slice stays in bounds
         intra=tuple(
             (pl, l, _ceil_sched(e[1] + _ceil_sched(e[0])),
-             _ceil_sched(e[0]), _ceil_sched(e[2]) if e[2] else 0)
+             _ceil_sched(e[0]), _ceil_sched(e[2]) if e[2] else 0, e[3])
             for (pl, l), e in sorted(imax.items())),
         intra_C=intra_C,
         strong=bool(sps.strong_intra_smoothing_enable_flag))
@@ -369,6 +401,32 @@ def pack_frame(plan, cfg: ProgramCfg, fid_slot, real_slots=False):
     else:
         _pack_motion(t, plan, cfg, fid_slot, real_slots, S1)
     _pack_residual_buckets(t, plan, cfg, real_slots)
+    if cfg.pcm:
+        _pack_pcm(t, plan, cfg)
+    if cfg.scaling:
+        # per-frame scale matrices (DC substituted on host): one (n,n)
+        # per inter bucket; (n,n) luma / (2,n,n) cb|cr per intra class
+        from .reconstruct import _scaling_matrix
+        sl = plan.pps.scaling_list \
+            if plan.pps.pic_scaling_list_data_present_flag \
+            else plan.sps.scaling_list
+
+        def mat(log2, cidx, is_intra):
+            m, dc = _scaling_matrix(sl, log2, cidx, is_intra)
+            m = m.astype(np.int16)
+            if dc is not None:
+                m = m.copy()
+                m[0, 0] = dc
+            return m
+        for (cidx, log2, K) in cfg.buckets:
+            t[f"sm_{cidx}_{log2}"] = mat(log2, cidx, False)
+        for ic in cfg.intra:
+            pl, log2 = ic[0], ic[1]
+            if pl == 0:
+                t[f"ism_{pl}_{log2}"] = mat(log2, 0, True)
+            else:
+                t[f"ism_{pl}_{log2}"] = np.stack(
+                    [mat(log2, 1, True), mat(log2, 2, True)])
     if real_slots and cfg.pack_bits:
         # 0/1 4x4-granular grids ship bit-packed (row-major bits,
         # numpy 'big' bit order); 2-bit edge masks (bit0 left, bit1 top)
@@ -542,6 +600,11 @@ def _pack_residual_buckets(t, plan, cfg, real_slots):
             t[f"re_v_{cidx}_{log2}"] = rval
         else:
             assert (ck == c8k).all(), "escape capacity 0 but |v|>127"
+        if cfg.res_kinds and cfg.res_kinds[bi_]:
+            kd = np.zeros(K, np.int8)
+            kd[:k] = np.where(rows[:, 7] != 0, 2,
+                              np.where(rows[:, 6] != 0, 1, 0))
+            t[f"rk_{cidx}_{log2}"] = kd
         qp = np.zeros(K, np.int32)
         qp[:k] = rows[:, 5]
         sub = 1 if cidx == 0 else 2
@@ -556,6 +619,46 @@ def _pack_residual_buckets(t, plan, cfg, real_slots):
                 (rows[:, 1] >> log2)
         t[f"rq_{cidx}_{log2}"] = qp
         t[f"rs_{cidx}_{log2}"] = slots
+
+
+def _pack_pcm(t, plan, cfg):
+    """PCM sample buckets: per coded log2, (Kp, n*n) luma + (Kp, n*n/2)
+    interleaved [Cb|Cr] samples and CEIL-lattice slot rows (dump row for
+    padding), scattered onto the zeroed PCM regions on device."""
+    tu_meta, _, pcm_pool = plan._tu_arrays
+    dt = np.uint8 if cfg.bitdepth <= 8 else np.int16
+    sel_all = tu_meta[:, 0] == -1 if tu_meta.shape[0] else \
+        np.zeros(0, bool)
+    for (log2, Kp) in cfg.pcm:
+        n = 1 << log2
+        nn = n * n
+        m = sel_all & (tu_meta[:, 3] == log2) if tu_meta.shape[0] else \
+            np.zeros(0, bool)
+        rows = tu_meta[m]
+        k = rows.shape[0]
+        assert k <= Kp, (log2, k, Kp)
+        py = np.zeros((Kp, nn), dt)
+        pc = np.zeros((Kp, nn // 2), dt)
+        if k:
+            gi = rows[:, 9][:, None] + np.arange(nn)[None, :]
+            py[:k] = pcm_pool[gi]
+            gc = rows[:, 9][:, None] + nn + np.arange(nn // 2)[None, :]
+            pc[:k] = pcm_pool[gc]
+        ncols = -(-cfg.W // n)
+        nslots = -(-cfg.H // n) * ncols
+        slots = np.full(Kp, nslots, np.int32)
+        ncols_c = -(-(cfg.W // 2) // (n // 2))
+        nslots_c = -(-(cfg.H // 2) // (n // 2)) * ncols_c
+        slots_c = np.full(Kp, nslots_c, np.int32)
+        if k:
+            slots[:k] = (rows[:, 2] >> log2) * ncols + (rows[:, 1] >> log2)
+            slots_c[:k] = ((rows[:, 2] >> 1) >> (log2 - 1)) * ncols_c + \
+                ((rows[:, 1] >> 1) >> (log2 - 1))
+        t[f"py_{log2}"] = py
+        t[f"pc_{log2}"] = pc
+        t[f"ps_{log2}"] = slots
+        t[f"psc_{log2}"] = slots_c
+    return t
 
 
 # ----------------------------------------------------------- device pieces
@@ -761,10 +864,50 @@ def _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg, stages,
                 flat = flat.at[t[f"re_i_{cidx}_{log2}"]].set(
                     t[f"re_v_{cidx}_{log2}"].astype(jnp.int32))
                 c = flat[:K * n * n].reshape(K, n, n)
-            res = residual_batch(c, t[f"rq_{cidx}_{log2}"], log2, False, bd)
+            qpv = t[f"rq_{cidx}_{log2}"]
+            if cfg.scaling:
+                from .ops.transform_jax import (residual_batch_sl,
+                                                dequant_batch_sl)
+                smat = t[f"sm_{cidx}_{log2}"].astype(jnp.int32)
+                res = residual_batch_sl(c, qpv, smat, log2, False, bd)
+            else:
+                res = residual_batch(c, qpv, log2, False, bd)
+            kinds = cfg.res_kinds[bi_] if cfg.res_kinds else 0
+            if kinds:
+                # per-TU variant select: transform-skip (dequant + shift)
+                # and/or tq-bypass (raw coeffs) — transform.cc:352-625.
+                # XLA CSEs the duplicated dequant with residual_batch's.
+                from .ops.transform_jax import (dequant_batch,
+                                                transform_skip_batch)
+                kd = t[f"rk_{cidx}_{log2}"].astype(jnp.int32)[:, None, None]
+                if kinds & 1:
+                    d = dequant_batch_sl(c, qpv, smat, log2, bd) \
+                        if cfg.scaling else dequant_batch(c, qpv, log2, bd)
+                    res = jnp.where(kd == 1,
+                                    transform_skip_batch(d, log2, bd), res)
+                if kinds & 2:
+                    res = jnp.where(kd == 2, c, res)
             planes[cidx] = _scatter_residual_slots(
                 planes[cidx], res, t[f"rs_{cidx}_{log2}"], log2, maxv)
         Y, Cb, Cr = planes
+
+    # ---- PCM paste (before intra: PCM neighbors are level-0 borders).
+    # The pm grid masked MC out of PCM regions and no TU scatters there,
+    # so the add-scatter lands on zeros == an overwrite.
+    if cfg.pcm and "res" in stages:
+        for (log2, Kp) in cfg.pcm:
+            n = 1 << log2
+            nn = n * n
+            Y = _scatter_residual_slots(
+                Y, t[f"py_{log2}"].astype(jnp.int32).reshape(Kp, n, n),
+                t[f"ps_{log2}"], log2, maxv)
+            pc = t[f"pc_{log2}"].astype(jnp.int32)
+            Cb = _scatter_residual_slots(
+                Cb, pc[:, :nn // 4].reshape(Kp, n // 2, n // 2),
+                t[f"psc_{log2}"], log2 - 1, maxv)
+            Cr = _scatter_residual_slots(
+                Cr, pc[:, nn // 4:].reshape(Kp, n // 2, n // 2),
+                t[f"psc_{log2}"], log2 - 1, maxv)
 
     # ---- fused intra wavefront (reads post-inter-residual neighbors,
     # exactly the reference's in-loop order: decode_TU slice.cc:3424)

@@ -154,7 +154,9 @@ def _border_ok(plan, xs, ys, cidx_arr, log2):
 
 def intra_frame_stats(plan):
     """Per-class level histogram for stream_cfg capacity derivation.
-    Returns (n_levels, {(pl, log2): (max_per_level, total, n_escapes)})."""
+    Returns (n_levels, {(pl, log2): (max_per_level, total, n_escapes,
+    kind_mask)}); kind_mask bit0 = transform-skip present, bit1 =
+    tq-bypass present."""
     tm, coeff_pool, _ = plan._tu_arrays
     levels = assign_levels_meta(plan)
     out = {}
@@ -175,7 +177,9 @@ def intra_frame_stats(plan):
                 nn = 1 << (2 * log2)
                 gi = co[has][:, None] + np.arange(nn)[None, :]
                 ne = int((np.abs(coeff_pool[gi]) > 127).sum())
-            out[(pl, log2)] = (int(cnt.max()), k, ne)
+            kinds = (1 if (tm[sel, 6] != 0).any() else 0) | \
+                (2 if (tm[sel, 7] != 0).any() else 0)
+            out[(pl, log2)] = (int(cnt.max()), k, ne, kinds)
     return n_levels, out
 
 
@@ -193,7 +197,7 @@ def pack_intra(plan, cfg):
     tm, coeff_pool, _ = plan._tu_arrays
     levels = assign_levels_meta(plan)
     C = cfg.intra_C
-    for (pl, log2, Ktot, Klvl, E) in cfg.intra:
+    for (pl, log2, Ktot, Klvl, E, kinds) in cfg.intra:
         n = 1 << log2
         nn = n * n
         OB = _okbytes(log2)
@@ -223,6 +227,11 @@ def pack_intra(plan, cfg):
             okb[:k] = np.packbits(ok, axis=1)
         qp = np.zeros(Ktot, np.int8)
         qp[:k] = tm[idx, 5]
+        if kinds:
+            kd = np.zeros(Ktot, np.int8)
+            kd[:k] = np.where(tm[idx, 7] != 0, 2,
+                              np.where(tm[idx, 6] != 0, 1, 0))
+            t[f"ikd_{pl}_{log2}"] = kd
         cf = np.zeros((Ktot, nn), np.int16)
         co = tm[idx, 9]
         has = co >= 0
@@ -270,14 +279,12 @@ def intra_stage(Y, Cb, Cr, t, cfg):
     Hc, Wc = H // 2, W // 2
     bd = cfg.bitdepth
     maxv = (1 << bd) - 1
-    SZ = H * W + 2 * Hc * Wc
-    flat = jnp.concatenate([Y.reshape(-1), Cb.reshape(-1), Cr.reshape(-1)])
 
     # residuals are level-independent: one batched inverse transform per
     # class before the loop (transform.cc:352-625 capability; DST for
     # luma 4x4 intra)
     res_all = {}
-    for (pl, log2, Ktot, Klvl, E) in cfg.intra:
+    for (pl, log2, Ktot, Klvl, E, kinds) in cfg.intra:
         n = 1 << log2
         nn = n * n
         sfx = f"_{pl}_{log2}"
@@ -288,10 +295,35 @@ def intra_stage(Y, Cb, Cr, t, cfg):
             fl = fl.at[t["iei" + sfx]].set(t["iev" + sfx].astype(jnp.int32))
             c = fl[:Ktot * nn]
         c = c.reshape(Ktot, n, n)
-        res_all[sfx] = residual_batch(c, t["iqp" + sfx].astype(jnp.int32),
-                                      log2, pl == 0 and log2 == 2, bd)
+        qpv = t["iqp" + sfx].astype(jnp.int32)
+        is_dst = pl == 0 and log2 == 2
+        if cfg.scaling:
+            from .ops.transform_jax import (residual_batch_sl,
+                                            dequant_batch_sl)
+            smat = t["ism" + sfx].astype(jnp.int32)
+            if pl == 1:       # per-row Cb/Cr matrix select
+                smat = smat[t["ipl" + sfx].astype(jnp.int32) - 1]
+            res = residual_batch_sl(c, qpv, smat, log2, is_dst, bd)
+        else:
+            res = residual_batch(c, qpv, log2, is_dst, bd)
+        if kinds:
+            from .ops.transform_jax import (dequant_batch,
+                                            transform_skip_batch)
+            kd = t["ikd" + sfx].astype(jnp.int32)[:, None, None]
+            if kinds & 1:
+                d = dequant_batch_sl(c, qpv, smat, log2, bd) \
+                    if cfg.scaling else dequant_batch(c, qpv, log2, bd)
+                res = jnp.where(kd == 1,
+                                transform_skip_batch(d, log2, bd), res)
+            if kinds & 2:
+                res = jnp.where(kd == 2, c, res)
+        res_all[sfx] = res
 
     def class_step(flat, i, pl, log2, Ktot, Klvl, E):
+        """One level window of one class against its OWN plane buffer
+        (luma: (H*W+1,), chroma: (2*Hc*Wc+1,) [Cb|Cr]); keeping the
+        buffers separate and the step unconditional lets XLA alias the
+        fori carry in place instead of copying ~50 MB per step."""
         n = 1 << log2
         Lb = 4 * n + 1
         c2 = 2 * n
@@ -300,64 +332,70 @@ def intra_stage(Y, Cb, Cr, t, cfg):
         off = t["ioff" + sfx]
         start = off[i]
         end = off[i + 1]
+        xy = jax.lax.dynamic_slice(t["ixy" + sfx], (start, 0),
+                                   (Klvl, 2)).astype(jnp.int32)
+        md = jax.lax.dynamic_slice_in_dim(t["imd" + sfx], start,
+                                          Klvl).astype(jnp.int32)
+        okb = jax.lax.dynamic_slice(t["iok" + sfx], (start, 0),
+                                    (Klvl, OB))
+        resw = jax.lax.dynamic_slice(res_all[sfx], (start, 0, 0),
+                                     (Klvl, n, n))
+        xw, yw = xy[:, 0], xy[:, 1]
+        if pl == 0:
+            base = jnp.zeros(Klvl, jnp.int32)
+            Hp_, Wp_ = H, W
+            dump = H * W
+        else:
+            sel = jax.lax.dynamic_slice_in_dim(
+                t["ipl" + sfx], start, Klvl).astype(jnp.int32)
+            base = (sel - 1) * (Hc * Wc)
+            Hp_, Wp_ = Hc, Wc
+            dump = 2 * Hc * Wc
+        pos = jnp.arange(Lb, dtype=jnp.int32)[None, :]
+        by = jnp.where(pos < c2, yw[:, None] + c2 - pos - 1,
+                       yw[:, None] - 1)
+        bx = jnp.where(pos > c2, xw[:, None] + pos - c2 - 1,
+                       xw[:, None] - 1)
+        gi = base[:, None] + jnp.clip(by, 0, Hp_ - 1) * Wp_ + \
+            jnp.clip(bx, 0, Wp_ - 1)
+        raw = flat[gi]                                   # (Klvl, Lb)
+        bits = (okb[:, :, None] >>
+                (7 - jnp.arange(8, dtype=jnp.uint8))[None, None, :]) & 1
+        okm = bits.reshape(Klvl, OB * 8)[:, :Lb] != 0
+        idxv = jnp.where(okm, pos, -1)
+        ffill = jax.lax.cummax(idxv, axis=1)
+        anyok = okm.any(axis=1)
+        first = jnp.argmax(okm, axis=1).astype(jnp.int32)
+        src = jnp.where(ffill >= 0, ffill, first[:, None])
+        ref = jnp.take_along_axis(raw, src, axis=1)
+        ref = jnp.where(anyok[:, None], ref, 1 << (bd - 1))
+        pred = predict_core(ref, md, log2, pl == 0, bd, cfg.strong,
+                            smooth=pl == 0)
+        out = jnp.clip(pred + resw, 0, maxv)
+        valid = start + jnp.arange(Klvl, dtype=jnp.int32) < end
+        rr = jnp.arange(n, dtype=jnp.int32)
+        didx = (base[:, None, None]
+                + (yw[:, None, None] + rr[None, :, None]) * Wp_
+                + xw[:, None, None] + rr[None, None, :])
+        didx = jnp.where(valid[:, None, None], didx, dump)
+        return flat.at[didx.reshape(-1)].set(
+            out.reshape(-1), mode="drop", unique_indices=True)
 
-        def run(flat):
-            xy = jax.lax.dynamic_slice(t["ixy" + sfx], (start, 0),
-                                       (Klvl, 2)).astype(jnp.int32)
-            md = jax.lax.dynamic_slice_in_dim(t["imd" + sfx], start,
-                                              Klvl).astype(jnp.int32)
-            okb = jax.lax.dynamic_slice(t["iok" + sfx], (start, 0),
-                                        (Klvl, OB))
-            resw = jax.lax.dynamic_slice(res_all[sfx], (start, 0, 0),
-                                         (Klvl, n, n))
-            xw, yw = xy[:, 0], xy[:, 1]
+    yflat = jnp.concatenate([Y.reshape(-1), jnp.zeros(1, Y.dtype)])
+    cflat = jnp.concatenate([Cb.reshape(-1), Cr.reshape(-1),
+                             jnp.zeros(1, Cb.dtype)])
+
+    def body(i, carry):
+        yf, cf = carry
+        for (pl, log2, Ktot, Klvl, E, kinds) in cfg.intra:
             if pl == 0:
-                base = jnp.zeros(Klvl, jnp.int32)
-                Hp_, Wp_ = H, W
+                yf = class_step(yf, i, pl, log2, Ktot, Klvl, E)
             else:
-                sel = jax.lax.dynamic_slice_in_dim(
-                    t["ipl" + sfx], start, Klvl).astype(jnp.int32)
-                base = H * W + (sel - 1) * (Hc * Wc)
-                Hp_, Wp_ = Hc, Wc
-            pos = jnp.arange(Lb, dtype=jnp.int32)[None, :]
-            by = jnp.where(pos < c2, yw[:, None] + c2 - pos - 1,
-                           yw[:, None] - 1)
-            bx = jnp.where(pos > c2, xw[:, None] + pos - c2 - 1,
-                           xw[:, None] - 1)
-            gi = base[:, None] + jnp.clip(by, 0, Hp_ - 1) * Wp_ + \
-                jnp.clip(bx, 0, Wp_ - 1)
-            raw = flat[gi]                                   # (Klvl, Lb)
-            bits = (okb[:, :, None] >>
-                    (7 - jnp.arange(8, dtype=jnp.uint8))[None, None, :]) & 1
-            okm = bits.reshape(Klvl, OB * 8)[:, :Lb] != 0
-            idxv = jnp.where(okm, pos, -1)
-            ffill = jax.lax.cummax(idxv, axis=1)
-            anyok = okm.any(axis=1)
-            first = jnp.argmax(okm, axis=1).astype(jnp.int32)
-            src = jnp.where(ffill >= 0, ffill, first[:, None])
-            ref = jnp.take_along_axis(raw, src, axis=1)
-            ref = jnp.where(anyok[:, None], ref, 1 << (bd - 1))
-            pred = predict_core(ref, md, log2, pl == 0, bd, cfg.strong,
-                                smooth=pl == 0)
-            out = jnp.clip(pred + resw, 0, maxv)
-            valid = start + jnp.arange(Klvl, dtype=jnp.int32) < end
-            rr = jnp.arange(n, dtype=jnp.int32)
-            didx = (base[:, None, None]
-                    + (yw[:, None, None] + rr[None, :, None]) * Wp_
-                    + xw[:, None, None] + rr[None, None, :])
-            didx = jnp.where(valid[:, None, None], didx, SZ)
-            return flat.at[didx.reshape(-1)].set(
-                out.reshape(-1), mode="drop", unique_indices=True)
+                cf = class_step(cf, i, pl, log2, Ktot, Klvl, E)
+        return yf, cf
 
-        return jax.lax.cond(end > start, run, lambda f: f, flat)
-
-    def body(i, flat):
-        for (pl, log2, Ktot, Klvl, E) in cfg.intra:
-            flat = class_step(flat, i, pl, log2, Ktot, Klvl, E)
-        return flat
-
-    flat = jax.lax.fori_loop(0, cfg.intra_C, body, flat)
-    Y = flat[:H * W].reshape(H, W)
-    Cb = flat[H * W:H * W + Hc * Wc].reshape(Hc, Wc)
-    Cr = flat[H * W + Hc * Wc:SZ].reshape(Hc, Wc)
+    yflat, cflat = jax.lax.fori_loop(0, cfg.intra_C, body, (yflat, cflat))
+    Y = yflat[:H * W].reshape(H, W)
+    Cb = cflat[:Hc * Wc].reshape(Hc, Wc)
+    Cr = cflat[Hc * Wc:2 * Hc * Wc].reshape(Hc, Wc)
     return Y, Cb, Cr

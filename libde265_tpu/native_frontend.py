@@ -187,4 +187,10 @@ class NativeFrontend:
         # lazy record lists: raw arrays attached, materialized on access
         plan._tu_arrays = (tu_meta[:n_tus], coeffs, pcm)
         plan._pu_arrays = (pu_meta[:n_pus], plan.slice_headers)
+        # intra wavefront levels from the C++ DP (intra_fused consumes;
+        # falls back to the Python DP when the symbol is absent)
+        if n_tus and hasattr(lib, "fe_intra_levels"):
+            lv = np.zeros(n_tus, np.int32)
+            if lib.fe_intra_levels(C.c_void_p(self.h), idx, _arr(lv)) == 0:
+                plan._intra_levels = lv
         return plan

@@ -61,10 +61,33 @@ def transform_skip_batch(d, log2, bitdepth=8):
     return jnp.clip(r, -32768, 32767).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("log2", "bitdepth"))
+def dequant_batch_sl(coeffs, qp, smat, log2, bitdepth=8):
+    """Scaling-list dequant (spec 8.6.3 with m[x][y]; reference
+    transform.cc:477-510). smat: (n,n) or (N,n,n) int32 scale matrix
+    (DC coefficient already substituted on host)."""
+    bd_shift = bitdepth + log2 - 5
+    ls = jnp.asarray(LEVEL_SCALE_ARR)[qp % 6]
+    if smat.ndim == 2:
+        smat = smat[None]
+    prod = coeffs.astype(jnp.int64) * smat.astype(jnp.int64) * \
+        ls[:, None, None].astype(jnp.int64)
+    d = (jnp.left_shift(prod, (qp // 6)[:, None, None].astype(jnp.int64))
+         + (1 << (bd_shift - 1))) >> bd_shift
+    return jnp.clip(d, -32768, 32767).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("log2", "is_dst", "bitdepth"))
 def residual_batch(coeffs, qp, log2, is_dst, bitdepth=8):
     """Fused dequant + inverse transform for one TU size bucket."""
     d = dequant_batch(coeffs, qp, log2, bitdepth)
+    return inv_transform_batch(d, log2, is_dst, bitdepth)
+
+
+@partial(jax.jit, static_argnames=("log2", "is_dst", "bitdepth"))
+def residual_batch_sl(coeffs, qp, smat, log2, is_dst, bitdepth=8):
+    """residual_batch with a scaling-list dequant."""
+    d = dequant_batch_sl(coeffs, qp, smat, log2, bitdepth)
     return inv_transform_batch(d, log2, is_dst, bitdepth)
 
 

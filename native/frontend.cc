@@ -2824,6 +2824,51 @@ int fe_get_tus(FEHandle* h, int idx, int32_t* tus, int16_t* coeffs,
   return 0;
 }
 
+// Wavefront levels for the fused intra scan (mirror of
+// libde265_tpu/intra_fused.assign_levels_meta, same DP in decode order):
+// out[i] = level of TU i (0 for non-intra / PCM rows). The Python DP is
+// the host pack bottleneck for I-frames; this runs in ~1 ms.
+int fe_intra_levels(FEHandle* h, int idx, int32_t* out) {
+  if (idx < 0 || idx >= (int)h->ctx.frames.size()) return -1;
+  Frame& f = *h->ctx.frames[idx];
+  const SPS& sps = *f.sps;
+  int sub = sps.chroma_array_type ? sps.subw : 1;
+  int gh = f.gh, gw = f.gw;
+  std::vector<int32_t> L(3 * gh * gw, 0);
+  for (size_t i = 0; i < f.tus.size(); i++) {
+    const TU& t = f.tus[i];
+    out[i] = 0;
+    if (t.cidx < 0 || t.pred_mode != 1) continue;
+    int sc = t.cidx == 0 ? 1 : sub;
+    int n = 1 << t.log2;
+    int x0 = t.x * sc, y0 = t.y * sc, span = n * sc;
+    int32_t* g = L.data() + t.cidx * gh * gw;
+    int gx0 = x0 >> 2, gy0 = y0 >> 2;
+    int gspan = span >> 2; if (gspan < 1) gspan = 1;
+    int dep = 0;
+    int bx = (x0 - 1) >> 2;
+    if (bx >= 0) {
+      int y_end = (y0 + 2 * span - 1) >> 2;
+      if (y_end > gh - 1) y_end = gh - 1;
+      for (int y = gy0; y <= y_end; y++)
+        if (g[y * gw + bx] > dep) dep = g[y * gw + bx];
+    }
+    int by = (y0 - 1) >> 2;
+    if (by >= 0) {
+      int x_end = (x0 + 2 * span - 1) >> 2;
+      if (x_end > gw - 1) x_end = gw - 1;
+      for (int x = bx > 0 ? bx : 0; x <= x_end; x++)
+        if (g[by * gw + x] > dep) dep = g[by * gw + x];
+    }
+    int lvl = dep + 1;
+    for (int y = gy0; y < gy0 + gspan; y++)
+      for (int x = gx0; x < gx0 + gspan; x++)
+        g[y * gw + x] = lvl;
+    out[i] = lvl;
+  }
+  return 0;
+}
+
 // pus: per PU 17 ints: x,y,w,h,pf0,pf1,mv00,mv01,mv10,mv11,ref0,ref1,
 //      refpoc0,refpoc1,refframe0,refframe1,slice_idx
 int fe_get_pus(FEHandle* h, int idx, int32_t* pus) {

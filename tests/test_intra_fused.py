@@ -23,6 +23,7 @@ CASES = [
     ("manifest.json", "intra_104x72_q26"),
     ("manifest_inter.json", "i_deblk_sao"),
     ("manifest_inter.json", "i_strong32"),
+    ("manifest_inter.json", "i_tskip_nxn"),
     ("manifest_inter.json", "p_cip"),
     ("manifest_inter.json", "p_cif_mixed"),
     ("manifest_inter.json", "p_mixed"),
@@ -89,10 +90,40 @@ def test_intra_caps_cover_every_frame():
     for p in plans:
         if frame_compatible(p) and frame_has_intra(p):
             t = pack_intra(p, cfg)
-            for (pl, log2, Ktot, Klvl, E) in cfg.intra:
+            for (pl, log2, Ktot, Klvl, E, kinds) in cfg.intra:
                 off = t[f"ioff_{pl}_{log2}"]
                 assert off.shape == (cfg.intra_C + 1,)
                 assert off[-1] + Klvl <= Ktot
+
+
+@pytest.mark.parametrize("name", ["p_tskip", "p_tqbypass", "p_pcm",
+                                  "p_pcm_nolf", "p_scaling", "p_qpdelta",
+                                  "i_tskip_nxn", "p_sdh"])
+def test_exclusion_streams_run_fused(name):
+    """VERDICT r2 item 6: transform-skip, tq-bypass, PCM and scaling-list
+    frames must run the fused device program (no frame_compatible
+    exclusion left), bit-exact vs dec265."""
+    from libde265_tpu.device_stream import DeviceStreamDecoder
+    path = os.path.join(DATA, name + ".bin")
+    if not os.path.exists(path):
+        pytest.skip(name + " vector absent")
+    with open(os.path.join(DATA, "manifest_inter.json")) as f:
+        man = json.load(f)
+    if name not in man:
+        pytest.skip(name + " not in manifest")
+    m = man[name]
+    plans = _parse(path)
+    dec = DeviceStreamDecoder(plans, plans[0].sps)
+    dec.decode_all()
+    n_fast = 0
+    for i, p in enumerate(plans):
+        planes = dec.planes_of(p.frame_id)
+        got = [hashlib.md5(pl.tobytes()).hexdigest() for pl in planes]
+        want = [m["md5"][i][k] for k in ("y", "u", "v")]
+        assert got == want, f"{name} frame {i} (poc {p.poc})"
+        n_fast += bool(dec.frames[p.frame_id]["fast"])
+    assert n_fast == len(plans), \
+        f"{name}: only {n_fast}/{len(plans)} frames took the fused path"
 
 
 @pytest.mark.slow
