@@ -378,6 +378,12 @@ def intra_stage(Y, Cb, Cr, t, cfg):
                 + (yw[:, None, None] + rr[None, :, None]) * Wp_
                 + xw[:, None, None] + rr[None, None, :])
         didx = jnp.where(valid[:, None, None], didx, dump)
+        # the border gather reads the SAME buffer the scatter writes;
+        # without a barrier XLA refuses to alias the loop carry in place
+        # and copies the whole plane every level (~0.7 ms/level at 4K).
+        # The barrier pins the gather before the scatter, making the
+        # in-place update safe.
+        flat, out = jax.lax.optimization_barrier((flat, out))
         return flat.at[didx.reshape(-1)].set(
             out.reshape(-1), mode="drop", unique_indices=True)
 

@@ -60,22 +60,22 @@ def _kernel(hbm_ref, out_ref, scratch, sems, *, T, ngrp, ntx, ntx0,
 
     dma(slot, r, t).wait()
     span = scratch[slot]                       # (span_p, Wp_p)
-    # re-materialize the 4x-overlapping bands in-register (static
-    # sublane slices), then ONE transpose for the whole group: vector
-    # ops run on (., B*T)-lane shapes instead of (., T)
-    big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
-                          axis=0)              # [(b,rr), x]
-    bt = big.astype(jnp.int32).T               # (Wp_p, B*T): [x, (b,rr)]
-    r3 = bt.reshape(ntx0, 4, B * T)            # [x0, dx, (b,rr)]
+    # ONE transpose of the UNEXPANDED span (each plane row once): the 4x
+    # band overlap re-materializes AFTER the transpose as static lane
+    # slices, so the transpose+roll traffic is span_p lanes instead of
+    # B*T (~6x less on-chip movement than transposing the band-expanded
+    # int32 block)
+    bt = span.T                                # (Wp_p, span_p): [x, row]
+    r3 = bt.reshape(ntx0, 4, span_p)           # [x0, dx, row]
     for c in range(T):
-        q = r3[:, c % 4, :]                    # (ntx0, B*T)
+        q = r3[:, c % 4, :]                    # (ntx0, span_p)
         if c // 4:
             # sublane roll == shift by -(c//4)
             q = pltpu.roll(q, ntx0 - c // 4, axis=0)
         qo = q[:ntx].astype(out_dtype)
         for b in range(B):
             out_ref[0, 0, b, :, c * T:(c + 1) * T] = \
-                qo[:, b * T:(b + 1) * T]
+                qo[:, 4 * b:4 * b + T]
 
 
 @functools.partial(jax.jit,
@@ -160,10 +160,10 @@ def _upd_kernel(slot_ref, hbm_ref, tin_ref, out_ref, scratch, sems, *,
         dma(sbuf, t, p).wait()
     for p in range(P):
         span = scratch[sbuf, p]                 # (span_p, Wp_p)
-        big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
-                              axis=0)
-        bt = big.astype(jnp.int32).T            # (Wp_p, B*T)
-        r3 = bt.reshape(ntx0, 4, B * T)
+        # unexpanded-span transpose + post-transpose band slices
+        # (see _kernel)
+        bt = span.T                             # (Wp_p, span_p)
+        r3 = bt.reshape(ntx0, 4, span_p)
         for c in range(T):
             q = r3[:, c % 4, :]
             if c // 4:
@@ -172,7 +172,7 @@ def _upd_kernel(slot_ref, hbm_ref, tin_ref, out_ref, scratch, sems, *,
             base = p * T * T + c * T
             for b in range(B):
                 out_ref[0, b, :, base:base + T] = \
-                    qo[:, b * T:(b + 1) * T]
+                    qo[:, 4 * b:4 * b + T]
 
 
 def update_tile_table_pallas(table, padded, slot, T, interpret=False):

@@ -654,6 +654,7 @@ static void read_scaling_list_data(Bitreader& br, SPS& s) {
           if (size_id == 3) s.sl_dc32[m] = 16;
         } else {
           int ref = m - delta * (size_id == 3 ? 3 : 1);
+          if (ref < 0 || ref >= n_mat) ref = 0;   // corrupt-stream guard
           const uint8_t* src = size_id == 0 ? s.sl4[ref] : size_id == 1 ? s.sl8[ref]
                                : size_id == 2 ? s.sl16[ref] : s.sl32[ref];
           memcpy(dst, src, size_id == 0 ? 16 : 64);
@@ -832,6 +833,20 @@ static bool parse_sps(const uint8_t* d, size_t len, SPS& s) {
   s.strong_intra_smoothing = br.bit();
   if (br.bit()) skip_vui(br, max_sub);
   s.derive();
+  // corrupted-stream guards (reference counterpart: sps.cc sanity checks
+  // + sps.h:39-40 size bound): dimensions must be positive min-CB
+  // multiples within spec bounds, tree/bit-depth params in range —
+  // otherwise metadata grid writes in the CTB walk can run off the end.
+  if (s.width <= 0 || s.height <= 0 || s.width > 17408 ||
+      s.height > 17408 || s.log2_min_cb < 3 || s.log2_min_cb > 6 ||
+      s.log2_ctb < s.log2_min_cb || s.log2_ctb > 6 ||
+      (s.width & ((1 << s.log2_min_cb) - 1)) ||
+      (s.height & ((1 << s.log2_min_cb) - 1)) ||
+      s.log2_min_tb < 2 || s.log2_max_tb > 5 ||
+      s.log2_max_tb < s.log2_min_tb || s.bd_luma < 8 || s.bd_luma > 16 ||
+      s.bd_chroma < 8 || s.bd_chroma > 16 || s.chroma_format_idc > 3 ||
+      s.log2_max_poc_lsb > 16)
+    return false;
   return true;
 }
 
@@ -925,6 +940,7 @@ static bool parse_slice_header(const uint8_t* d, size_t len, int nal_type,
     // ceil(log2(PicSizeInCtbsY)) bits
     bits = 0; { int v = sps.pic_size_ctbs - 1; while (v > 0) { bits++; v >>= 1; } }
     sh.seg_addr = bits ? br.bits(bits) : 0;
+    if (sh.seg_addr >= sps.pic_size_ctbs) return false;  // corrupt guard
   }
   if (!sh.dependent) {
     for (int i = 0; i < pps.extra_bits; i++) br.bit();
