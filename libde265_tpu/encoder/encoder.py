@@ -96,6 +96,11 @@ class EncoderConfig:
         import numpy as _np
         return _np.uint8 if self.bit_depth == 8 else _np.uint16
     intra_modes: tuple = (26, 10, 0, 1, 18, 34, 2, 23)  # cycled per CU
+    intra_mode_sel: str = "cycle"     # cycle (vector-gen diversity) |
+                                      # minsad (content-adaptive pick —
+                                      # the non-RDO quality default;
+                                      # reference counterpart:
+                                      # Algo_TB_IntraPredMode_MinResidual)
     inter_mode: str = "skip"          # skip | mv | mixed | gmv | 2pu
     mv_patterns: tuple = ((0, 0), (4, 0), (0, 4), (5, 3), (-7, 2), (9, -6),
                           (13, 21), (-2, -2))
@@ -551,7 +556,10 @@ class Encoder:
             self._emit_intra_nxn_cu(sw, x0, y0, idx)
             return
         if mode is None:
-            mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
+            if cfg.intra_mode_sel == "minsad":
+                mode = self._pick_intra_mode(x0, y0, log2_size)
+            else:
+                mode = cfg.intra_modes[idx % len(cfg.intra_modes)]
         sw.write_part_mode_intra(log2_size, PART_2Nx2N)
         if cfg.pcm and 3 <= log2_size <= 5:
             sw.cabac.encode_terminate(0)   # pcm_flag = 0
@@ -750,16 +758,38 @@ class Encoder:
             return self._basis_cache[key]
         n = 1 << log2
         smat, sdc = self._smat(log2, cidx, is_intra)
-        eye = np.zeros((n * n, n, n), np.int32)
-        for k in range(n * n):
-            eye[k, k // n, k % n] = 1
-        # decoder impulse response of a unit level at each coeff position
-        resp = np.stack([
-            transform_ref.scale_and_inv_transform(
-                eye[k], qp, log2, is_dst, tskip, False, self.cfg.bit_depth,
-                smat, sdc)
-            for k in range(n * n)])
-        flat = resp.reshape(n * n, n * n).astype(np.float64)
+        # ANALYTIC float basis: the decoder's linear map without its
+        # integer roundings. Unit-impulse responses round each stage to
+        # ints — at low QP a high-frequency unit's true response is
+        # fractional (<1) and rounds to 0/±1 garbage, so projecting onto
+        # rounded responses picks wrong levels and quality DEGRADES as QP
+        # drops (the round-2 RD anchor's 13 dB anchor). The decoder's own
+        # roundings on the real level vector are O(1) and harmless.
+        bd = self.cfg.bit_depth
+        bd_shift = bd + log2 - 5
+        ls = transform_ref.LEVEL_SCALE[qp % 6]
+        if smat is None:
+            fac = np.full((n, n), float((16 * ls) << (qp // 6)))
+        else:
+            m = smat.astype(np.float64)
+            if sdc is not None:
+                m = m.copy()
+                m[0, 0] = sdc
+            fac = m * ls * (1 << (qp // 6))
+        fac = fac / (1 << bd_shift)            # dequant scale per coeff
+        if tskip:
+            resp_scale = fac * (1 << 7) / (1 << (20 - bd))
+            flat = np.diag(resp_scale.ravel())
+        else:
+            mat = (transform_ref.DST4 if is_dst
+                   else transform_ref.dct_matrix(n)).astype(np.float64)
+            # r = M^T d M: unit at (ky,kx) -> outer(M[ky,:], M[kx,:])
+            sc = 1.0 / (1 << 7) / (1 << (20 - bd))
+            flat = np.empty((n * n, n * n))
+            for ky in range(n):
+                for kx in range(n):
+                    flat[ky * n + kx] = (np.outer(mat[ky], mat[kx]) *
+                                         (fac[ky, kx] * sc)).ravel()
         norms = (flat * flat).sum(1)
         norms[norms == 0] = 1.0
         self._basis_cache[key] = (flat, norms)
@@ -773,6 +803,21 @@ class Encoder:
         proj = flat @ residual.astype(np.float64).ravel() / norms
         levels = np.round(proj).astype(np.int32).reshape(n, n)
         return np.clip(levels, -32767, 32767)
+
+    def _pick_intra_mode(self, x0, y0, log2):
+        """Content-adaptive luma mode: min SAD of prediction vs source
+        over a planar/DC/angular sweep (chroma follows via DM). The
+        prediction reads the SAME recon neighbors the emit path will,
+        so the choice is exact."""
+        n = 1 << log2
+        src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int32)
+        best, bm = None, 0
+        for m in (0, 1) + tuple(range(2, 35, 2)) + (26, 10):
+            pred = self._intra_pred(0, x0, y0, log2, m)
+            sad = int(np.abs(src - pred).sum())
+            if best is None or sad < best:
+                best, bm = sad, m
+        return bm
 
     def _maybe_write_qp_delta(self, sw):
         """Write the pending cu_qp_delta at the first coded-cbf TU of

@@ -43,9 +43,12 @@ def main():
             np.frombuffer(raw[b + w*h + (w//2)*(h//2):b + fsz], np.uint8).reshape(h//2, w//2)])
     points = []
     for qp in (int(q) for q in args.qps.split(",")):
-        mode = "mv" if args.rdo else "mixed"
+        # anchor and RDO runs share the same motion-search mode: the
+        # "mixed" heuristic emits a structurally-valid but low-quality
+        # prediction (~13 dB on pan content) and is useless as an RD
+        # baseline (VERDICT r2 weak #8)
         enc = Encoder(EncoderConfig(width=w, height=h, qp=qp, rdo=args.rdo,
-                                    inter_mode=mode, inter_residual=True))
+                                    inter_mode="mv", inter_residual=True))
         stream = enc.encode(frames)
         pics = decode_stream_native(stream)
         py = np.mean([psnr(p.planes[0], frames[i][0]) for i, p in enumerate(pics)])
