@@ -29,43 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 B = 8                       # bands per group (tile rows per grid step)
 
 
-def _emit_tiles(span, write, T, ntx, ntx0, span_p, out_dtype, nchunk=4):
-    """Shared tile-emission pipeline for one band group: ONE transpose of
-    the UNEXPANDED span per x-chunk (each plane row once); the 4x band
-    overlap re-materializes AFTER the transpose as static lane slices,
-    and the stride-4 tile-column shift (c//4) is two static sublane
-    slices (no dynamic_rotate — Mosaic has no 16-bit rotate). Chunking
-    the tile-column dim (x) bounds scoped VMEM (a full-width 4K chain
-    blows the 16 MB limit); chunks overlap by (T-1)//4 groups so the
-    shift never reads past a chunk. write(c, b, g0, (K, T) block) stores
-    tile columns [g0, g0+K) of band b, tile column c."""
-    smax = (T - 1) // 4
-    ntxc = ntx0 // nchunk
-    for ch in range(nchunk):
-        g0 = ch * ntxc
-        nval = min(ntxc, ntx - g0)
-        if nval <= 0:
-            break
-        gext = min(ntxc + smax, ntx0 - g0)
-        part = span[:, g0 * 4:(g0 + gext) * 4]   # (span_p, gext*4)
-        r3 = part.T.reshape(gext, 4, span_p)     # [x0, dx, row]
-        qos = [r3[c // 4:c // 4 + nval, c % 4, :].astype(out_dtype)
-               for c in range(T)]                # T x (nval, span_p)
-        for b in range(B):
-            # assemble the band's FULL T*T-lane row in-register via
-            # pad-to-slot + disjoint-lane adds (a 16-way lane concat of
-            # shifted slices hits Mosaic's offset-mismatch limitation,
-            # and 16-lane masked stores are ~8x write amplification at
-            # 128-lane vreg granularity), then one wide store
-            parts = [jnp.pad(q[:, 4 * b:4 * b + T],
-                             ((0, 0), (c * T, T * T - (c + 1) * T)))
-                     for c, q in enumerate(qos)]
-            while len(parts) > 1:                # balanced add tree
-                parts = [parts[i] + parts[i + 1] if i + 1 < len(parts)
-                         else parts[i] for i in range(0, len(parts), 2)]
-            write(b, g0, parts[0])
-
-
 def _kernel(hbm_ref, out_ref, scratch, sems, *, T, ngrp, ntx, ntx0,
             total, span_p, out_dtype):
     r = pl.program_id(0)
@@ -97,11 +60,22 @@ def _kernel(hbm_ref, out_ref, scratch, sems, *, T, ngrp, ntx, ntx0,
 
     dma(slot, r, t).wait()
     span = scratch[slot]                       # (span_p, Wp_p)
-
-    def write(b, g0, block):
-        out_ref[0, 0, b, g0:g0 + block.shape[0], :] = block
-
-    _emit_tiles(span, write, T, ntx, ntx0, span_p, out_dtype)
+    # re-materialize the 4x-overlapping bands in-register (static
+    # sublane slices), then ONE transpose for the whole group: vector
+    # ops run on (., B*T)-lane shapes instead of (., T)
+    big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
+                          axis=0)              # [(b,rr), x]
+    bt = big.astype(jnp.int32).T               # (Wp_p, B*T): [x, (b,rr)]
+    r3 = bt.reshape(ntx0, 4, B * T)            # [x0, dx, (b,rr)]
+    for c in range(T):
+        q = r3[:, c % 4, :]                    # (ntx0, B*T)
+        if c // 4:
+            # sublane roll == shift by -(c//4)
+            q = pltpu.roll(q, ntx0 - c // 4, axis=0)
+        qo = q[:ntx].astype(out_dtype)
+        for b in range(B):
+            out_ref[0, 0, b, :, c * T:(c + 1) * T] = \
+                qo[:, b * T:(b + 1) * T]
 
 
 @functools.partial(jax.jit,
@@ -186,13 +160,19 @@ def _upd_kernel(slot_ref, hbm_ref, tin_ref, out_ref, scratch, sems, *,
         dma(sbuf, t, p).wait()
     for p in range(P):
         span = scratch[sbuf, p]                 # (span_p, Wp_p)
-        base_p = p * T * T
-
-        def write(b, g0, block, base_p=base_p):
-            out_ref[0, b, g0:g0 + block.shape[0],
-                    base_p:base_p + T * T] = block
-
-        _emit_tiles(span, write, T, ntx, ntx0, span_p, out_dtype)
+        big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
+                              axis=0)
+        bt = big.astype(jnp.int32).T            # (Wp_p, B*T)
+        r3 = bt.reshape(ntx0, 4, B * T)
+        for c in range(T):
+            q = r3[:, c % 4, :]
+            if c // 4:
+                q = pltpu.roll(q, ntx0 - c // 4, axis=0)
+            qo = q[:ntx].astype(out_dtype)
+            base = p * T * T + c * T
+            for b in range(B):
+                out_ref[0, b, :, base:base + T] = \
+                    qo[:, b * T:(b + 1) * T]
 
 
 def update_tile_table_pallas(table, padded, slot, T, interpret=False):
