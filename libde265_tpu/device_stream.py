@@ -329,11 +329,13 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
 
     def __init__(self, plans, sps, mesh, use_pallas=False):
         super().__init__(plans, sps, use_pallas=use_pallas)
-        from .parallel.tile_shard import get_sharded_program, split_strips
+        from .parallel.tile_shard import (get_sharded_program, split_strips,
+                                          strip_geometry)
         self.mesh = mesh
         self.ndev = mesh.shape["t"]
         self._split = split_strips
-        self._sprog = get_sharded_program(self.cfg_scan, mesh)
+        self._geom = strip_geometry
+        self._get_prog = get_sharded_program
 
     def _fast_ok(self, plan):
         if frame_has_intra(plan):
@@ -341,22 +343,18 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
         pps = plan.pps
         if not getattr(pps, "tiles_enabled_flag", False):
             return False
-        cols = pps.num_tile_columns
-        if cols != self.ndev:
-            return False
-        # uniform CTB-aligned columns covering the full width exactly
-        bd = pps.colBd                       # CTB units
-        w0 = bd[1] - bd[0]
-        if any(bd[i + 1] - bd[i] != w0 for i in range(cols)):
-            return False
-        return self.cfg.W == cols * w0 * (1 << self.cfg.log2ctb)
+        # one tile COLUMN per device; arbitrary (non-uniform) boundaries
+        # are fine — strips pad to the widest column (pps.h:109-151)
+        return pps.num_tile_columns == self.ndev
 
     def _run_fast(self, plan, out_slot):
         jnp = self.jnp
-        tsh, trep, x0s = self._split(plan, self.cfg_scan, self.slot_of,
+        _, ws, _ = self._geom(plan, self.ndev)
+        sprog = self._get_prog(self.cfg_scan, self.mesh, tuple(ws))
+        tsh, trep, x0w = self._split(plan, self.cfg_scan, self.slot_of,
                                      self.ndev)
         tsh = {k: jnp.asarray(v) for k, v in tsh.items()}
         trep = {k: jnp.asarray(v) for k, v in trep.items()}
-        self.dy, self.dcb, self.dcr = self._sprog(
-            self.dy, self.dcb, self.dcr, tsh, trep, jnp.asarray(x0s),
+        self.dy, self.dcb, self.dcr = sprog(
+            self.dy, self.dcb, self.dcr, tsh, trep, jnp.asarray(x0w),
             jnp.asarray(np.array([out_slot], np.int32)))

@@ -59,6 +59,9 @@ class EncoderConfig:
     intra_period: int = 0             # 0: only first frame intra
     write_hash_sei: bool = False      # append decoded-picture-hash suffix SEI
     tiles: tuple = None               # (cols, rows) uniform tile grid
+    tile_col_widths: tuple = None     # explicit CTB column widths
+                                      # (uniform_spacing=0, pps.h:109-151)
+    tile_row_heights: tuple = None    # explicit CTB row heights
     lf_across_tiles: bool = True
     wpp: bool = False                 # entropy_coding_sync (one substream/row)
     num_slices: int = 1               # independent slices per frame (CTB rows)
@@ -494,6 +497,19 @@ class Encoder:
         pic.planes = self.recon
         pic.plan = frame
         pic.needed_for_output = False
+        # sliding-window eviction: every RPS this encoder writes only
+        # references the most recent num_ref short-term pictures, so a
+        # conformant decoder drops everything older after each frame —
+        # mirror that here or long P chains overflow the DPB (kept
+        # margin covers the temporal-layers even-POC reference pattern)
+        from ..dpb import UNUSED
+        nkeep = 2 * max(cfg.num_ref_l0, getattr(cfg, "num_ref_l1", 1)) + 2
+        sts = sorted((p.poc for p in self.dpb.pics
+                      if p.state == SHORT_TERM), reverse=True)
+        keep = set(sts[:nkeep])
+        for p in self.dpb.pics:
+            if p.state == SHORT_TERM and p.poc not in keep:
+                p.state = UNUSED
         return out_nals
 
     def _decide_sao(self, frame):

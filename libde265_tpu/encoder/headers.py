@@ -163,7 +163,29 @@ def write_pps(cfg):
         cols, rows = cfg.tiles
         w.put_uvlc(cols - 1)
         w.put_uvlc(rows - 1)
-        w.put_bit(1)   # uniform_spacing
+        tc = getattr(cfg, "tile_col_widths", None)   # explicit CTB widths
+        tr = getattr(cfg, "tile_row_heights", None)
+        if tc or tr:
+            # uniform_spacing = 0: explicit column/row sizes in CTBs
+            # (arbitrary PPS tile boundaries, pps.h:109-151); a missing
+            # axis falls back to even splits of the CTB grid
+            ctb = 1 << cfg.log2_ctb
+            wctbs = -(-cfg.width // ctb)
+            hctbs = -(-cfg.height // ctb)
+            if not tc:
+                tc = [(i + 1) * wctbs // cols - i * wctbs // cols
+                      for i in range(cols)]
+            if not tr:
+                tr = [(i + 1) * hctbs // rows - i * hctbs // rows
+                      for i in range(rows)]
+            assert len(tc) >= cols - 1 and len(tr) >= rows - 1
+            w.put_bit(0)
+            for cw in tc[:cols - 1]:
+                w.put_uvlc(cw - 1)
+            for rh in tr[:rows - 1]:
+                w.put_uvlc(rh - 1)
+        else:
+            w.put_bit(1)   # uniform_spacing
         w.put_bit(1 if cfg.lf_across_tiles else 0)
     w.put_bit(1)       # loop_filter_across_slices
     w.put_bit(1)       # deblocking_filter_control_present

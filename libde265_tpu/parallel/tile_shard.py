@@ -38,9 +38,26 @@ SHARDED_KEYS = ("pm", "cbf", "tucb", "edgeall", "qp", "off", "pf", "mv",
                 "poc", "slot")
 
 
+def strip_geometry(plan, ndev):
+    """Tile-column strip geometry from the PPS colBd (arbitrary, CTB
+    units — pps.h:109-151): per-column pixel origins x0, valid pixel
+    widths w, and the padded uniform strip width Ws (max column,
+    CTB-sized). Uniform grids are the special case w[d] == Ws."""
+    pps, sps = plan.pps, plan.sps
+    ctb = 1 << sps.Log2CtbSizeY
+    bd = pps.colBd                          # CTB units, len ndev+1
+    assert pps.num_tile_columns == ndev
+    x0 = [int(bd[d]) * ctb for d in range(ndev)]
+    w = [min(int(bd[d + 1]) * ctb, plan.W) - x0[d] for d in range(ndev)]
+    Ws = max(int(bd[d + 1] - bd[d]) for d in range(ndev)) * ctb
+    return x0, w, Ws
+
+
 def split_strips(plan, cfg, fid_slot, ndev):
     """Host: global pack_frame tensors -> (sharded-stack dict, replicated
-    dict, x0s). Strips are the ndev uniform tile columns."""
+    dict, x0w). Strips are the ndev tile columns, padded to the widest
+    column (short strips carry dead right padding — their filter output
+    there is cropped by the width-aware reassembly)."""
     t = pack_frame(plan, cfg, fid_slot)
     if cfg.pu_grid8:
         # the sharded program strips 4x4-granular grids: undo pack_frame's
@@ -51,18 +68,16 @@ def split_strips(plan, cfg, fid_slot, ndev):
     for bi_, (cidx, log2, K) in enumerate(cfg.buckets):
         t.pop(f"re_i_{cidx}_{log2}", None)
         t.pop(f"re_v_{cidx}_{log2}", None)
-    W = cfg.W
-    assert W % (ndev * 64) == 0 or W % ndev == 0, (W, ndev)
-    Ws = W // ndev
+    x0s, ws, Ws = strip_geometry(plan, ndev)
     ws4 = Ws // 4
     tsh = {}
-    # halo-extended 4x4 grids
+    # halo-extended 4x4 grids (right-pad covers the widest strip's span)
     for k in SHARDED_KEYS + (("ref_idx",) if cfg.has_weights else ()):
         g = t.pop(k)
         pad = [(0, 0)] * g.ndim
-        pad[1] = (GB, GB)
+        pad[1] = (GB, GB + ws4)
         gp = np.pad(g, pad)
-        tsh[k] = np.stack([gp[:, d * ws4:(d + 1) * ws4 + 2 * GB]
+        tsh[k] = np.stack([gp[:, x0s[d] // 4:x0s[d] // 4 + ws4 + 2 * GB]
                            for d in range(ndev)])
     # residual buckets in strip coordinates
     tu_meta, coeff_pool, _ = plan._tu_arrays
@@ -77,10 +92,11 @@ def split_strips(plan, cfg, fid_slot, ndev):
         nslots = (-(-(cfg.H // sub) // n)) * ncols
         cs, qs, ss = [], [], []
         for d in range(ndev):
-            x0c = d * Wsc
+            x0c = x0s[d] // sub
+            wc = ws[d] // sub
             if tu_meta.shape[0]:
                 m = sel & (tu_meta[:, 0] == cidx) & (tu_meta[:, 3] == log2) \
-                    & (tu_meta[:, 1] >= x0c) & (tu_meta[:, 1] < x0c + Wsc)
+                    & (tu_meta[:, 1] >= x0c) & (tu_meta[:, 1] < x0c + wc)
                 rows = tu_meta[m]
             else:
                 rows = np.zeros((0, 10), np.int32)
@@ -105,22 +121,29 @@ def split_strips(plan, cfg, fid_slot, ndev):
         tsh[f"rc_{cidx}_{log2}"] = np.stack(cs)
         tsh[f"rq_{cidx}_{log2}"] = np.stack(qs)
         tsh[f"rs_{cidx}_{log2}"] = np.stack(ss)
-    x0s = (np.arange(ndev, dtype=np.int32) * Ws)[:, None]
-    return tsh, t, x0s
+    x0w = np.stack([np.asarray(x0s, np.int32),
+                    np.asarray(ws, np.int32)], axis=1)
+    return tsh, t, x0w
 
 
-def _halo_concat(loc, halo, axis_name, ndev):
+def _halo_concat(loc, halo, axis_name, ndev, wd):
     """Attach left/right halo columns from ring neighbours.
-    loc: (H, Ws[, ...]) local plane; halo: number of columns."""
+    loc: (H, Ws) local strip, VALID columns [0, wd) (wd traced; short
+    strips of a non-uniform grid carry dead right padding). The right
+    edge is sliced at the valid width and the neighbour's halo lands at
+    lane halo+wd so the filter reads true cross-tile pixels."""
     i = jax.lax.axis_index(axis_name)
-    ar = jax.lax.all_gather(loc[:, -halo:], axis_name)   # (ndev, H, halo)
+    Hh = loc.shape[0]
+    redge = jax.lax.dynamic_slice(loc, (0, wd - halo), (Hh, halo))
+    ar = jax.lax.all_gather(redge, axis_name)            # (ndev, H, halo)
     al = jax.lax.all_gather(loc[:, :halo], axis_name)
     ids = jnp.arange(ndev)
     oh_prev = (ids == i - 1).astype(loc.dtype)
     oh_next = (ids == i + 1).astype(loc.dtype)
     left = jnp.tensordot(oh_prev, ar, axes=1)
     right = jnp.tensordot(oh_next, al, axes=1)
-    return jnp.concatenate([left, loc, right], axis=1)
+    ext = jnp.concatenate([left, loc, jnp.zeros_like(right)], axis=1)
+    return jax.lax.dynamic_update_slice(ext, right, (0, halo + wd))
 
 
 def _expand_ctb4_strip(a, cfg, ws4h, x0):
@@ -133,6 +156,15 @@ def _expand_ctb4_strip(a, cfg, ws4h, x0):
     return a[ys][:, xs]
 
 
+def _assemble(g, Ws, widths, Wfull):
+    """(H, ndev*Ws) tiled gather -> (H, Wfull): static width-aware concat
+    of each strip's valid columns (uniform grids are a no-op slice)."""
+    if all(w == Ws for w in widths) and len(widths) * Ws == Wfull:
+        return g
+    pieces = [g[:, d * Ws:d * Ws + w] for d, w in enumerate(widths)]
+    return jnp.concatenate(pieces, axis=1)[:, :Wfull]
+
+
 def _expand_mask_strip(m, f, rows, cols):
     gh, gw = m.shape
     return jnp.broadcast_to(m[:, None, :, None], (gh, f, gw, f)) \
@@ -140,10 +172,11 @@ def _expand_mask_strip(m, f, rows, cols):
 
 
 def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
-                             axis="t"):
+                             Ws, widths, axis="t"):
     """Per-shard body (inside shard_map). t: merged sharded(+squeezed) and
-    replicated tensors. x0a: (1,1) strip origin. Returns updated stacks
-    (replicated)."""
+    replicated tensors. x0a: (1,2) [strip pixel origin, valid width] —
+    strips are padded to the widest tile column Ws (static). Returns
+    updated stacks (replicated)."""
     from ..ops.mc_tile_jax import build_tables, mc_frame_tile
     from ..ops.transform_jax import residual_batch
     from ..ops.filter_plan_jax import plan_deblock_device, plan_sao_device
@@ -152,7 +185,6 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
     from ..frame_program import _scatter_residual_slots
 
     H, W = cfg.H, cfg.W
-    Ws = W // ndev
     Hc, Wsc = H // 2, Ws // 2
     bd = cfg.bitdepth
     maxv = (1 << bd) - 1
@@ -160,6 +192,7 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
     ws4 = Ws // 4
     N = gh * ws4
     x0 = x0a[0, 0]
+    wd = x0a[0, 1]
 
     sel = t["sel_slots"]
     tables = build_tables(dy[sel], dcb[sel], dcr[sel],
@@ -212,9 +245,9 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
     Y, Cb, Cr = planes
 
     # ---- halo exchange of pre-filter boundary pixels
-    Ye = _halo_concat(Y, HALO_Y, axis, ndev)
-    Cbe = _halo_concat(Cb, HALO_C, axis, ndev)
-    Cre = _halo_concat(Cr, HALO_C, axis, ndev)
+    Ye = _halo_concat(Y, HALO_Y, axis, ndev, wd)
+    Cbe = _halo_concat(Cb, HALO_C, axis, ndev, wd // 2)
+    Cre = _halo_concat(Cr, HALO_C, axis, ndev, wd // 2)
 
     # ---- deblock on the halo-extended strip (metadata strip-local)
     lm, cm = plan_deblock_device(t, cfg.fcfg, xoff=x0 - HALO_Y)
@@ -239,10 +272,14 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
     Cb = Cbe[:, HALO_C:HALO_C + Wsc]
     Cr = Cre[:, HALO_C:HALO_C + Wsc]
 
-    # ---- gather the full frame, insert into the replicated DPB
-    Yf = jax.lax.all_gather(Y, axis, axis=1, tiled=True)
-    Cbf = jax.lax.all_gather(Cb, axis, axis=1, tiled=True)
-    Crf = jax.lax.all_gather(Cr, axis, axis=1, tiled=True)
+    # ---- gather the strips, reassemble width-aware (short strips drop
+    # their dead right padding), insert into the replicated DPB
+    Yf = _assemble(jax.lax.all_gather(Y, axis, axis=1, tiled=True),
+                   Ws, widths, W)
+    Cbf = _assemble(jax.lax.all_gather(Cb, axis, axis=1, tiled=True),
+                    Wsc, tuple(w // 2 for w in widths), W // 2)
+    Crf = _assemble(jax.lax.all_gather(Cr, axis, axis=1, tiled=True),
+                    Wsc, tuple(w // 2 for w in widths), W // 2)
     slot_s = out_slot[0]
     dy = jax.lax.dynamic_update_slice(dy, Yf.astype(jnp.int16)[None],
                                       (slot_s, 0, 0))
@@ -256,18 +293,24 @@ def decode_frame_tiles_local(dy, dcb, dcr, t, x0a, out_slot, cfg, ndev,
 _SHARD_PROGRAMS = {}
 
 
-def get_sharded_program(cfg: ProgramCfg, mesh: Mesh):
-    key = (cfg, tuple(mesh.shape.items()))
+def get_sharded_program(cfg: ProgramCfg, mesh: Mesh, widths=None):
+    """widths: per-column valid pixel widths (static tuple; defaults to
+    the uniform W/ndev grid). Ws = max(widths)."""
+    ndev = mesh.shape["t"]
+    if widths is None:
+        widths = (cfg.W // ndev,) * ndev
+    widths = tuple(widths)
+    Ws = max(widths)
+    key = (cfg, tuple(mesh.shape.items()), widths)
     if key in _SHARD_PROGRAMS:
         return _SHARD_PROGRAMS[key]
-    ndev = mesh.shape["t"]
 
     def run(dy, dcb, dcr, tsh, trep, x0s, out_slot):
         def body(dy, dcb, dcr, tsh_l, trep_l, x0a, oslot):
             t = {k: v[0] for k, v in tsh_l.items()}
             t.update(trep_l)
             return decode_frame_tiles_local(dy, dcb, dcr, t, x0a, oslot,
-                                            cfg, ndev)
+                                            cfg, ndev, Ws, widths)
         kw = dict(mesh=mesh,
                   in_specs=(P(), P(), P(), P("t"), P(), P("t"), P()),
                   out_specs=(P(), P(), P()))

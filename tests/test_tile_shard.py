@@ -50,6 +50,11 @@ def _decode_sharded(name, ndev):
     ("p_tiles2_mv_nolf", 2),
     ("p_tiles4_mv", 4),
     ("p_tiles8_mv", 8),
+    # NON-uniform column widths + a uniform-spacing grid whose ceil
+    # distribution yields unequal columns (pps.h:109-151 colBd):
+    # strips pad to the widest column, reassembly is width-aware
+    ("p_tiles8nu_mv", 8),
+    ("p_tiles3r_mv", 3),
 ])
 def test_sharded_tiles_golden(name, ndev):
     if not os.path.exists(os.path.join(DATA, name + ".bin")):

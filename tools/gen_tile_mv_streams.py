@@ -34,13 +34,29 @@ CASES = [
      dict(inter_mode="mv", inter_residual=True, tiles=(8, 1), log2_ctb=6,
           cu_log2=4, num_ref_l0=2, temporal_mvp=True,
           disable_deblocking=False, sao=True)),
+    # NON-uniform column widths (uniform_spacing=0, pps.h:109-151): the
+    # sharded program pads strips to the widest column
+    ("p_tiles8nu_mv", 704, 64, 4,
+     dict(inter_mode="mv", inter_residual=True, tiles=(8, 1), log2_ctb=6,
+          tile_col_widths=(1, 2, 1, 2, 1, 2, 1, 1),
+          cu_log2=4, num_ref_l0=2, temporal_mvp=True,
+          disable_deblocking=False, sao=True)),
+    # uniform-SPACING grid whose width is NOT a column multiple: the
+    # spec's ceil distribution yields 2/2/1-CTB columns (pps.h colBd)
+    ("p_tiles3r_mv", 320, 64, 4,
+     dict(inter_mode="mv", inter_residual=True, tiles=(3, 1), log2_ctb=6,
+          cu_log2=4, num_ref_l0=2, temporal_mvp=True,
+          disable_deblocking=False, sao=True)),
 ]
 
 
 def main():
     path = os.path.join(DATA, "manifest_inter.json")
     manifest = json.load(open(path))
+    only = set(sys.argv[1:])
     for name, w, h, nf, kw in CASES:
+        if only and name not in only:
+            continue
         cfg = EncoderConfig(width=w, height=h, qp=30, **kw)
         stream = Encoder(cfg).encode(make_frames(nf, w, h))
         bit = os.path.join(DATA, f"{name}.bin")
