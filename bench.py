@@ -231,12 +231,18 @@ def main():
     for r in range(ROUNDS):
         dy, dcb, dcr, ty, tc = iprog(dy, dcb, dcr, ty, tc,
                                      sdi, islots_j)
+    float(dy[1, 0, 0])
+    iframe_ms = (time.time() - t0) / ROUNDS * 1000 / len(iframes)
+    t0 = time.time()
+    for r in range(ROUNDS):
         dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
                                      sd, slots_d)
     float(dy[1, 0, 0])
-    # numerator = frames this diagnostic loop actually executed (NOT
+    p_fps = ROUNDS * len(pframes) / (time.time() - t0)
+    # numerator = frames the diagnostic loops actually executed (NOT
     # n_done, which accumulates e2e retry rounds)
-    dev_fps = ROUNDS * nfr / (time.time() - t0)
+    dev_fps = ROUNDS * nfr / (ROUNDS * len(iframes) * iframe_ms / 1000
+                              + ROUNDS * len(pframes) / p_fps)
     nbytes = sum(v.nbytes for v in blob.values()) + \
         sum(v.nbytes for v in blob_i.values())
     t0 = time.time()
@@ -258,6 +264,8 @@ def main():
         "fe_parse_fps": round(nf / t_parse, 1),
         "pack_fps": round(nf / t_pack, 1),
         "device_only_fps": round(dev_fps, 2),
+        "p_frames_device_fps": round(p_fps, 2),
+        "iframe_device_ms": round(iframe_ms, 1),
         "upload_mb_per_frame": round(nbytes / nfr / 1e6, 1),
         "link_mbps": round(up_mbps, 1),
         "frames_timed": n_done,

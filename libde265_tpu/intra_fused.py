@@ -80,7 +80,9 @@ def assign_levels_meta(plan):
     N = tm.shape[0]
     levels = np.zeros(N, np.int32)
     if N:
-        sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+        # PER-AXIS chroma scale (4:2:2 halves only horizontally)
+        subw = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+        subh = plan.sps.SubHeightC if plan.sps.ChromaArrayType else 1
         gh, gw = plan.gh, plan.gw
         L = [np.zeros((gh, gw), np.int32) for _ in range(3)]
         cidx_c = tm[:, 0]
@@ -92,29 +94,31 @@ def assign_levels_meta(plan):
             cidx = cidx_c[i]
             if cidx < 0 or pm_c[i] != MODE_INTRA:
                 continue
-            sc = 1 if cidx == 0 else sub
+            scx = 1 if cidx == 0 else subw
+            scy = 1 if cidx == 0 else subh
             n = 1 << log2_c[i]
-            x0 = x_c[i] * sc
-            y0 = y_c[i] * sc
-            span = n * sc
+            x0 = x_c[i] * scx
+            y0 = y_c[i] * scy
+            spanx, spany = n * scx, n * scy
             g = L[cidx]
             gx0, gy0 = x0 >> 2, y0 >> 2
-            gspan = max(1, span >> 2)
+            gsx = max(1, spanx >> 2)
+            gsy = max(1, spany >> 2)
             dep = 0
             bx = (x0 - 1) >> 2
             if bx >= 0:
-                y_end = min(gh - 1, (y0 + 2 * span - 1) >> 2)
+                y_end = min(gh - 1, (y0 + 2 * spany - 1) >> 2)
                 col = g[gy0:y_end + 1, bx]
                 if col.size:
                     dep = int(col.max())
             by = (y0 - 1) >> 2
             if by >= 0:
-                x_end = min(gw - 1, (x0 + 2 * span - 1) >> 2)
+                x_end = min(gw - 1, (x0 + 2 * spanx - 1) >> 2)
                 row = g[by, max(0, bx):x_end + 1]
                 if row.size:
                     dep = max(dep, int(row.max()))
             lvl = dep + 1
-            g[gy0:gy0 + gspan, gx0:gx0 + gspan] = lvl
+            g[gy0:gy0 + gsy, gx0:gx0 + gsx] = lvl
             levels[i] = lvl
     plan._intra_levels = levels
     return levels
@@ -358,7 +362,7 @@ def intra_stage(Y, Cb, Cr, t, cfg):
                        xw[:, None] - 1)
         gi = base[:, None] + jnp.clip(by, 0, Hp_ - 1) * Wp_ + \
             jnp.clip(bx, 0, Wp_ - 1)
-        raw = flat[gi]                                   # (Klvl, Lb)
+        raw = flat[gi].astype(jnp.int32)                 # (Klvl, Lb)
         bits = (okb[:, :, None] >>
                 (7 - jnp.arange(8, dtype=jnp.uint8))[None, None, :]) & 1
         okm = bits.reshape(Klvl, OB * 8)[:, :Lb] != 0
@@ -385,11 +389,17 @@ def intra_stage(Y, Cb, Cr, t, cfg):
         # in-place update safe.
         flat, out = jax.lax.optimization_barrier((flat, out))
         return flat.at[didx.reshape(-1)].set(
-            out.reshape(-1), mode="drop", unique_indices=True)
+            out.reshape(-1).astype(flat.dtype), mode="drop",
+            unique_indices=True)
 
-    yflat = jnp.concatenate([Y.reshape(-1), jnp.zeros(1, Y.dtype)])
+    # narrow carry dtype: XLA copies these buffers every level (the
+    # gather-from-carry defeats in-place scatter aliasing), so the copy
+    # cost scales with carry BYTES — uint8/int16 quarters/halves it
+    cdt = jnp.uint8 if bd <= 8 else jnp.int16
+    yflat = jnp.concatenate([Y.reshape(-1), jnp.zeros(1, Y.dtype)]) \
+        .astype(cdt)
     cflat = jnp.concatenate([Cb.reshape(-1), Cr.reshape(-1),
-                             jnp.zeros(1, Cb.dtype)])
+                             jnp.zeros(1, Cb.dtype)]).astype(cdt)
 
     def body(i, carry):
         yf, cf = carry
@@ -401,7 +411,7 @@ def intra_stage(Y, Cb, Cr, t, cfg):
         return yf, cf
 
     yflat, cflat = jax.lax.fori_loop(0, cfg.intra_C, body, (yflat, cflat))
-    Y = yflat[:H * W].reshape(H, W)
-    Cb = cflat[:Hc * Wc].reshape(Hc, Wc)
-    Cr = cflat[Hc * Wc:2 * Hc * Wc].reshape(Hc, Wc)
+    Y = yflat[:H * W].reshape(H, W).astype(jnp.int32)
+    Cb = cflat[:Hc * Wc].reshape(Hc, Wc).astype(jnp.int32)
+    Cr = cflat[Hc * Wc:2 * Hc * Wc].reshape(Hc, Wc).astype(jnp.int32)
     return Y, Cb, Cr

@@ -2848,37 +2848,45 @@ int fe_intra_levels(FEHandle* h, int idx, int32_t* out) {
   if (idx < 0 || idx >= (int)h->ctx.frames.size()) return -1;
   Frame& f = *h->ctx.frames[idx];
   const SPS& sps = *f.sps;
-  int sub = sps.chroma_array_type ? sps.subw : 1;
+  // PER-AXIS chroma scale: 4:2:2 has subw=2, subh=1 — scaling y by subw
+  // wrote past the grid (caught by the full-suite abort on rext vectors)
+  int subw = sps.chroma_array_type ? sps.subw : 1;
+  int subh = sps.chroma_array_type ? sps.subh : 1;
   int gh = f.gh, gw = f.gw;
   std::vector<int32_t> L(3 * gh * gw, 0);
   for (size_t i = 0; i < f.tus.size(); i++) {
     const TU& t = f.tus[i];
     out[i] = 0;
     if (t.cidx < 0 || t.pred_mode != 1) continue;
-    int sc = t.cidx == 0 ? 1 : sub;
+    int scx = t.cidx == 0 ? 1 : subw;
+    int scy = t.cidx == 0 ? 1 : subh;
     int n = 1 << t.log2;
-    int x0 = t.x * sc, y0 = t.y * sc, span = n * sc;
+    int x0 = t.x * scx, y0 = t.y * scy;
+    int spanx = n * scx, spany = n * scy;
     int32_t* g = L.data() + t.cidx * gh * gw;
     int gx0 = x0 >> 2, gy0 = y0 >> 2;
-    int gspan = span >> 2; if (gspan < 1) gspan = 1;
+    int gsx = spanx >> 2; if (gsx < 1) gsx = 1;
+    int gsy = spany >> 2; if (gsy < 1) gsy = 1;
+    if (gx0 + gsx > gw) gsx = gw - gx0;
+    if (gy0 + gsy > gh) gsy = gh - gy0;
     int dep = 0;
     int bx = (x0 - 1) >> 2;
     if (bx >= 0) {
-      int y_end = (y0 + 2 * span - 1) >> 2;
+      int y_end = (y0 + 2 * spany - 1) >> 2;
       if (y_end > gh - 1) y_end = gh - 1;
       for (int y = gy0; y <= y_end; y++)
         if (g[y * gw + bx] > dep) dep = g[y * gw + bx];
     }
     int by = (y0 - 1) >> 2;
     if (by >= 0) {
-      int x_end = (x0 + 2 * span - 1) >> 2;
+      int x_end = (x0 + 2 * spanx - 1) >> 2;
       if (x_end > gw - 1) x_end = gw - 1;
       for (int x = bx > 0 ? bx : 0; x <= x_end; x++)
         if (g[by * gw + x] > dep) dep = g[by * gw + x];
     }
     int lvl = dep + 1;
-    for (int y = gy0; y < gy0 + gspan; y++)
-      for (int x = gx0; x < gx0 + gspan; x++)
+    for (int y = gy0; y < gy0 + gsy; y++)
+      for (int x = gx0; x < gx0 + gsx; x++)
         g[y * gw + x] = lvl;
     out[i] = lvl;
   }
