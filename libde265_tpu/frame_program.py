@@ -14,6 +14,7 @@ tq-bypass, scaling lists) decode through the round-1 hybrid device path and
 their pixels are inserted into the device DPB stack, so mixed streams stay
 bit-exact end to end (tests/test_frame_program.py vs golden MD5).
 """
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -100,6 +101,10 @@ class ProgramCfg:
                                       # pl 0=luma 1=chroma (intra_fused.py);
                                       # () = intra TUs not supported
     intra_C: int = 0                  # wavefront level cap (fori trip)
+    intra_scan: tuple = ()            # (KL, KC) per-band TU-slot caps for
+                                      # the Pallas serial band-scan intra
+                                      # kernel (ops/pallas/intra_scan.py);
+                                      # () = XLA wavefront fori path
     strong: bool = False              # sps strong_intra_smoothing
     skip_mc: bool = False             # zero-PU frames (I-frames): drop the
                                       # whole MC stage + motion uploads;
@@ -173,6 +178,7 @@ def stream_cfg(plans, sps, use_pallas=False):
     qp8 = True
     imax = {}                     # (pl, log2) -> [Klvl, Ktot, E] intra caps
     intra_C = 0
+    iKL = iKC = 0                 # Pallas scan per-band caps
     pcm_max = {}                  # log2 -> max PCM block count
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
@@ -235,7 +241,7 @@ def stream_cfg(plans, sps, use_pallas=False):
             qs = np.repeat(np.repeat(q[::2, ::2], 2, 0), 2, 1)
             qp8 = bool(np.array_equal(qs[:q.shape[0], :q.shape[1]], q))
         if frame_has_intra(plan):
-            from .intra_fused import intra_frame_stats
+            from .intra_fused import intra_frame_stats, assign_levels_meta
             nlv, st = intra_frame_stats(plan)
             intra_C = max(intra_C, nlv)
             for key, (mlvl, tot, ne, kinds) in st.items():
@@ -244,6 +250,18 @@ def stream_cfg(plans, sps, use_pallas=False):
                 e[1] = max(e[1], tot)
                 e[2] = max(e[2], ne)
                 e[3] |= kinds
+            # per-CTB-row-band TU caps for the Pallas scan kernel
+            lv = assign_levels_meta(plan)
+            tmx = plan._tu_arrays[0]
+            ctb_ = 1 << plan.sps.Log2CtbSizeY
+            sel = (lv > 0) & (tmx[:, 0] == 0)
+            if sel.any():
+                iKL = max(iKL, int(np.bincount(
+                    tmx[sel, 2] // ctb_).max()))
+            selc = (lv > 0) & (tmx[:, 0] == 1)     # Cb rows = pair count
+            if selc.any():
+                iKC = max(iKC, int(np.bincount(
+                    tmx[selc, 2] // (ctb_ // 2)).max()))
     # class-sorted MXU MC capacities: per-(h,v)-class max counts over
     # every compatible frame and every lane the program will run, using
     # the SAME numpy geometry the device traces (mc_mxu_jax.luma_geom)
@@ -319,6 +337,15 @@ def stream_cfg(plans, sps, use_pallas=False):
              _ceil_sched(e[0]), _ceil_sched(e[2]) if e[2] else 0, e[3])
             for (pl, l), e in sorted(imax.items())),
         intra_C=intra_C,
+        # serial band-scan intra kernel: TPU-only (Mosaic), 8-bit path;
+        # DE265_INTRA_SCAN=0 disables, =force enables off-TPU (interpret
+        # mode — CPU correctness tests)
+        intra_scan=(_ceil_sched(iKL), _ceil_sched(iKC) if iKC else 0)
+        if (iKL and sps.BitDepthY == 8
+            and os.environ.get("DE265_INTRA_SCAN", "1") != "0"
+            and (use_pallas
+                 or os.environ.get("DE265_INTRA_SCAN") == "force"))
+        else (),
         strong=bool(sps.strong_intra_smoothing_enable_flag))
 
 

@@ -187,6 +187,90 @@ def intra_frame_stats(plan):
     return n_levels, out
 
 
+def _cumcount(sorted_keys):
+    """Position of each element within its equal-key run (keys sorted)."""
+    return np.arange(sorted_keys.size) - \
+        np.searchsorted(sorted_keys, sorted_keys, side="left")
+
+
+def pack_scan_perms(plan, cfg, cls_idx):
+    """Host: slot permutations for the Pallas band-scan kernel
+    (ops/pallas/intra_scan.py). TUs are ordered by (CTB row band,
+    global z-scan address) — decode order within each tile, which the
+    kernel's serial walk requires. Slot value = row_in_class*4 + rank;
+    -1 = padding. Emits ispm_0 (luma) and ispm_b / ispm_r (chroma
+    Cb/Cr pair rows)."""
+    t = {}
+    zg4 = _avail_grids(plan)[0]
+    tm = plan._tu_arrays[0]
+    ctb = 1 << plan.sps.Log2CtbSizeY
+    NB = -(-plan.H // ctb)
+    KL, KC = cfg.intra_scan
+    lcls = [e[1] for e in cfg.intra if e[0] == 0]
+    ccls = [e[1] for e in cfg.intra if e[0] == 1]
+
+    # ---- luma
+    bands, zgs, encs = [], [], []
+    for rank, log2 in enumerate(lcls):
+        idx = cls_idx.get((0, log2))
+        if idx is None or not idx.size:
+            continue
+        y = tm[idx, 2].astype(np.int64)
+        x = tm[idx, 1].astype(np.int64)
+        bands.append(y // ctb)
+        zgs.append(zg4[y >> 2, x >> 2])
+        encs.append(np.arange(idx.size, dtype=np.int64) * 4 + rank)
+    perm = np.full(NB * KL, -1, np.int32)
+    if bands:
+        b = np.concatenate(bands)
+        z = np.concatenate(zgs)
+        e = np.concatenate(encs)
+        o = np.lexsort((z, b))
+        b, e = b[o], e[o]
+        pos = _cumcount(b)
+        assert pos.max() < KL, (int(pos.max()), KL)
+        perm[b * KL + pos] = e
+    t["ispm_0"] = perm
+
+    # ---- chroma: pair Cb/Cr rows of each class by position
+    if ccls and KC:
+        bandsc, zgsc, encb, encr = [], [], [], []
+        bh_c = ctb // 2
+        for rank, log2 in enumerate(ccls):
+            idx = cls_idx.get((1, log2))
+            if idx is None or not idx.size:
+                continue
+            cidx = tm[idx, 0]
+            x = tm[idx, 1].astype(np.int64)
+            y = tm[idx, 2].astype(np.int64)
+            pair = {}
+            for r in range(idx.size):
+                pair.setdefault((x[r], y[r]), [None, None])[
+                    0 if cidx[r] == 1 else 1] = r
+            for (px, py), (rb, rr) in pair.items():
+                assert rb is not None and rr is not None, (px, py)
+                bandsc.append(py // bh_c)
+                zgsc.append(zg4[(py * 2) >> 2, (px * 2) >> 2])
+                encb.append(rb * 4 + rank)
+                encr.append(rr * 4 + rank)
+        pb = np.full(NB * KC, -1, np.int32)
+        pr = np.full(NB * KC, -1, np.int32)
+        if bandsc:
+            b = np.asarray(bandsc, np.int64)
+            z = np.asarray(zgsc, np.int64)
+            eb = np.asarray(encb, np.int64)
+            er = np.asarray(encr, np.int64)
+            o = np.lexsort((z, b))
+            b, eb, er = b[o], eb[o], er[o]
+            pos = _cumcount(b)
+            assert pos.max() < KC, (int(pos.max()), KC)
+            pb[b * KC + pos] = eb
+            pr[b * KC + pos] = er
+        t["ispm_b"] = pb
+        t["ispm_r"] = pr
+    return t
+
+
 def pack_intra(plan, cfg):
     """Host: per-class flat level-sorted tensors for the device scan.
     Emits (into a dict) for each cfg.intra class (pl, log2, Ktot, Klvl, E):
@@ -201,6 +285,7 @@ def pack_intra(plan, cfg):
     tm, coeff_pool, _ = plan._tu_arrays
     levels = assign_levels_meta(plan)
     C = cfg.intra_C
+    cls_idx = {}
     for (pl, log2, Ktot, Klvl, E, kinds) in cfg.intra:
         n = 1 << log2
         nn = n * n
@@ -213,6 +298,7 @@ def pack_intra(plan, cfg):
         idx = idx[order]
         lv = lv[order]
         k = idx.size
+        cls_idx[(pl, log2)] = idx
         assert k + Klvl <= Ktot, (pl, log2, k, Klvl, Ktot)
         cnt = np.bincount(lv, minlength=C + 1)
         assert lv.size == 0 or (int(lv.max()) <= C
@@ -266,27 +352,20 @@ def pack_intra(plan, cfg):
             ip = np.ones(Ktot, np.int8)
             ip[:k] = tm[idx, 0]
             t["ipl" + sfx] = ip
+    if getattr(cfg, "intra_scan", ()):
+        t.update(pack_scan_perms(plan, cfg, cls_idx))
     return t
 
 
 # ------------------------------------------------------------- device side
-def intra_stage(Y, Cb, Cr, t, cfg):
-    """Device: run all intra TUs as a level fori_loop over the flattened
-    Y|Cb|Cr buffer. Planes arrive with inter prediction + inter residuals
-    applied; returns updated (Y, Cb, Cr) int32."""
-    import jax
+def _residuals(t, cfg):
+    """Batched per-class inverse transforms (level-independent, so ONE
+    MXU pass per class; transform.cc:352-625 capability incl. DST,
+    transform-skip, tq-bypass, scaling lists)."""
     import jax.numpy as jnp
-    from .ops.intra_jax import predict_core
     from .ops.transform_jax import residual_batch
 
-    H, W = cfg.H, cfg.W
-    Hc, Wc = H // 2, W // 2
     bd = cfg.bitdepth
-    maxv = (1 << bd) - 1
-
-    # residuals are level-independent: one batched inverse transform per
-    # class before the loop (transform.cc:352-625 capability; DST for
-    # luma 4x4 intra)
     res_all = {}
     for (pl, log2, Ktot, Klvl, E, kinds) in cfg.intra:
         n = 1 << log2
@@ -322,6 +401,27 @@ def intra_stage(Y, Cb, Cr, t, cfg):
             if kinds & 2:
                 res = jnp.where(kd == 2, c, res)
         res_all[sfx] = res
+    return res_all
+
+
+def intra_stage(Y, Cb, Cr, t, cfg):
+    """Device: reconstruct all intra TUs in-program. Planes arrive with
+    inter prediction + inter residuals + PCM applied; returns updated
+    (Y, Cb, Cr) int32. Dispatch: the Pallas band-scan kernel when
+    cfg.intra_scan is set (TPU, 8-bit), else the XLA wavefront-level
+    fori loop."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.intra_jax import predict_core
+
+    if getattr(cfg, "intra_scan", ()):
+        return intra_stage_scan(Y, Cb, Cr, t, cfg)
+
+    H, W = cfg.H, cfg.W
+    Hc, Wc = H // 2, W // 2
+    bd = cfg.bitdepth
+    maxv = (1 << bd) - 1
+    res_all = _residuals(t, cfg)
 
     def class_step(flat, i, pl, log2, Ktot, Klvl, E):
         """One level window of one class against its OWN plane buffer
@@ -414,4 +514,123 @@ def intra_stage(Y, Cb, Cr, t, cfg):
     Y = yflat[:H * W].reshape(H, W).astype(jnp.int32)
     Cb = cflat[:Hc * Wc].reshape(Hc, Wc).astype(jnp.int32)
     Cr = cflat[Hc * Wc:2 * Hc * Wc].reshape(Hc, Wc).astype(jnp.int32)
+    return Y, Cb, Cr
+
+
+def intra_stage_scan(Y, Cb, Cr, t, cfg):
+    """Device: serial Pallas band scan (ops/pallas/intra_scan.py). The
+    whole CTB-row band stays VMEM-resident, so the per-level full-plane
+    copy the fori path pays disappears (~20x fewer HBM bytes/I-frame).
+    Kernel inputs are assembled on device from the SAME class tensors
+    the fori path uses, reordered by the host ispm_* permutations."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.pallas.intra_scan import build_scan
+
+    interp = jax.default_backend() == "cpu"
+    res_all = _residuals(t, cfg)
+    ctb = 1 << cfg.log2ctb
+    KL, KC = cfg.intra_scan
+    bd = cfg.bitdepth
+
+    def run_group(pl, classes, K, BH, planes, perms):
+        log2s = tuple(e[1] for e in classes)
+        Ktots = [e[2] for e in classes]
+        nsqs = [1 << (2 * l) for l in log2s]
+        OBs = [_okbytes(l) for l in log2s]
+        RW = max(256, max(nsqs))
+        Hp0, Wp0 = planes[0].shape
+        C = -(-Wp0 // 128)
+        NB = -(-Hp0 // BH)
+        # flat pools (no per-class padding waste)
+        rflat = jnp.concatenate(
+            [res_all[f"_{pl}_{l}"].reshape(-1) for l in log2s])
+        abits = []
+        for l, kt, ob in zip(log2s, Ktots, OBs):
+            okb = t[f"iok_{pl}_{l}"]
+            bits = ((okb[:, :, None] >>
+                     (7 - jnp.arange(8, dtype=jnp.uint8))[None, None, :])
+                    & 1).astype(jnp.int32)
+            abits.append(bits.reshape(-1))
+        aflat = jnp.concatenate(abits)
+        xcat = jnp.concatenate(
+            [t[f"ixy_{pl}_{l}"][:, 0].astype(jnp.int32) for l in log2s])
+        ycat = jnp.concatenate(
+            [t[f"ixy_{pl}_{l}"][:, 1].astype(jnp.int32) for l in log2s])
+        mcat = jnp.concatenate(
+            [t[f"imd_{pl}_{l}"].astype(jnp.int32) for l in log2s])
+        rbase = jnp.asarray(np.cumsum(
+            [0] + [kt * q for kt, q in zip(Ktots, nsqs)])[:-1], jnp.int32)
+        abase = jnp.asarray(np.cumsum(
+            [0] + [kt * ob * 8 for kt, ob in zip(Ktots, OBs)])[:-1],
+            jnp.int32)
+        astr = jnp.asarray([ob * 8 for ob in OBs], jnp.int32)
+        nsqa = jnp.asarray(nsqs, jnp.int32)
+        base_rows = jnp.asarray(np.cumsum([0] + Ktots)[:-1], jnp.int32)
+        # filterFlag per (class rank, mode): spec 8.4.4.2.3 gating —
+        # matches intra_stage's predict_core(smooth=pl==0) behaviour
+        ftab = np.zeros((len(log2s), 35), np.int32)
+        if pl == 0:
+            md = np.minimum(abs(np.arange(35) - 26),
+                            abs(np.arange(35) - 10))
+            for ci, l in enumerate(log2s):
+                n = 1 << l
+                if n >= 8:
+                    ftab[ci] = (np.arange(35) != 1) & \
+                        (md > {8: 7, 16: 1, 32: 0}[n])
+        ftabj = jnp.asarray(ftab.reshape(-1))
+        # scalars from the first perm (Cb row geometry == Cr's)
+        p0 = perms[0]
+        valid = p0 >= 0
+        pc = jnp.maximum(p0, 0)
+        rank = pc & 3
+        row = pc >> 2
+        rowg = jnp.clip(base_rows[rank] + row, 0, xcat.shape[0] - 1)
+        x = xcat[rowg]
+        y = ycat[rowg]
+        mode = mcat[rowg]
+        flags = valid.astype(jnp.int32) + 2 * ftabj[rank * 35 + mode]
+        z = jnp.zeros_like(x)
+        scal = jnp.stack([x, y % BH, rank, mode, flags, z, z, z],
+                         axis=1).reshape(-1)
+        # availability rows (NBK, 256)
+        lane = jnp.arange(256, dtype=jnp.int32)[None, :]
+        aidx = abase[rank][:, None] + row[:, None] * astr[rank][:, None] \
+            + lane
+        av = jnp.where((lane < astr[rank][:, None]) & valid[:, None],
+                       aflat[jnp.clip(aidx, 0, aflat.shape[0] - 1)], 0)
+        # residual rows (NBK, RW) per plane
+        lane2 = jnp.arange(RW, dtype=jnp.int32)[None, :]
+        rws = []
+        for pm in perms:
+            v = pm >= 0
+            pmc = jnp.maximum(pm, 0)
+            rk = pmc & 3
+            rw_ = pmc >> 2
+            ridx = rbase[rk][:, None] + rw_[:, None] * nsqa[rk][:, None] \
+                + lane2
+            rws.append(jnp.where(
+                (lane2 < nsqa[rk][:, None]) & v[:, None],
+                rflat[jnp.clip(ridx, 0, rflat.shape[0] - 1)], 0))
+        # planes -> padded 3D bands
+        p3d = []
+        for P in planes:
+            Pp = jnp.pad(P, ((0, NB * BH - P.shape[0]),
+                             (0, C * 128 - P.shape[1])))
+            p3d.append(Pp.reshape(NB * BH, C, 128))
+        scan = build_scan(log2s, BH, C, NB, K, len(planes), bd,
+                          cfg.strong, pl == 0, RW, interpret=interp)
+        outs = scan(scal, av, rws, p3d)
+        if len(planes) == 1:
+            outs = (outs,)
+        return [o.reshape(NB * BH, C * 128)[:P.shape[0], :P.shape[1]]
+                for o, P in zip(outs, planes)]
+
+    lcls = [e for e in cfg.intra if e[0] == 0]
+    ccls = [e for e in cfg.intra if e[0] == 1]
+    if lcls:
+        Y = run_group(0, lcls, KL, ctb, [Y], [t["ispm_0"]])[0]
+    if ccls and KC:
+        Cb, Cr = run_group(1, ccls, KC, ctb // 2, [Cb, Cr],
+                           [t["ispm_b"], t["ispm_r"]])
     return Y, Cb, Cr

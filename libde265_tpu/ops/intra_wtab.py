@@ -112,6 +112,10 @@ def build_wtab(log2):
         else:
             W = _angular_w(mode, n)
         assert W.min() >= 0 and W.max() <= 64, (mode, n, W.max())
+        # every output's weights sum to exactly 64 (a constant border must
+        # predict to itself) — so the int8-centered matvec bias is the
+        # CONSTANT 32 + 128*64 = 8224 for every mode/output; no bias table
+        assert (W.sum(0) == 64).all(), (mode, n)
         out[mode * Lp:mode * Lp + 4 * n + 1] = W.astype(np.int8)
     return out
 

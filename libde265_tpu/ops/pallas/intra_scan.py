@@ -1,0 +1,313 @@
+"""VMEM-resident serial intra reconstruction scan (Mosaic kernel).
+
+Replaces the XLA wavefront-level fori_loop (intra_fused.intra_stage):
+that loop pays a full-plane HBM copy per level (~0.9 ms x ~1000 levels
+at 4K) because the border gather reads the same buffer the scatter
+writes. Here the whole CTB-row band lives in VMEM and every TU is a few
+hundred VPU/MXU ops, so an I-frame costs milliseconds instead of a
+second — matching how the reference decodes intra CTBs inline at full
+speed (/root/reference/libde265/intrapred.cc:880-1164, slice.cc:3424).
+
+Execution model
+  grid = (NB bands, K TU-slots per band), fully serial. TUs are ordered
+  by (CTB row, tile-scan z order) — decode order per tile, which
+  respects every intra dependency (availability excludes cross-tile /
+  cross-slice / not-yet-decoded neighbours, intra_fused._border_ok).
+  The band (CTB-row x padded width, int32) streams through VMEM as the
+  kernel's output block (input_output_aliased to the plane, initialised
+  from the input block at slot 0); the previous band's bottom row is
+  carried across bands in a persistent VMEM halo scratch, so no HBM
+  read-after-write hazard exists between pipelined bands.
+
+Per TU (n static per lax.switch class branch):
+  1. assemble the spec-order border row (1,256): top row from band/halo
+     via two (1,128) tile reads + dynamic lane roll; left column via a
+     (BH,128) tile read, lane roll, (BH,1)->(1,BH) transpose, and a
+     log-swap lane reversal of the 2n prefix
+  2. substitute unavailable samples (8.4.4.2.2): masked-roll forward +
+     backward fills over the host-packed availability row
+  3. [1,2,1] / strong-bilinear smoothing (8.4.4.2.3) as vector ops,
+     gated by the host fflag bit and the in-kernel strong condition
+  4. predict all 35 modes as ONE int8 matvec: (ref-128) @ W[mode] with
+     the constant bias 8224 and a single >>6 (ops/intra_wtab.py)
+  5. DC/mode-26/10 boundary fixups (nested shifts, luma n<32)
+  6. add the streamed residual row, clip, and scatter the block into
+     the band: per block row, one traced lane roll + two (1,128)
+     read-blend-write stores.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..intra_wtab import wtab, lpad
+
+SS = 8          # int32 scalars per TU record: x, yin, cls, mode, flags
+FL_VALID = 1
+FL_FILT = 2     # [1,2,1] filter flag (spec filterFlag, host-computed)
+
+
+def _subst(ref, ok, lane, mid):
+    """Reference-sample substitution on a (1,256) row in spec scan
+    order: forward fill (previous available) + backward fill (leading
+    gap takes the first available) + all-unavailable -> mid-grey."""
+    vv = jnp.where(ok, ref, 0)
+    have = ok
+    for s in (1, 2, 4, 8, 16, 32, 64, 128):
+        hr = (pltpu.roll(have.astype(jnp.int32), s, axis=1) != 0) \
+            & (lane >= s)
+        sv = pltpu.roll(vv, s, axis=1)
+        vv = jnp.where(have, vv, sv)
+        have = have | hr
+    bv = jnp.where(ok, ref, 0)
+    bh = ok
+    for s in (1, 2, 4, 8, 16, 32, 64, 128):
+        # static roll shifts must be non-negative: 256-s == -s (mod 256)
+        hr = (pltpu.roll(bh.astype(jnp.int32), 256 - s, axis=1) != 0) \
+            & (lane < 256 - s)
+        sv = pltpu.roll(bv, 256 - s, axis=1)
+        bv = jnp.where(bh, bv, sv)
+        bh = bh | hr
+    filled = jnp.where(have, vv, bv)
+    anyok = jnp.max(ok.astype(jnp.int32)) != 0
+    return jnp.where(anyok, filled, mid)
+
+
+def _reverse_prefix(v, lane, p):
+    """Reverse lanes [0,p) of a (1,256) row (p static power of two)."""
+    s = p >> 1
+    while s:
+        sw = jnp.where((lane // s) % 2 == 0,
+                       pltpu.roll(v, 256 - s, axis=1),
+                       pltpu.roll(v, s, axis=1))
+        v = jnp.where(lane < p, sw, v)
+        s >>= 1
+    return v
+
+
+def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
+               interpret=False):
+    """Returns scan(scalars, avail, resid..., plane3d...) -> plane3d...
+
+    classes: present log2 sizes (switch branch order = index into it)
+    BH: band height (CTB rows in this plane's sample units)
+    C: width in 128-lane tiles;  NB/K: grid dims;  planes: 1 or 2
+    RW: residual row lanes (max n*n over classes, >=256)
+    """
+    maxv = (1 << bd) - 1
+    mid = 1 << (bd - 1)
+    nc = len(classes)
+    wtabs = [jnp.asarray(wtab(l)) for l in classes]
+
+    def kernel(s_ref, av_ref, *rest):
+        rs = rest[:planes]
+        ws = rest[planes:planes + nc]
+        pins = rest[planes + nc:planes + nc + planes]
+        pouts = rest[planes + nc + planes:planes + nc + 2 * planes]
+        scr = rest[planes + nc + 2 * planes:]
+        halos = scr[:planes]
+        tmp = scr[planes]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            for p in range(planes):
+                pouts[p][...] = pins[p][...]
+
+        t = i * K + j
+        x = s_ref[t * SS]
+        yin = s_ref[t * SS + 1]
+        cls = s_ref[t * SS + 2]
+        mode = s_ref[t * SS + 3]
+        fl = s_ref[t * SS + 4]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+
+        def _plane_body(log2, wref, band, halo, resrow):
+            n = 1 << log2
+            c2 = 2 * n
+            L = 4 * n + 1
+            Lp = lpad(log2)
+            nsq = n * n
+            xm1 = jnp.maximum(x - 1, 0)
+            cxt = xm1 // 128
+            oxt = xm1 % 128
+            cxt1 = jnp.minimum(cxt + 1, C - 1)
+            ytop = jnp.maximum(yin - 1, 0)
+            istop = yin == 0
+            t0 = jnp.where(istop, halo[pl.ds(0, 1), cxt, :],
+                           band[pl.ds(ytop, 1), cxt, :])
+            t1 = jnp.where(istop, halo[pl.ds(0, 1), cxt1, :],
+                           band[pl.ds(ytop, 1), cxt1, :])
+            tmp[0:1, 0:128] = t0
+            tmp[0:1, 128:256] = t1
+            # window lane m = sample(x-1+m); when x==0 the clamped read
+            # start (xm1=0) is one sample late -> extra +1 roll (lane 0,
+            # the out-of-frame corner, is availability-masked anyway)
+            top = pltpu.roll(tmp[0:1, :],
+                             (x == 0).astype(jnp.int32) - oxt, axis=1)
+            lc = pltpu.roll(band[pl.ds(0, BH), cxt, :], -oxt, axis=1)
+            # (BH,1) -> (1,BH) staged into tmp; lanes >= BH hold stale
+            # garbage — harmless: every lane that can reach the matvec
+            # is either availability-masked or hits a zero W row
+            tmp[1:2, 0:BH] = lc[:, 0:1].reshape(1, BH)
+            col = pltpu.roll(tmp[1:2, :], -yin, axis=1)
+            lrev = _reverse_prefix(col, lane, c2)
+            tseg = pltpu.roll(top, c2, axis=1)
+            ref = jnp.where(lane < c2, lrev, tseg)
+            ok = (av_ref[pl.ds(t % 8, 1), :] != 0) & (lane < L)
+            ref = _subst(ref, ok, lane, mid)
+            # ---- smoothing (8.4.4.2.3)
+            fflag = ((fl >> 1) & 1) != 0
+            if n >= 8:
+                f121 = (pltpu.roll(ref, 1, axis=1) + 2 * ref
+                        + pltpu.roll(ref, 255, axis=1) + 2) >> 2
+                f121 = jnp.where((lane == 0) | (lane == L - 1), ref,
+                                 f121)
+                if strong and luma and n == 32:
+                    corner = ref[:, c2:c2 + 1]
+                    tend = ref[:, 4 * n:4 * n + 1]
+                    lend = ref[:, 0:1]
+                    tmid = ref[:, c2 + n:c2 + n + 1]
+                    lmid = ref[:, c2 - n:c2 - n + 1]
+                    bt = 1 << (bd - 5)
+                    sflag = fflag & \
+                        (jnp.abs(corner + tend - 2 * tmid) < bt) & \
+                        (jnp.abs(corner + lend - 2 * lmid) < bt)
+                    di = jnp.abs(lane - c2)
+                    endv = jnp.where(lane > c2, tend, lend)
+                    bil = ((2 * n - di) * corner + di * endv + n) >> 6
+                    bil = jnp.where((di == 0) | (di == 2 * n), ref, bil)
+                    ref = jnp.where(sflag, bil,
+                                    jnp.where(fflag, f121, ref))
+                else:
+                    ref = jnp.where(fflag, f121, ref)
+            # ---- 35-mode prediction: one int8 matvec (intra_wtab.py)
+            wsl = wref[pl.ds(mode * Lp, Lp), :]
+            r8 = (ref[0:1, :Lp] - 128).astype(jnp.int8)
+            d = jax.lax.dot_general(
+                r8, wsl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            pred = (d + 8224) >> 6                      # (1, nsq)
+            # ---- boundary fixups (luma n<32): row 0 vector forms
+            isdc = mode == 1
+            is26 = mode == 26
+            is10 = mode == 10
+            fix = luma and n < 32
+            corner = ref[:, c2:c2 + 1]
+            top0 = ref[:, c2 + 1:c2 + 2]
+            left0 = ref[:, c2 - 1:c2]
+            if fix:                                     # nsq <= 256 here
+                mleft = (lane >= c2 - n) & (lane < c2)
+                mtop = (lane > c2) & (lane <= c2 + n)
+                dc = (jnp.sum(jnp.where(mleft | mtop, ref, 0)) + n) \
+                    >> (log2 + 1)
+                tf = pltpu.roll(ref, 256 - (c2 + 1), axis=1)  # k=top[k]
+                lane_o = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, nsq), 1) if nsq != 256 else lane
+                dcrow = (tf + 3 * dc + 2) >> 2
+                r10 = jnp.clip(left0 + ((tf - corner) >> 1), 0, maxv)
+                row0 = jnp.where(isdc, dcrow, r10)[:, :nsq]
+                pred = jnp.where((isdc | is10) & (lane_o < n), row0,
+                                 pred)
+            else:
+                dc = jnp.zeros((), jnp.int32)
+            # ---- residual + clip
+            resv = resrow[pl.ds(t % 8, 1), :]
+            out = jnp.clip(pred + resv[:, :nsq], 0, maxv)
+            if nsq < 256:
+                # stage into a 256-lane row; stale lanes never reach the
+                # scatter mask (rolled index stays inside [0, nsq))
+                tmp[2:3, 0:nsq] = out
+                out = tmp[2:3, :]
+            # ---- scatter block rows into the band
+            ox = x % 128
+            cx = x // 128
+            cx1 = jnp.minimum(cx + 1, C - 1)
+
+            def srow(r, carry):
+                rolled = pltpu.roll(out, ox - r * n, axis=1)[:, :256]
+                if fix:
+                    lr = pltpu.roll(ref, r - (c2 - 1), axis=1)[:, 0:1]
+                    cv = jnp.where(
+                        is26,
+                        jnp.clip(top0 + ((lr - corner) >> 1), 0, maxv),
+                        (lr + 3 * dc + 2) >> 2)
+                    cv = jnp.where(isdc & (r == 0),
+                                   (left0 + 2 * dc + top0 + 2) >> 2, cv)
+                    # fixups replace PRED; the residual still adds on top
+                    rv = pltpu.roll(resv, -(r * n), axis=1)[:, 0:1]
+                    cv = jnp.clip(cv + rv, 0, maxv)
+                    rolled = jnp.where((isdc | is26) & (lane == ox),
+                                       cv, rolled)
+                m = (lane >= ox) & (lane < ox + n)
+                w0 = band[pl.ds(yin + r, 1), cx, :]
+                band[pl.ds(yin + r, 1), cx, :] = \
+                    jnp.where(m[:, :128], rolled[:, :128], w0)
+                w1 = band[pl.ds(yin + r, 1), cx1, :]
+                band[pl.ds(yin + r, 1), cx1, :] = \
+                    jnp.where(m[:, 128:], rolled[:, 128:], w1)
+                return carry
+
+            jax.lax.fori_loop(0, n, srow, 0)
+
+        def cls_branch(ci):
+            def run():
+                for p in range(planes):
+                    _plane_body(classes[ci], ws[ci], pouts[p],
+                                halos[p], rs[p])
+            return run
+
+        @pl.when((fl & FL_VALID) != 0)
+        def _():
+            if nc == 1:
+                cls_branch(0)()
+            else:
+                jax.lax.switch(cls, [cls_branch(ci) for ci in range(nc)])
+
+        @pl.when(j == K - 1)
+        def _():
+            for p in range(planes):
+                halos[p][pl.ds(0, 1)] = pouts[p][pl.ds(BH - 1, 1)]
+
+    # index_map args: (*grid indices, scalar ref) — mc_tables.py:216.
+    # Mosaic requires sublane-dim blocks divisible by 8: stream avail/
+    # resid in 8-TU-slot blocks (K is a multiple of 8), select row t%8
+    # in-kernel.
+    in_specs = (
+        [pl.BlockSpec((8, 256), lambda i, j, s: ((i * K + j) // 8, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, RW), lambda i, j, s: ((i * K + j) // 8, 0),
+                        memory_space=pltpu.VMEM)] * planes
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc
+        + [pl.BlockSpec((BH, C, 128), lambda i, j, s: (i, 0, 0),
+                        memory_space=pltpu.VMEM)] * planes)
+    out_specs = [pl.BlockSpec((BH, C, 128), lambda i, j, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)] * planes
+    if planes == 1:
+        out_specs = out_specs[0]
+    scratch = [pltpu.VMEM((8, C, 128), jnp.int32)] * planes \
+        + [pltpu.VMEM((8, 256), jnp.int32)]
+    # operand index of plane p input (incl. the scalar-prefetch op 0)
+    alias = {1 + 1 + planes + nc + p: p for p in range(planes)}
+
+    def scan(scalars, avail, resids, planes3d):
+        out_shape = [jax.ShapeDtypeStruct((NB * BH, C, 128), jnp.int32)
+                     for _ in range(planes)]
+        if planes == 1:
+            out_shape = out_shape[0]
+        f = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(NB, K),
+                in_specs=in_specs, out_specs=out_specs,
+                scratch_shapes=scratch),
+            out_shape=out_shape,
+            input_output_aliases=alias,
+            interpret=interpret)
+        return f(scalars, avail, *resids, *wtabs, *planes3d)
+
+    return scan
