@@ -179,6 +179,7 @@ def stream_cfg(plans, sps, use_pallas=False):
     imax = {}                     # (pl, log2) -> [Klvl, Ktot, E] intra caps
     intra_C = 0
     iKL = iKC = 0                 # Pallas scan per-band caps
+    ihole = False
     pcm_max = {}                  # log2 -> max PCM block count
     for plan in plans:
         if plan.nal_type == -1 or not frame_compatible(plan):
@@ -251,6 +252,7 @@ def stream_cfg(plans, sps, use_pallas=False):
                 e[2] = max(e[2], ne)
                 e[3] |= kinds
             # per-CTB-row-band TU caps for the Pallas scan kernel
+            from .intra_fused import _border_ok
             lv = assign_levels_meta(plan)
             tmx = plan._tu_arrays[0]
             ctb_ = 1 << plan.sps.Log2CtbSizeY
@@ -262,6 +264,26 @@ def stream_cfg(plans, sps, use_pallas=False):
             if selc.any():
                 iKC = max(iKC, int(np.bincount(
                     tmx[selc, 2] // (ctb_ // 2)).max()))
+            # availability holes anywhere? (span-only kernels compile
+            # ~2x faster and skip the masked-roll fill branch)
+            if not ihole:
+                for pl2 in (0, 1):
+                    for lg in (2, 3, 4, 5):
+                        s2 = (lv > 0) & (tmx[:, 3] == lg) & \
+                            ((tmx[:, 0] == 0) if pl2 == 0
+                             else (tmx[:, 0] > 0))
+                        if not s2.any():
+                            continue
+                        okm = _border_ok(plan, tmx[s2, 1], tmx[s2, 2],
+                                         tmx[s2, 0], lg)
+                        tot = okm.sum(1)
+                        fi = okm.argmax(1)
+                        li = okm.shape[1] - 1 - okm[:, ::-1].argmax(1)
+                        if ((tot > 0) & (tot != li + 1 - fi)).any():
+                            ihole = True
+                            break
+                    if ihole:
+                        break
     # class-sorted MXU MC capacities: per-(h,v)-class max counts over
     # every compatible frame and every lane the program will run, using
     # the SAME numpy geometry the device traces (mc_mxu_jax.luma_geom)
@@ -340,7 +362,8 @@ def stream_cfg(plans, sps, use_pallas=False):
         # serial band-scan intra kernel: TPU-only (Mosaic), 8-bit path;
         # DE265_INTRA_SCAN=0 disables, =force enables off-TPU (interpret
         # mode — CPU correctness tests)
-        intra_scan=(_ceil_sched(iKL), _ceil_sched(iKC) if iKC else 0)
+        intra_scan=(_ceil_sched(iKL), _ceil_sched(iKC) if iKC else 0,
+                    not ihole)
         if (iKL and sps.BitDepthY == 8
             and os.environ.get("DE265_INTRA_SCAN", "1") != "0"
             and (use_pallas

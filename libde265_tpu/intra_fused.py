@@ -205,7 +205,7 @@ def pack_scan_perms(plan, cfg, cls_idx):
     tm = plan._tu_arrays[0]
     ctb = 1 << plan.sps.Log2CtbSizeY
     NB = -(-plan.H // ctb)
-    KL, KC = cfg.intra_scan
+    KL, KC = cfg.intra_scan[:2]
     lcls = [e[1] for e in cfg.intra if e[0] == 0]
     ccls = [e[1] for e in cfg.intra if e[0] == 1]
 
@@ -530,7 +530,8 @@ def intra_stage_scan(Y, Cb, Cr, t, cfg):
     interp = jax.default_backend() == "cpu"
     res_all = _residuals(t, cfg)
     ctb = 1 << cfg.log2ctb
-    KL, KC = cfg.intra_scan
+    KL, KC = cfg.intra_scan[:2]
+    span_only = len(cfg.intra_scan) > 2 and cfg.intra_scan[2]
     bd = cfg.bitdepth
 
     def run_group(pl, classes, K, BH, planes, perms):
@@ -542,30 +543,42 @@ def intra_stage_scan(Y, Cb, Cr, t, cfg):
         Hp0, Wp0 = planes[0].shape
         C = -(-Wp0 // 128)
         NB = -(-Hp0 // BH)
-        # flat pools (no per-class padding waste)
-        rflat = jnp.concatenate(
-            [res_all[f"_{pl}_{l}"].reshape(-1) for l in log2s])
-        abits = []
+        # class-row pools: avail unpacked + residuals lane-padded, both
+        # concatenated along rows. The slot reorder happens INSIDE the
+        # kernel via BlockSpec index maps driven by the rowg prefetch
+        # arrays — no XLA row gather (which cost ~320 ms/frame at 4K).
+        RWpool = []
+        avpool = []
         for l, kt, ob in zip(log2s, Ktots, OBs):
+            nsq = 1 << (2 * l)
+            r = res_all[f"_{pl}_{l}"].reshape(kt, nsq)
+            if nsq < RW:
+                r = jnp.pad(r, ((0, 0), (0, RW - nsq)))
+            RWpool.append(r)
             okb = t[f"iok_{pl}_{l}"]
             bits = ((okb[:, :, None] >>
                      (7 - jnp.arange(8, dtype=jnp.uint8))[None, None, :])
-                    & 1).astype(jnp.int32)
-            abits.append(bits.reshape(-1))
-        aflat = jnp.concatenate(abits)
+                    & 1).astype(jnp.int32).reshape(kt, ob * 8)
+            avpool.append(jnp.pad(bits, ((0, 0), (0, 256 - ob * 8))))
+        respool = jnp.concatenate(RWpool)
+        avail = jnp.concatenate(avpool)
+        # availability spans (contiguous-run fast path; pack_span)
+        from .ops.pallas.intra_scan import pack_span, pack_rec
+        first = jnp.argmax(avail, axis=1)
+        last = 255 - jnp.argmax(avail[:, ::-1], axis=1)
+        total = avail.sum(axis=1)
+        anyok = total > 0
+        a_ = jnp.where(anyok, first, 0)
+        b_ = jnp.where(anyok, last + 1, 0)
+        hole = anyok & (total != b_ - a_)
+        span_rows = pack_span(a_, b_, anyok.astype(jnp.int32),
+                              hole.astype(jnp.int32))
         xcat = jnp.concatenate(
             [t[f"ixy_{pl}_{l}"][:, 0].astype(jnp.int32) for l in log2s])
         ycat = jnp.concatenate(
             [t[f"ixy_{pl}_{l}"][:, 1].astype(jnp.int32) for l in log2s])
         mcat = jnp.concatenate(
             [t[f"imd_{pl}_{l}"].astype(jnp.int32) for l in log2s])
-        rbase = jnp.asarray(np.cumsum(
-            [0] + [kt * q for kt, q in zip(Ktots, nsqs)])[:-1], jnp.int32)
-        abase = jnp.asarray(np.cumsum(
-            [0] + [kt * ob * 8 for kt, ob in zip(Ktots, OBs)])[:-1],
-            jnp.int32)
-        astr = jnp.asarray([ob * 8 for ob in OBs], jnp.int32)
-        nsqa = jnp.asarray(nsqs, jnp.int32)
         base_rows = jnp.asarray(np.cumsum([0] + Ktots)[:-1], jnp.int32)
         # filterFlag per (class rank, mode): spec 8.4.4.2.3 gating —
         # matches intra_stage's predict_core(smooth=pl==0) behaviour
@@ -589,29 +602,14 @@ def intra_stage_scan(Y, Cb, Cr, t, cfg):
         x = xcat[rowg]
         y = ycat[rowg]
         mode = mcat[rowg]
-        flags = valid.astype(jnp.int32) + 2 * ftabj[rank * 35 + mode]
-        z = jnp.zeros_like(x)
-        scal = jnp.stack([x, y % BH, rank, mode, flags, z, z, z],
-                         axis=1).reshape(-1)
-        # availability rows (NBK, 256)
-        lane = jnp.arange(256, dtype=jnp.int32)[None, :]
-        aidx = abase[rank][:, None] + row[:, None] * astr[rank][:, None] \
-            + lane
-        av = jnp.where((lane < astr[rank][:, None]) & valid[:, None],
-                       aflat[jnp.clip(aidx, 0, aflat.shape[0] - 1)], 0)
-        # residual rows (NBK, RW) per plane
-        lane2 = jnp.arange(RW, dtype=jnp.int32)[None, :]
-        rws = []
-        for pm in perms:
-            v = pm >= 0
+        scal = pack_rec(x, y % BH, rank, mode, valid.astype(jnp.int32),
+                        ftabj[rank * 35 + mode])
+        spans = span_rows[rowg]
+        rowgs = [rowg]
+        for pm in perms[1:]:
             pmc = jnp.maximum(pm, 0)
-            rk = pmc & 3
-            rw_ = pmc >> 2
-            ridx = rbase[rk][:, None] + rw_[:, None] * nsqa[rk][:, None] \
-                + lane2
-            rws.append(jnp.where(
-                (lane2 < nsqa[rk][:, None]) & v[:, None],
-                rflat[jnp.clip(ridx, 0, rflat.shape[0] - 1)], 0))
+            rowgs.append(jnp.clip(base_rows[pmc & 3] + (pmc >> 2), 0,
+                                  xcat.shape[0] - 1))
         # planes -> padded 3D bands
         p3d = []
         for P in planes:
@@ -619,8 +617,10 @@ def intra_stage_scan(Y, Cb, Cr, t, cfg):
                              (0, C * 128 - P.shape[1])))
             p3d.append(Pp.reshape(NB * BH, C, 128))
         scan = build_scan(log2s, BH, C, NB, K, len(planes), bd,
-                          cfg.strong, pl == 0, RW, interpret=interp)
-        outs = scan(scal, av, rws, p3d)
+                          cfg.strong, pl == 0, RW, interpret=interp,
+                          span_only=span_only)
+        outs = scan(scal, spans, rowgs, avail, [respool] * len(planes),
+                    p3d)
         if len(planes) == 1:
             outs = (outs,)
         return [o.reshape(NB * BH, C * 128)[:P.shape[0], :P.shape[1]]

@@ -130,6 +130,35 @@ def wtab(log2):
     return t
 
 
+def place_mat(log2):
+    """(n*n, n*128) 0/1 int8: MXU placement of the flat row-major block
+    into n VMEM rows (block pixel (r,c) -> lane r*128+c). Lets the
+    scatter be ONE dot + reshape + multi-row RMW instead of a per-row
+    roll/blend loop (75% of kernel time in the ablation)."""
+    key = ("P", log2)
+    t = _CACHE.get(key)
+    if t is None:
+        n = 1 << log2
+        P = np.zeros((n * n, n * 128), np.int8)
+        idx = np.arange(n * n)
+        P[idx, (idx // n) * 128 + (idx % n)] = 1
+        t = _CACHE[key] = P
+    return t
+
+
+def colsel_mat(log2):
+    """(n*n, n) 0/1 int8: selects block column 0 (res[r*n] -> lane r)
+    for the DC/mode-26 boundary-column fixups."""
+    key = ("S", log2)
+    t = _CACHE.get(key)
+    if t is None:
+        n = 1 << log2
+        S = np.zeros((n * n, n), np.int8)
+        S[np.arange(n) * n, np.arange(n)] = 1
+        t = _CACHE[key] = S
+    return t
+
+
 # ----------------------------------------------------------- numpy model
 def predict_w(ref, mode, log2, luma, bitdepth=8):
     """Numpy oracle of the kernel's matvec+fixups for ONE TU. ref:

@@ -43,11 +43,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..intra_wtab import wtab, lpad
+from ..intra_wtab import wtab, lpad, place_mat, colsel_mat
 
-SS = 8          # int32 scalars per TU record: x, yin, cls, mode, flags
-FL_VALID = 1
-FL_FILT = 2     # [1,2,1] filter flag (spec filterFlag, host-computed)
+# one packed int32 scalar per TU record (SMEM is 1 MB total — 8 words/TU
+# overflows it at 4K):  x:13 | yin:6 | cls:2 | mode:6 | valid:1 | fflag:1
+def pack_rec(x, yin, cls, mode, valid, fflag):
+    return (x | (yin << 13) | (cls << 19) | (mode << 21)
+            | (valid << 27) | (fflag << 28))
+
+
+# packed availability span:  a:8 | b:9 | anyok:1 | hole:1  — when the
+# available border samples form one contiguous run [a,b) (the common
+# case; holes only at CIP/slice/tile seams), substitution is two clamps
+# instead of the 16-stage masked-roll fill
+def pack_span(a, b, anyok, hole):
+    return a | (b << 8) | (anyok << 17) | (hole << 18)
 
 
 def _subst(ref, ok, lane, mid):
@@ -89,7 +99,11 @@ def _reverse_prefix(v, lane, p):
 
 
 def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
-               interpret=False):
+               interpret=False, ablate=frozenset(), span_only=False):
+    """span_only: the host proved every TU's availability is one
+    contiguous run (no CIP/seam holes anywhere in the stream) — skip
+    compiling the masked-roll fill branch entirely (the lax.cond pair
+    roughly doubles Mosaic compile time)."""
     """Returns scan(scalars, avail, resid..., plane3d...) -> plane3d...
 
     classes: present log2 sizes (switch branch order = index into it)
@@ -97,19 +111,31 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
     C: width in 128-lane tiles;  NB/K: grid dims;  planes: 1 or 2
     RW: residual row lanes (max n*n over classes, >=256)
     """
+    assert bd == 8, "scan kernel is 8-bit (int8 centering); fori covers >8"
     maxv = (1 << bd) - 1
     mid = 1 << (bd - 1)
     nc = len(classes)
     wtabs = [jnp.asarray(wtab(l)) for l in classes]
+    ptabs = [jnp.asarray(place_mat(l)) for l in classes]
+    # column-select tables only where the DC/26 column fixups exist
+    nsc = nc if luma else 0
+    stabs = [jnp.asarray(colsel_mat(l)) for l in classes] if luma else []
 
-    def kernel(s_ref, av_ref, *rest):
+    def kernel(s_ref, sp_ref, *rest):
+        rgs = rest[:planes]              # per-plane row-index prefetch
+        av_ref = rest[planes]
+        rest = rest[planes + 1:]
         rs = rest[:planes]
         ws = rest[planes:planes + nc]
-        pins = rest[planes + nc:planes + nc + planes]
-        pouts = rest[planes + nc + planes:planes + nc + 2 * planes]
-        scr = rest[planes + nc + 2 * planes:]
+        ps = rest[planes + nc:planes + 2 * nc]
+        ss = rest[planes + 2 * nc:planes + 2 * nc + nsc]
+        o0 = planes + 2 * nc + nsc
+        pins = rest[o0:o0 + planes]
+        pouts = rest[o0 + planes:o0 + 2 * planes]
+        scr = rest[o0 + 2 * planes:]
         halos = scr[:planes]
         tmp = scr[planes]
+        tmp3 = scr[planes + 1]
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -119,14 +145,16 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                 pouts[p][...] = pins[p][...]
 
         t = i * K + j
-        x = s_ref[t * SS]
-        yin = s_ref[t * SS + 1]
-        cls = s_ref[t * SS + 2]
-        mode = s_ref[t * SS + 3]
-        fl = s_ref[t * SS + 4]
+        w = s_ref[t]
+        x = w & 0x1FFF
+        yin = (w >> 13) & 63
+        cls = (w >> 19) & 3
+        mode = (w >> 21) & 63
+        valid = (w >> 27) & 1
+        fflag_b = ((w >> 28) & 1) != 0
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
 
-        def _plane_body(log2, wref, band, halo, resrow):
+        def _plane_body(log2, wref, pref, sref, band, halo, resrow, rg):
             n = 1 << log2
             c2 = 2 * n
             L = 4 * n + 1
@@ -158,10 +186,34 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             lrev = _reverse_prefix(col, lane, c2)
             tseg = pltpu.roll(top, c2, axis=1)
             ref = jnp.where(lane < c2, lrev, tseg)
-            ok = (av_ref[pl.ds(t % 8, 1), :] != 0) & (lane < L)
-            ref = _subst(ref, ok, lane, mid)
+            if "noasm" in ablate:
+                ref = jnp.where(lane < 999, mid, ref)
+            if "nosub" not in ablate:
+                sp = sp_ref[t]
+                a_ = sp & 255
+                b_ = (sp >> 8) & 511
+                anyok = ((sp >> 17) & 1) != 0
+                hole = (sp >> 18) & 1
+
+                def _fast(r):
+                    va = pltpu.roll(r, -a_, axis=1)[:, 0:1]
+                    vb = pltpu.roll(r, 1 - b_, axis=1)[:, 0:1]
+                    r = jnp.where(lane < a_, va,
+                                  jnp.where(lane >= b_, vb, r))
+                    return jnp.where(anyok, r,
+                                     jnp.zeros_like(r) + mid)
+
+                def _slow(r):
+                    ok = (av_ref[pl.ds(rgs[0][t] % 8, 1), :] != 0) \
+                        & (lane < L)
+                    return _subst(r, ok, lane, mid)
+
+                if span_only:
+                    ref = _fast(ref)
+                else:
+                    ref = jax.lax.cond(hole != 0, _slow, _fast, ref)
             # ---- smoothing (8.4.4.2.3)
-            fflag = ((fl >> 1) & 1) != 0
+            fflag = fflag_b
             if n >= 8:
                 f121 = (pltpu.roll(ref, 1, axis=1) + 2 * ref
                         + pltpu.roll(ref, 255, axis=1) + 2) >> 2
@@ -186,12 +238,15 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                 else:
                     ref = jnp.where(fflag, f121, ref)
             # ---- 35-mode prediction: one int8 matvec (intra_wtab.py)
-            wsl = wref[pl.ds(mode * Lp, Lp), :]
-            r8 = (ref[0:1, :Lp] - 128).astype(jnp.int8)
-            d = jax.lax.dot_general(
-                r8, wsl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            pred = (d + 8224) >> 6                      # (1, nsq)
+            if "nodot" in ablate:
+                pred = jnp.zeros((1, nsq), jnp.int32) + ref[0:1, 0:1]
+            else:
+                wsl = wref[pl.ds(mode * Lp, Lp), :]
+                r8 = (ref[0:1, :Lp] - 128).astype(jnp.int8)
+                d = jax.lax.dot_general(
+                    r8, wsl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                pred = (d + 8224) >> 6                  # (1, nsq)
             # ---- boundary fixups (luma n<32): row 0 vector forms
             isdc = mode == 1
             is26 = mode == 26
@@ -216,52 +271,71 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             else:
                 dc = jnp.zeros((), jnp.int32)
             # ---- residual + clip
-            resv = resrow[pl.ds(t % 8, 1), :]
-            out = jnp.clip(pred + resv[:, :nsq], 0, maxv)
-            if nsq < 256:
-                # stage into a 256-lane row; stale lanes never reach the
-                # scatter mask (rolled index stays inside [0, nsq))
-                tmp[2:3, 0:nsq] = out
-                out = tmp[2:3, :]
-            # ---- scatter block rows into the band
+            resv = resrow[pl.ds(rg % 8, 1), :]
+            out = jnp.clip(pred + resv[:, :nsq], 0, maxv)   # (1,nsq)
+            # ---- place the flat row-major block into n VMEM rows with
+            # ONE MXU dot against a 0/1 matrix (the per-row roll/blend
+            # loop this replaces was 75% of the kernel in ablation);
+            # out is in [0,maxv] so the int8 centering is exact
+            dims = (((1,), (0,)), ((), ()))
+            o8 = (out - 128).astype(jnp.int8)
+            blk = jax.lax.dot_general(o8, pref[...], dims,
+                                      preferred_element_type=jnp.int32)
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, n * 128), 1)
+            blk = (blk + 128 * ((lane128 % 128) < n)).reshape(n, 128)
+            if fix:
+                # column-0 fixups vectorized over rows: left column via
+                # prefix reversal + transpose; residual column via the
+                # select dot (exact hi/lo int8 split)
+                lv = pltpu.roll(ref, 256 - (c2 - n), axis=1)
+                lv = _reverse_prefix(lv, lane, n)   # lane k = left[k]
+                lcol = lv[0:1, :n].reshape(n, 1)
+                r_ = resv[:, :nsq]
+                hi8 = (r_ >> 8).astype(jnp.int8)
+                lo8 = ((r_ & 255) - 128).astype(jnp.int8)
+                rc = (256 * jax.lax.dot_general(
+                          hi8, sref[...], dims,
+                          preferred_element_type=jnp.int32)
+                      + jax.lax.dot_general(
+                          lo8, sref[...], dims,
+                          preferred_element_type=jnp.int32) + 128)
+                rcol = rc[0:1, :n].reshape(n, 1)
+                cv = jnp.where(
+                    is26,
+                    jnp.clip(top0 + ((lcol - corner) >> 1), 0, maxv),
+                    (lcol + 3 * dc + 2) >> 2)
+                rown = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                cv = jnp.where(isdc & (rown == 0),
+                               (left0 + 2 * dc + top0 + 2) >> 2, cv)
+                cv = jnp.clip(cv + rcol, 0, maxv)
+                collane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+                blk = jnp.where((isdc | is26) & (collane == 0), cv, blk)
+            # ---- strip RMW: stage, roll to lane offset, blend 2 tiles
             ox = x % 128
             cx = x // 128
             cx1 = jnp.minimum(cx + 1, C - 1)
-
-            def srow(r, carry):
-                rolled = pltpu.roll(out, ox - r * n, axis=1)[:, :256]
-                if fix:
-                    lr = pltpu.roll(ref, r - (c2 - 1), axis=1)[:, 0:1]
-                    cv = jnp.where(
-                        is26,
-                        jnp.clip(top0 + ((lr - corner) >> 1), 0, maxv),
-                        (lr + 3 * dc + 2) >> 2)
-                    cv = jnp.where(isdc & (r == 0),
-                                   (left0 + 2 * dc + top0 + 2) >> 2, cv)
-                    # fixups replace PRED; the residual still adds on top
-                    rv = pltpu.roll(resv, -(r * n), axis=1)[:, 0:1]
-                    cv = jnp.clip(cv + rv, 0, maxv)
-                    rolled = jnp.where((isdc | is26) & (lane == ox),
-                                       cv, rolled)
-                m = (lane >= ox) & (lane < ox + n)
-                w0 = band[pl.ds(yin + r, 1), cx, :]
-                band[pl.ds(yin + r, 1), cx, :] = \
+            tmp3[0:n, 0:128] = blk
+            rolled = pltpu.roll(tmp3[0:n, :], ox, axis=1)   # (n,256)
+            m = (lane >= ox) & (lane < ox + n)
+            if "noscat" in ablate:
+                band[pl.ds(yin, 1), cx, :] = rolled[0:1, :128]
+            else:
+                w0 = band[pl.ds(yin, n), cx, :]
+                band[pl.ds(yin, n), cx, :] = \
                     jnp.where(m[:, :128], rolled[:, :128], w0)
-                w1 = band[pl.ds(yin + r, 1), cx1, :]
-                band[pl.ds(yin + r, 1), cx1, :] = \
+                w1 = band[pl.ds(yin, n), cx1, :]
+                band[pl.ds(yin, n), cx1, :] = \
                     jnp.where(m[:, 128:], rolled[:, 128:], w1)
-                return carry
-
-            jax.lax.fori_loop(0, n, srow, 0)
 
         def cls_branch(ci):
             def run():
                 for p in range(planes):
-                    _plane_body(classes[ci], ws[ci], pouts[p],
-                                halos[p], rs[p])
+                    _plane_body(classes[ci], ws[ci], ps[ci],
+                                ss[ci] if luma else None, pouts[p],
+                                halos[p], rs[p], rgs[p][t])
             return run
 
-        @pl.when((fl & FL_VALID) != 0)
+        @pl.when(valid != 0)
         def _():
             if nc == 1:
                 cls_branch(0)()
@@ -277,24 +351,37 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
     # Mosaic requires sublane-dim blocks divisible by 8: stream avail/
     # resid in 8-TU-slot blocks (K is a multiple of 8), select row t%8
     # in-kernel.
+    # Mosaic requires sublane-dim blocks divisible by 8, and the row
+    # reorder (class-row layout -> scan slot order) happens HERE: the
+    # avail/resid block index comes from the per-plane row-index
+    # prefetch arrays — a zero-cost gather the XLA-gather prologue this
+    # replaces paid ~320 ms/frame for at 4K.
+    def _avmap(i, j, s, sp, *rg):
+        return (rg[0][i * K + j] // 8, 0)
+
+    def _rsmap(p):
+        return lambda i, j, s, sp, *rg: (rg[p][i * K + j] // 8, 0)
+
     in_specs = (
-        [pl.BlockSpec((8, 256), lambda i, j, s: ((i * K + j) // 8, 0),
-                      memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((8, RW), lambda i, j, s: ((i * K + j) // 8, 0),
-                        memory_space=pltpu.VMEM)] * planes
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc
-        + [pl.BlockSpec((BH, C, 128), lambda i, j, s: (i, 0, 0),
+        [pl.BlockSpec((8, 256), _avmap, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, RW), _rsmap(p), memory_space=pltpu.VMEM)
+           for p in range(planes)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nc + nsc)
+        + [pl.BlockSpec((BH, C, 128), lambda i, j, *s: (i, 0, 0),
                         memory_space=pltpu.VMEM)] * planes)
-    out_specs = [pl.BlockSpec((BH, C, 128), lambda i, j, s: (i, 0, 0),
+    out_specs = [pl.BlockSpec((BH, C, 128), lambda i, j, *s: (i, 0, 0),
                               memory_space=pltpu.VMEM)] * planes
     if planes == 1:
         out_specs = out_specs[0]
     scratch = [pltpu.VMEM((8, C, 128), jnp.int32)] * planes \
-        + [pltpu.VMEM((8, 256), jnp.int32)]
-    # operand index of plane p input (incl. the scalar-prefetch op 0)
-    alias = {1 + 1 + planes + nc + p: p for p in range(planes)}
+        + [pltpu.VMEM((8, 256), jnp.int32),
+           pltpu.VMEM((32, 256), jnp.int32)]
+    # operand index of plane p input (incl. the prefetch operands)
+    npre = 2 + planes
+    alias = {npre + 1 + planes + 2 * nc + nsc + p: p
+             for p in range(planes)}
 
-    def scan(scalars, avail, resids, planes3d):
+    def scan(scalars, spans, rowgs, avail, resids, planes3d):
         out_shape = [jax.ShapeDtypeStruct((NB * BH, C, 128), jnp.int32)
                      for _ in range(planes)]
         if planes == 1:
@@ -302,12 +389,13 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
         f = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(NB, K),
+                num_scalar_prefetch=npre, grid=(NB, K),
                 in_specs=in_specs, out_specs=out_specs,
                 scratch_shapes=scratch),
             out_shape=out_shape,
             input_output_aliases=alias,
             interpret=interpret)
-        return f(scalars, avail, *resids, *wtabs, *planes3d)
+        return f(scalars, spans, *rowgs, avail, *resids, *wtabs, *ptabs,
+                 *stabs, *planes3d)
 
     return scan

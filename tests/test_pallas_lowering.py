@@ -72,3 +72,38 @@ def test_mosaic_lowering_mc_taps():
                           shift1=0)
     _lower_tpu(f, jnp.zeros((BLK, 256), jnp.uint8),
                jnp.zeros((BLK, 32), jnp.int8))
+
+
+def test_mosaic_lowering_intra_scan_luma():
+    """Serial band-scan intra kernel (both shapes of the round-3 perf
+    work): full Mosaic lowering from the CPU env."""
+    from libde265_tpu.ops.pallas.intra_scan import build_scan
+    BH, C, NB, K, RW = 64, 2, 2, 8, 256
+    scan = build_scan((3, 4), BH, C, NB, K, 1, 8, True, True, RW)
+
+    def f(scal, sp, rg, av, res, plane):
+        return scan(scal, sp, [rg], av, [res], [plane])
+
+    _lower_tpu(f,
+               jnp.zeros((NB * K,), jnp.int32),
+               jnp.zeros((NB * K,), jnp.int32),
+               jnp.zeros((NB * K,), jnp.int32),
+               jnp.zeros((64, 256), jnp.int32),
+               jnp.zeros((64, RW), jnp.int32),
+               jnp.zeros((NB * BH, C, 128), jnp.int32))
+
+
+def test_mosaic_lowering_intra_scan_chroma():
+    from libde265_tpu.ops.pallas.intra_scan import build_scan
+    BH, C, NB, K, RW = 32, 2, 2, 8, 256
+    scan = build_scan((2, 3), BH, C, NB, K, 2, 8, False, False, RW)
+
+    def f(scal, sp, rg0, rg1, av, res, pcb, pcr):
+        return scan(scal, sp, [rg0, rg1], av, [res, res], [pcb, pcr])
+
+    z = jnp.zeros((NB * K,), jnp.int32)
+    _lower_tpu(f, z, z, z, z,
+               jnp.zeros((64, 256), jnp.int32),
+               jnp.zeros((64, RW), jnp.int32),
+               jnp.zeros((NB * BH, C, 128), jnp.int32),
+               jnp.zeros((NB * BH, C, 128), jnp.int32))

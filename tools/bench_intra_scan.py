@@ -82,3 +82,19 @@ float(dy[0, 0, 0])
 dt = (time.time() - t0) / R
 print(f"I-frame device time: {dt*1000:.1f} ms "
       f"({'fori' if use_fori else 'scan'})", flush=True)
+
+if "--stages" in sys.argv:
+    allst = ("mc", "res", "intra", "dbk", "sao", "tables")
+    for drop in ("intra", "dbk", "sao", "tables", "res"):
+        st = tuple(s for s in allst if s != drop)
+        dy, dcb, dcr, ty, tc = f(dy, dcb, dcr, ty, tc, tj, 0, cfg=cfg_i,
+                                 stages=st)
+        float(dy[0, 0, 0])
+        t0 = time.time()
+        for _ in range(R):
+            dy, dcb, dcr, ty, tc = f(dy, dcb, dcr, ty, tc, tj, 0,
+                                     cfg=cfg_i, stages=st)
+        float(dy[0, 0, 0])
+        d2 = (time.time() - t0) / R
+        print(f"  without {drop:7s}: {d2*1000:7.1f} ms  "
+              f"(stage ~{(dt-d2)*1000:6.1f} ms)", flush=True)
