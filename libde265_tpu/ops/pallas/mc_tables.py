@@ -21,12 +21,41 @@ tests/test_mc_tile.py): table row for tile (r, ty, tx) has element
 """
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B = 8                       # bands per group (tile rows per grid step)
+
+_PERM_CACHE = {}
+
+
+def _emit_perm(T, P):
+    """(2048, B*P*T*T) 0/1 int8: MXU permutation from the staged
+    (k,m)-piece layout to the table-row layout. Staged lane
+    (4k+m)*128 + j, where j = b*T+rr (luma) / p*64+b*8+rr (chroma,
+    planes pre-concatenated in `big`); table lane b*(P*T*T) + p*T*T +
+    (4k+m)*T + rr. Lets the emission store 8 full-width rows per group
+    instead of 16*B masked T-lane slices (~8x vreg write
+    amplification)."""
+    key = (T, P)
+    M = _PERM_CACHE.get(key)
+    if M is None:
+        W = B * P * T * T
+        M = np.zeros((T * 128, W), np.int8)
+        for i in range(T):
+            k, m = i // 4, i % 4
+            for j in range(128):
+                if P == 1:
+                    b, p, rr = j // T, 0, j % T
+                else:
+                    p, b, rr = j // 64, (j % 64) // T, j % T
+                dst = b * (P * T * T) + p * T * T + (4 * k + m) * T + rr
+                M[i * 128 + j, dst] = 1
+        _PERM_CACHE[key] = M
+    return M
 
 
 def _kernel(hbm_ref, out_ref, scratch, sems, *, T, ngrp, ntx, ntx0,
@@ -125,8 +154,8 @@ def build_tile_table_pallas(padded, T, out_dtype=jnp.int16,
     return out.reshape(R * nty_p * ntx, T * T)
 
 
-def _upd_kernel(slot_ref, hbm_ref, tin_ref, out_ref, scratch, sems, *,
-                T, ngrp, ntx, ntx0, span_p, out_dtype, P):
+def _upd_kernel(slot_ref, hbm_ref, perm_ref, tin_ref, out_ref, scratch,
+                xscr, sems, *, T, ngrp, ntx, ntx0, span_p, out_dtype, P):
     """In-place slot update: all P planes' tile rows for one band group,
     written directly into the persistent table block mapped by the
     scalar-prefetched slot (the out index_map); same band-group pipeline
@@ -158,6 +187,31 @@ def _upd_kernel(slot_ref, hbm_ref, tin_ref, out_ref, scratch, sems, *,
 
     for p in range(P):
         dma(sbuf, t, p).wait()
+    if out_dtype == jnp.uint8:
+        # dot-assembly emission: stage the 16 (k,m)-rolled pieces as
+        # int8 (exact: 8-bit samples, centered), ONE MXU permutation
+        # dot (_emit_perm), then B full-width row stores — instead of
+        # 16*B masked T-lane stores (~8x vreg write amplification)
+        bigs = [jnp.concatenate(
+            [scratch[sbuf, p][4 * b:4 * b + T] for b in range(B)],
+            axis=0) for p in range(P)]
+        big = bigs[0] if P == 1 else jnp.concatenate(bigs, axis=0)
+        bt = big.astype(jnp.int32).T            # (Wp_p, 128)
+        r3 = bt.reshape(ntx0, 4, 128)
+        for i in range(T):
+            k, m = i // 4, i % 4
+            q = r3[:, m, :]
+            if k:
+                q = pltpu.roll(q, ntx0 - k, axis=0)
+            xscr[:, i * 128:(i + 1) * 128] = (q - 128).astype(jnp.int8)
+        d = jax.lax.dot_general(
+            xscr[...], perm_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) + 128
+        PW = P * T * T
+        for b in range(B):
+            out_ref[0, b, :, :] = \
+                d[:ntx, b * PW:(b + 1) * PW].astype(out_dtype)
+        return
     for p in range(P):
         span = scratch[sbuf, p]                 # (span_p, Wp_p)
         big = jnp.concatenate([span[4 * b:4 * b + T] for b in range(B)],
@@ -210,17 +264,20 @@ def update_tile_table_pallas(table, padded, slot, T, interpret=False):
             num_scalar_prefetch=1,
             grid=(ngrp,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
                 (1, B, ntx, width),
                 lambda t, s: (s[0] * ngrp + t, 0, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, P, span_p, Wp_p), jnp.int16),
+                pltpu.VMEM((ntx0, T * 128), jnp.int8),
                 pltpu.SemaphoreType.DMA((2, P)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(t4.shape, table.dtype),
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         interpret=interpret,
-    )(jnp.asarray(slot, jnp.int32).reshape(1), padded, t4)
+    )(jnp.asarray(slot, jnp.int32).reshape(1), padded,
+      jnp.asarray(_emit_perm(T, P)[:, :B * width]), t4)
     return out.reshape(nrows, width)
