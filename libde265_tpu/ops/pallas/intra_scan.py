@@ -327,12 +327,106 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                 band[pl.ds(yin, n), cx1, :] = \
                     jnp.where(m[:, 128:], rolled[:, 128:], w1)
 
+        def _pair_body(log2, wref, pref):
+            """planes==2: Cb and Cr share geometry/mode/availability, so
+            assembly, substitution, smoothing and the W matvec run ONCE
+            on (2,256)/(2,Lp) rows (VPU sublane-parallel, same op count
+            as one plane); only the placement dot + strip RMW stay
+            per-plane. No boundary fixups (chroma)."""
+            n = 1 << log2
+            c2 = 2 * n
+            L = 4 * n + 1
+            Lp = lpad(log2)
+            nsq = n * n
+            xm1 = jnp.maximum(x - 1, 0)
+            cxt = xm1 // 128
+            oxt = xm1 % 128
+            cxt1 = jnp.minimum(cxt + 1, C - 1)
+            ytop = jnp.maximum(yin - 1, 0)
+            istop = yin == 0
+            for p in range(2):
+                band, halo = pouts[p], halos[p]
+                tmp[p:p + 1, 0:128] = jnp.where(
+                    istop, halo[pl.ds(0, 1), cxt, :],
+                    band[pl.ds(ytop, 1), cxt, :])
+                tmp[p:p + 1, 128:256] = jnp.where(
+                    istop, halo[pl.ds(0, 1), cxt1, :],
+                    band[pl.ds(ytop, 1), cxt1, :])
+                lc = pltpu.roll(band[pl.ds(0, BH), cxt, :], -oxt,
+                                axis=1)
+                tmp[2 + p:3 + p, 0:BH] = lc[:, 0:1].reshape(1, BH)
+            top = pltpu.roll(tmp[0:2, :],
+                             (x == 0).astype(jnp.int32) - oxt, axis=1)
+            col = pltpu.roll(tmp[2:4, :], -yin, axis=1)
+            lrev = _reverse_prefix(col, lane, c2)
+            tseg = pltpu.roll(top, c2, axis=1)
+            ref = jnp.where(lane < c2, lrev, tseg)        # (2,256)
+            sp = sp_ref[t]
+            a_ = sp & 255
+            b_ = (sp >> 8) & 511
+            anyok = ((sp >> 17) & 1) != 0
+            hole = (sp >> 18) & 1
+
+            def _fast(r):
+                va = pltpu.roll(r, -a_, axis=1)[:, 0:1]
+                vb = pltpu.roll(r, 1 - b_, axis=1)[:, 0:1]
+                r = jnp.where(lane < a_, va,
+                              jnp.where(lane >= b_, vb, r))
+                return jnp.where(anyok, r, jnp.zeros_like(r) + mid)
+
+            def _slow(r):
+                ok = (av_ref[pl.ds(rgs[0][t] % 8, 1), :] != 0) \
+                    & (lane < L)
+                return _subst(r, ok, lane, mid)
+
+            if span_only:
+                ref = _fast(ref)
+            else:
+                ref = jax.lax.cond(hole != 0, _slow, _fast, ref)
+            if n >= 8:
+                f121 = (pltpu.roll(ref, 1, axis=1) + 2 * ref
+                        + pltpu.roll(ref, 255, axis=1) + 2) >> 2
+                f121 = jnp.where((lane == 0) | (lane == L - 1), ref,
+                                 f121)
+                ref = jnp.where(fflag_b, f121, ref)
+            wsl = wref[pl.ds(mode * Lp, Lp), :]
+            r8 = (ref[0:2, :Lp] - 128).astype(jnp.int8)
+            dims = (((1,), (0,)), ((), ()))
+            pred = (jax.lax.dot_general(
+                r8, wsl, dims, preferred_element_type=jnp.int32)
+                + 8224) >> 6                              # (2, nsq)
+            ox = x % 128
+            cx = x // 128
+            cx1 = jnp.minimum(cx + 1, C - 1)
+            m = (lane >= ox) & (lane < ox + n)
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, n * 128), 1)
+            placed = 128 * ((lane128 % 128) < n)
+            for p in range(2):
+                band = pouts[p]
+                resv = rs[p][pl.ds(rgs[p][t] % 8, 1), :]
+                out = jnp.clip(pred[p:p + 1] + resv[:, :nsq], 0, maxv)
+                o8 = (out - 128).astype(jnp.int8)
+                blk = (jax.lax.dot_general(
+                    o8, pref[...], dims,
+                    preferred_element_type=jnp.int32)
+                    + placed).reshape(n, 128)
+                tmp3[0:n, 0:128] = blk
+                rolled = pltpu.roll(tmp3[0:n, :], ox, axis=1)
+                w0 = band[pl.ds(yin, n), cx, :]
+                band[pl.ds(yin, n), cx, :] = \
+                    jnp.where(m[:, :128], rolled[:, :128], w0)
+                w1 = band[pl.ds(yin, n), cx1, :]
+                band[pl.ds(yin, n), cx1, :] = \
+                    jnp.where(m[:, 128:], rolled[:, 128:], w1)
+
         def cls_branch(ci):
             def run():
-                for p in range(planes):
+                if planes == 2:
+                    _pair_body(classes[ci], ws[ci], ps[ci])
+                else:
                     _plane_body(classes[ci], ws[ci], ps[ci],
-                                ss[ci] if luma else None, pouts[p],
-                                halos[p], rs[p], rgs[p][t])
+                                ss[ci] if luma else None, pouts[0],
+                                halos[0], rs[0], rgs[0][t])
             return run
 
         @pl.when(valid != 0)
