@@ -487,7 +487,11 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                 in_specs=in_specs, out_specs=out_specs,
                 scratch_shapes=scratch),
             out_shape=out_shape,
-            input_output_aliases=alias,
+            # donation is only a memory optimization (every output block
+            # is fully written via the j==0 copy); interpret-mode
+            # donation on CPU has been implicated in later use-after-
+            # free segfaults elsewhere in the process, so skip it there
+            input_output_aliases={} if interpret else alias,
             interpret=interpret)
         return f(scalars, spans, *rowgs, avail, *resids, *wtabs, *ptabs,
                  *stabs, *planes3d)
