@@ -77,3 +77,45 @@ def test_intra_scan_matches_goldens(mf, name, force_scan):
     assert n == sum(1 for p in plans
                     if frame_compatible(p) and frame_has_intra(p))
     assert n > 0
+
+
+def test_scan_perm_invariants(force_scan):
+    """Every intra TU appears in exactly one slot; slots within a band
+    are z-scan-ordered per tile (decode order = the kernel's serial
+    correctness contract)."""
+    from libde265_tpu.frame_program import stream_cfg, frame_has_intra, \
+        frame_compatible
+    from libde265_tpu.intra_fused import (pack_intra, _avail_grids,
+                                          assign_levels_meta)
+    plans = _parse(os.path.join(DATA, "p_cif_mixed.bin"))
+    cfg = stream_cfg(plans, plans[0].sps)
+    assert cfg.intra_scan
+    KL, KC = cfg.intra_scan[:2]
+    for plan in plans:
+        if not (frame_compatible(plan) and frame_has_intra(plan)):
+            continue
+        t = pack_intra(plan, cfg)
+        tm = plan._tu_arrays[0]
+        lv = assign_levels_meta(plan)
+        zg = _avail_grids(plan)[0]
+        ctb = 1 << plan.sps.Log2CtbSizeY
+        lcls = [e[1] for e in cfg.intra if e[0] == 0]
+        perm = t["ispm_0"]
+        n_luma = int(((lv > 0) & (tm[:, 0] == 0)).sum())
+        valid = perm[perm >= 0]
+        assert valid.size == n_luma
+        assert np.unique(valid).size == n_luma      # each TU once
+        # within each band: zg strictly increasing among same-tile TUs
+        for band in range(perm.size // KL):
+            rows = perm[band * KL:(band + 1) * KL]
+            rows = rows[rows >= 0]
+            last = -1
+            for v in rows:
+                log2 = lcls[v & 3]
+                # row -> original TU: re-derive x,y from the packed xy
+                xy = t[f"ixy_0_{log2}"][v >> 2]
+                x, y = int(xy[0]), int(xy[1])
+                assert y // ctb == band
+                z = int(zg[y >> 2, x >> 2])
+                assert z > last, "slots out of decode order"
+                last = z
