@@ -581,10 +581,37 @@ static void build_scan(int n, int scan_idx, Scan& s) {
   s.idx_of.assign(n * n, 0);
   for (size_t i = 0; i < s.x.size(); i++) s.idx_of[s.y[i] * n + s.x[i]] = (int16_t)i;
 }
+// Significance-context lookup tables (same idea as the reference's
+// precomputed ctxIdxLookup, slice.cc:1964-2240): for 4x4 subblocks of
+// TBs >4x4 the per-position base pattern depends only on (scan order,
+// neighbor-csbf "prev"); the remaining term is one per-subblock constant.
+// g_map4 is CTX_IDX_MAP_4x4 reordered into scan position order.
+static uint8_t g_sigbase[3][4][16];
+static uint8_t g_map4[3][16];
+
+static void init_sig_luts() {
+  for (int scan = 0; scan < 3; scan++) {
+    const Scan& cs = g_scans[2][scan];
+    for (int n = 0; n < 16; n++) {
+      int xP = cs.x[n], yP = cs.y[n];
+      g_map4[scan][n] = CTX_IDX_MAP_4x4[(yP << 2) + xP];
+      for (int prev = 0; prev < 4; prev++) {
+        int sig;
+        if (prev == 0) sig = (xP + yP == 0) ? 2 : (xP + yP < 3 ? 1 : 0);
+        else if (prev == 1) sig = yP == 0 ? 2 : (yP == 1 ? 1 : 0);
+        else if (prev == 2) sig = xP == 0 ? 2 : (xP == 1 ? 1 : 0);
+        else sig = 2;
+        g_sigbase[scan][prev][n] = (uint8_t)sig;
+      }
+    }
+  }
+}
+
 static void init_scans() {
   if (g_scans_init) return;
   for (int l = 0; l <= 5; l++)
     for (int k = 0; k < 3; k++) build_scan(1 << l, k, g_scans[l][k]);
+  init_sig_luts();
   g_scans_init = true;
 }
 
@@ -1957,28 +1984,6 @@ struct SliceReader {
   }
 
   // ---------------- residual coding (7.3.8.11) ----------------
-  int sig_ctx(int xC, int yC, int xS, int yS, int log2, int cidx, int scan,
-              const uint8_t* csbf, int nsb) {
-    int sig;
-    if (log2 == 2) sig = CTX_IDX_MAP_4x4[(yC << 2) + xC];
-    else if (xC + yC == 0) sig = 0;
-    else {
-      int right = xS + 1 < nsb ? csbf[yS * nsb + xS + 1] : 0;
-      int below = yS + 1 < nsb ? csbf[(yS + 1) * nsb + xS] : 0;
-      int prev = right + 2 * below;
-      int xP = xC & 3, yP = yC & 3;
-      if (prev == 0) sig = (xP + yP == 0) ? 2 : (xP + yP < 3 ? 1 : 0);
-      else if (prev == 1) sig = yP == 0 ? 2 : (yP == 1 ? 1 : 0);
-      else if (prev == 2) sig = xP == 0 ? 2 : (xP == 1 ? 1 : 0);
-      else sig = 2;
-      if (cidx == 0) {
-        if (xS || yS) sig += 3;
-        sig += log2 == 3 ? (scan == 0 ? 9 : 15) : 21;
-      } else sig += log2 == 3 ? 9 : 12;
-    }
-    return cidx == 0 ? sig : 27 + sig;
-  }
-
   int decode_remaining(int rice) {
     int prefix = 0;
     while (prefix <= 32 && cb->bypass()) prefix++;
@@ -2057,14 +2062,29 @@ struct SliceReader {
         if (!flag) continue;
       } else csbf[yS * nsb + xS] = 1;
 
+      // per-subblock sig-ctx LUT: base pattern by scan position + constant
+      // offset; DC of the whole TB (subblock 0, n==0) is the one exception
+      const uint8_t* lut;
+      int off, dc0 = -1;
+      if (log2 == 2) {
+        lut = g_map4[scan];
+        off = cidx ? 27 : 0;
+      } else {
+        int right = xS + 1 < nsb ? csbf[yS * nsb + xS + 1] : 0;
+        int below = yS + 1 < nsb ? csbf[(yS + 1) * nsb + xS] : 0;
+        lut = g_sigbase[scan][right + 2 * below];
+        if (cidx == 0)
+          off = ((xS | yS) ? 3 : 0) + (log2 == 3 ? (scan == 0 ? 9 : 15) : 21);
+        else
+          off = 27 + (log2 == 3 ? 9 : 12);
+        if (i == 0) dc0 = cidx ? 27 : 0;
+      }
       int sig_pos[16], nsig = 0;
       int start = i == last_sb ? last_pos - 1 : 15;
       if (i == last_sb) sig_pos[nsig++] = last_pos;
       for (int n = start; n >= 0; n--) {
-        int xP = cs.x[n], yP = cs.y[n];
-        int xC = (xS << 2) + xP, yC = (yS << 2) + yP;
         if (n == 0 && infer_dc && nsig == 0) { sig_pos[nsig++] = 0; continue; }
-        int inc = sig_ctx(xC, yC, xS, yS, log2, cidx, scan, csbf, nsb);
+        int inc = (n == 0 && dc0 >= 0) ? dc0 : lut[n] + off;
         if (cb->bin(ct.m[CTX_SIG + inc])) { sig_pos[nsig++] = n; infer_dc = false; }
       }
       if (!nsig) continue;
