@@ -206,6 +206,76 @@ def main():
             ts.append(time.time() - t0)
         return ts
 
+    # ---- pipelined sustained throughput: parse / pack / upload+dispatch
+    # run CONCURRENTLY across rounds (the deployment shape — dec265's
+    # main loop feeds its threaded decoder the same way,
+    # dec265.cc:681-781). A parse thread re-parses the stream per round
+    # (fresh NativeFrontend), a pack pool re-packs it, and the main
+    # thread uploads + dispatches; jax dispatch is async so upload of
+    # round r+1 overlaps device compute of round r. Steady-state rate =
+    # the slowest stage, not the sum.
+    def pipelined_rounds(R):
+        import queue as _q
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        nonlocal dy, dcb, dcr, ty, tc
+        qplans = _q.Queue(maxsize=1)
+        qblobs = _q.Queue(maxsize=1)
+
+        def parser():
+            for r in range(R):
+                qplans.put(parse_stream(data))
+            qplans.put(None)
+
+        def packer():
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                while True:
+                    plans_r = qplans.get()
+                    if plans_r is None:
+                        break
+                    fr = [p for p in plans_r if p.nal_type != -1]
+                    ifr = [p for p in fr if frame_has_intra(p)]
+                    pfr = [p for p in fr if not frame_has_intra(p)]
+                    pk_i = list(ex.map(
+                        lambda p: pack_frame(p, cfg_i, fid_slot,
+                                             real_slots=True), ifr))
+                    pk_p = list(ex.map(
+                        lambda p: pack_frame(p, cfg_p, fid_slot,
+                                             real_slots=True), pfr))
+                    bi = {k: np.stack([t[k] for t in pk_i])
+                          for k in pk_i[0]}
+                    bp = {k: np.stack([t[k] for t in pk_p])
+                          for k in pk_p[0]}
+                    from libde265_tpu.frame_program import blob_meta
+                    mi, ti_ = blob_meta(bi)
+                    mp, tp_ = blob_meta(bp)
+                    qblobs.put((pack_blob(bi, mi, ti_),
+                                pack_blob(bp, mp, tp_)))
+            qblobs.put(None)
+
+        th1 = threading.Thread(target=parser, daemon=True)
+        th2 = threading.Thread(target=packer, daemon=True)
+        t0 = time.time()
+        th1.start()
+        th2.start()
+        done = 0
+        while True:
+            got = qblobs.get()
+            if got is None:
+                break
+            bi, bp = got
+            sdi_r = jax.device_put(bi)
+            dy, dcb, dcr, ty, tc = iprog(dy, dcb, dcr, ty, tc,
+                                         sdi_r, islots_j)
+            sd_r = jax.device_put(bp)
+            dy, dcb, dcr, ty, tc = sprog(dy, dcb, dcr, ty, tc,
+                                         sd_r, slots_j)
+            done += nfr
+        float(dy[1, 0, 0])
+        th1.join()
+        th2.join()
+        return done / (time.time() - t0)
+
     ts = timed_rounds()
     n_done = ROUNDS * nfr
     for retry in range(2):
@@ -220,7 +290,8 @@ def main():
         ts += timed_rounds()
         n_done += ROUNDS * nfr
     fps = nfr / min(ts)
-    sustained = n_done / sum(ts)
+    serial_sustained = n_done / sum(ts)
+    sustained = pipelined_rounds(ROUNDS)
 
     # ---- diagnostics: compute-only (plans resident) and upload-only rates
     # — the tunneled axon link's host->device bandwidth is ~100x below a
@@ -258,9 +329,11 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s (real 4K stream, fused device decode, "
                 "MD5-verified vs dec265; best round, upload+compute; "
-                "all-rounds mean in sustained_fps)",
+                "fully-pipelined parse+pack+upload+compute rate in "
+                "sustained_fps)",
         "vs_baseline": round(fps / baseline, 2),
         "sustained_fps": round(sustained, 2),
+        "serial_sustained_fps": round(serial_sustained, 2),
         "fe_parse_fps": round(nf / t_parse, 1),
         "pack_fps": round(nf / t_pack, 1),
         "device_only_fps": round(dev_fps, 2),

@@ -321,6 +321,161 @@ class DeviceStreamDecoder:
     def planes_of(self, fid):
         return self._host_planes(fid)
 
+    # ------------------------------------------------- pipelined decode
+    def schedule_slots(self, keep_outputs=False):
+        """Precompute (plan, frame_idx, out_slot) for every frame of a
+        fully fast-path stream. Slot choices depend only on plan
+        metadata, never on device results, so the whole schedule is
+        known before the first dispatch — this is what lets pack run
+        ahead of the device on worker threads. Raises
+        PipelineUnsupported when any frame needs the hybrid path or a
+        host pixel copy (callers fall back to decode_all)."""
+        last_use = self.last_use if keep_outputs else \
+            self._last_uses_refs_only()
+        sim_of, sim_fid = dict(self.slot_of), list(self.slot_fid)
+        out = []
+        for i, plan in enumerate(self.plans):
+            if plan.nal_type == -1 or not frame_compatible(plan) \
+                    or not self._fast_ok(plan):
+                raise PipelineUnsupported(f"frame {i}: hybrid path")
+            needed = self.ref_fids(plan)
+            if any(rf not in sim_of for rf in needed):
+                raise PipelineUnsupported(f"frame {i}: ref not resident")
+            free = [s for s, f in enumerate(sim_fid) if f is None]
+            if free:
+                s = free[0]
+            else:
+                cands = sorted(
+                    range(REF_SLOTS),
+                    key=lambda s: (sim_fid[s] in needed,
+                                   last_use.get(sim_fid[s], -1)))
+                s = cands[0]
+                vfid = sim_fid[s]
+                if vfid in needed or last_use.get(vfid, -1) >= i:
+                    raise PipelineUnsupported(
+                        f"frame {i}: would evict needed frame {vfid}")
+                del sim_of[vfid]
+            sim_of[plan.frame_id] = s
+            sim_fid[s] = plan.frame_id
+            out.append((plan, i, s))
+        return out
+
+    def _last_uses_refs_only(self):
+        """last_use from reference dependencies only: output pictures
+        are NOT pinned until download (throughput mode — the consumer
+        drains slots off-host, as dec265 -q discards its output)."""
+        last = {}
+        for i, plan in enumerate(self.plans):
+            pm = plan._pu_arrays[0] if plan._pu_arrays is not None else None
+            if pm is None or not pm.shape[0]:
+                continue
+            for l in range(2):
+                used = pm[pm[:, 4 + l] > 0, 14 + l]
+                for fid in np.unique(used):
+                    last[int(fid)] = max(last.get(int(fid), -1), i)
+        return last
+
+    def decode_all_pipelined(self, batch=8, pack_workers=2,
+                             keep_outputs=False):
+        """decode_all with the host stages running AHEAD of the device:
+        the slot schedule is precomputed, frames are packed on a worker
+        pool and assembled into per-dtype blob batches on a builder
+        thread, and the main thread only uploads + dispatches. Dispatch
+        is async (jax enqueues), so upload of batch k+1 overlaps device
+        compute of batch k. The reference's analog is its decode loop
+        feeding a threaded CTB pool (dec265.cc:681-781, decctx.cc:700-
+        789); here the pipeline axis is whole frame batches.
+        Falls back to decode_all when the stream leaves the fast path."""
+        try:
+            sched = self.schedule_slots(keep_outputs=keep_outputs)
+        except PipelineUnsupported:
+            return self.decode_all()
+        import queue as _q
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        from dataclasses import replace
+        from .frame_program import (blob_meta, pack_blob,
+                                    get_stream_program_blob)
+        jnp = self.jnp
+
+        # batches of consecutive same-kind frames; intra frames batch
+        # separately (their program variant carries the intra stage)
+        groups = []
+        for item in sched:
+            plan = item[0]
+            kind = (frame_has_intra(plan), frame_has_mc(plan))
+            if groups and groups[-1][0] == kind \
+                    and len(groups[-1][1]) < batch:
+                groups[-1][1].append(item)
+            else:
+                groups.append((kind, [item]))
+        kinds = {}
+        for kind, _ in groups:
+            if kind not in kinds:
+                if kind == (False, True):
+                    kinds[kind] = self.cfg_scan
+                elif kind[0]:
+                    kinds[kind] = self.cfg if kind[1] \
+                        else replace(self.cfg, skip_mc=True)
+                else:       # zero-PU, zero-intra (skipped frame)
+                    kinds[kind] = replace(self.cfg_scan, skip_mc=True)
+        slot_map = {item[0].frame_id: item[2] for item in sched}
+
+        def pack_one(args):
+            plan, _, _ = args
+            kind = (frame_has_intra(plan), frame_has_mc(plan))
+            return pack_frame(plan, kinds[kind], slot_map,
+                              real_slots=True)
+
+        q = _q.Queue(maxsize=4)
+
+        def builder():
+            try:
+                with ThreadPoolExecutor(max_workers=pack_workers) as ex:
+                    for kind, items in groups:
+                        packed = list(ex.map(pack_one, items))
+                        stacked = {k: np.stack([t[k] for t in packed])
+                                   for k in packed[0]}
+                        meta, totals = blob_meta(stacked)
+                        slots = np.asarray([s for (_, _, s) in items],
+                                           np.int32)
+                        q.put((kinds[kind], meta,
+                               pack_blob(stacked, meta, totals), slots,
+                               items))
+            except BaseException as e:      # surface in the consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        th = threading.Thread(target=builder, daemon=True)
+        th.start()
+        while True:
+            got = q.get()
+            if got is None:
+                break
+            if isinstance(got, BaseException):
+                raise got
+            cfg_use, meta, bufs, slots, items = got
+            prog = get_stream_program_blob(cfg_use, meta)
+            dbuf = {k: jnp.asarray(v) for k, v in bufs.items()}
+            (self.dy, self.dcb, self.dcr, self.ty, self.tc) = prog(
+                self.dy, self.dcb, self.dcr, self.ty, self.tc,
+                dbuf, jnp.asarray(slots))
+            for (plan, i, s) in items:
+                fid = plan.frame_id
+                vfid = self.slot_fid[s]
+                if vfid is not None and vfid in self.slot_of:
+                    del self.slot_of[vfid]
+                self.slot_of[fid] = s
+                self.slot_fid[s] = fid
+                self.frames[fid] = {"plan": plan, "host": None,
+                                    "fast": True}
+        th.join()
+
+
+class PipelineUnsupported(Exception):
+    """Stream needs the hybrid path / host copies; use decode_all."""
+
 
 class ShardedStreamDecoder(DeviceStreamDecoder):
     """Tile-column sharded variant: compatible inter frames of a

@@ -55,16 +55,16 @@ def _avail_grids(plan):
     sps, pps = plan.sps, plan.pps
     gh, gw = plan.gh, plan.gw
     s = sps.Log2CtbSizeY - 2
-    by4, bx4 = np.mgrid[0:gh, 0:gw]
+    by4, bx4 = np.mgrid[0:gh, 0:gw].astype(np.int32)
     cy, cx = by4 >> s, bx4 >> s
     rs = cy * sps.PicWidthInCtbsY + cx
-    ts = np.asarray(pps.CtbAddrRStoTS, np.int64)[rs]
-    spread = np.asarray([_spread_bits(v) for v in range(1 << s)], np.int64)
+    ts = np.asarray(pps.CtbAddrRStoTS, np.int32)[rs]
+    spread = np.asarray([_spread_bits(v) for v in range(1 << s)], np.int32)
     m = (1 << s) - 1
     zin = spread[bx4 & m] | (spread[by4 & m] << 1)
     zg = (ts << (2 * s)) | zin
-    sa4 = plan.slice_addr_rs[cy, cx]
-    tid4 = np.asarray(pps.TileId, np.int64)[rs]
+    sa4 = np.asarray(plan.slice_addr_rs, np.int32)[cy, cx]
+    tid4 = np.asarray(pps.TileId, np.int32)[rs]
     plan._avail_grids = (zg, sa4, tid4)
     return plan._avail_grids
 
@@ -127,7 +127,82 @@ def assign_levels_meta(plan):
 def _border_ok(plan, xs, ys, cidx_arr, log2):
     """Vectorized availability for a class batch: (N, 4n+1) bool mask of
     border-sample availability incl. constrained-intra-pred (spec 6.4.1 +
-    8.4.4.2.2; reference intra_border_computer intrapred.cc:437-530)."""
+    8.4.4.2.2; reference intra_border_computer intrapred.cc:437-530).
+
+    Availability is constant within each aligned run of border samples
+    that shares one 4x4-luma-grid cell (4 luma / 2 chroma-in-4:2:0
+    samples), so the decision is computed once per run and expanded —
+    4x (2x) fewer gathers than per-sample. Results are memoized on the
+    plan: stream_cfg's hole probe and pack_intra ask for the same
+    classes (the pack wall on 4K I-frames was this function)."""
+    cache = getattr(plan, "_border_ok_cache", None)
+    if cache is None:
+        cache = plan._border_ok_cache = {}
+    key = (int(log2), xs.tobytes(), ys.tobytes(), cidx_arr.tobytes())
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    N = xs.shape[0]
+    is_luma = N > 0 and not (cidx_arr != 0).any()
+    is_chroma = N > 0 and not (cidx_arr == 0).any()
+    if N and (is_luma or is_chroma):
+        sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+        sc = 1 if is_luma else sub
+        gstep = 4 // sc                   # samples per uniform run
+        if gstep > 1:
+            ok = _border_ok_runs(plan, xs, ys, is_luma, sub, sc, gstep,
+                                 log2)
+            cache[key] = ok
+            return ok
+    ok = _border_ok_dense(plan, xs, ys, cidx_arr, log2)
+    cache[key] = ok
+    return ok
+
+
+def _border_ok_runs(plan, xs, ys, is_luma, sub, sc, gstep, log2):
+    """Run-granular availability (one decision per 4x4-grid-aligned run
+    of border samples). Correct because the z-scan frontier, slice ids
+    and tile ids are all constant within one 4x4-luma cell, and TU
+    origins/plane dims are run-aligned."""
+    zg, sa4, tid4 = _avail_grids(plan)
+    gh, gw = zg.shape
+    n = 1 << log2
+    c = 2 * n
+    nb = c // gstep                       # runs per (left|top) segment
+    x = xs.astype(np.int32)[:, None]
+    y = ys.astype(np.int32)[:, None]
+    N = x.shape[0]
+    Hp = plan.H if is_luma else plan.H // sub
+    Wp = plan.W if is_luma else plan.W // sub
+    k = np.arange(nb, dtype=np.int32)[None, :]
+    # run representatives: left runs in pos order (bottom-up), corner,
+    # top runs left-to-right; left run k covers samples
+    # by in [y + c - gstep*(k+1), ...+gstep) at bx = x-1
+    by = np.concatenate([y + (c - gstep * (k + 1)),
+                         y - 1,
+                         np.broadcast_to(y - 1, (N, nb))], axis=1)
+    bx = np.concatenate([np.broadcast_to(x - 1, (N, nb)),
+                         x - 1,
+                         x + gstep * k], axis=1)
+    inb = (bx >= 0) & (by >= 0) & (bx < Wp) & (by < Hp)
+    nby = np.clip((by * sc) >> 2, 0, gh - 1)
+    nbx = np.clip((bx * sc) >> 2, 0, gw - 1)
+    cby = (y * sc) >> 2
+    cbx = (x * sc) >> 2
+    okb = (inb & (zg[nby, nbx] < zg[cby, cbx])
+           & (sa4[nby, nbx] == sa4[cby, cbx])
+           & (tid4[nby, nbx] == tid4[cby, cbx]))
+    if plan.pps.constrained_intra_pred_flag:
+        okb &= plan.pred_mode[nby, nbx] == MODE_INTRA
+    return np.concatenate([np.repeat(okb[:, :nb], gstep, axis=1),
+                           okb[:, nb:nb + 1],
+                           np.repeat(okb[:, nb + 1:], gstep, axis=1)],
+                          axis=1)
+
+
+def _border_ok_dense(plan, xs, ys, cidx_arr, log2):
+    """Per-sample reference implementation (mixed-plane batches and the
+    differential oracle for _border_ok_runs)."""
     zg, sa4, tid4 = _avail_grids(plan)
     gh, gw = zg.shape
     sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
@@ -243,23 +318,24 @@ def pack_scan_perms(plan, cfg, cls_idx):
             cidx = tm[idx, 0]
             x = tm[idx, 1].astype(np.int64)
             y = tm[idx, 2].astype(np.int64)
-            pair = {}
-            for r in range(idx.size):
-                pair.setdefault((x[r], y[r]), [None, None])[
-                    0 if cidx[r] == 1 else 1] = r
-            for (px, py), (rb, rr) in pair.items():
-                assert rb is not None and rr is not None, (px, py)
-                bandsc.append(py // bh_c)
-                zgsc.append(zg4[(py * 2) >> 2, (px * 2) >> 2])
-                encb.append(rb * 4 + rank)
-                encr.append(rr * 4 + rank)
+            # pair Cb/Cr rows by position: sort by (x, y, cidx) so each
+            # pair is adjacent with Cb (cidx 1) first
+            o = np.lexsort((cidx, y, x))
+            rb, rr = o[0::2], o[1::2]
+            assert (cidx[rb] == 1).all() and (cidx[rr] == 2).all() \
+                and (x[rb] == x[rr]).all() and (y[rb] == y[rr]).all()
+            px, py = x[rb], y[rb]
+            bandsc.append(py // bh_c)
+            zgsc.append(zg4[(py * 2) >> 2, (px * 2) >> 2])
+            encb.append(rb * 4 + rank)
+            encr.append(rr * 4 + rank)
         pb = np.full(NB * KC, -1, np.int32)
         pr = np.full(NB * KC, -1, np.int32)
         if bandsc:
-            b = np.asarray(bandsc, np.int64)
-            z = np.asarray(zgsc, np.int64)
-            eb = np.asarray(encb, np.int64)
-            er = np.asarray(encr, np.int64)
+            b = np.concatenate(bandsc)
+            z = np.concatenate(zgsc)
+            eb = np.concatenate(encb)
+            er = np.concatenate(encr)
             o = np.lexsort((z, b))
             b, eb, er = b[o], eb[o], er[o]
             pos = _cumcount(b)
@@ -293,6 +369,10 @@ def pack_intra(plan, cfg):
         sel = ((levels > 0) & (tm[:, 3] == log2)
                & ((tm[:, 0] == 0) if pl == 0 else (tm[:, 0] > 0)))
         idx = np.flatnonzero(sel)
+        # availability in flatnonzero order: shares the memoized result
+        # with stream_cfg's hole probe (same batch), permuted below
+        ok0 = _border_ok(plan, tm[idx, 1], tm[idx, 2], tm[idx, 0],
+                         log2) if idx.size else None
         lv = levels[idx]
         order = np.argsort(lv, kind="stable")
         idx = idx[order]
@@ -313,8 +393,7 @@ def pack_intra(plan, cfg):
         md[:k] = tm[idx, 4]
         okb = np.zeros((Ktot, OB), np.uint8)
         if k:
-            ok = _border_ok(plan, tm[idx, 1], tm[idx, 2], tm[idx, 0], log2)
-            okb[:k] = np.packbits(ok, axis=1)
+            okb[:k] = np.packbits(ok0[order], axis=1)
         qp = np.zeros(Ktot, np.int8)
         qp[:k] = tm[idx, 5]
         if kinds:

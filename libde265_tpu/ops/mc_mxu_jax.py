@@ -93,18 +93,34 @@ def luma_geom(xp, bx, by, mvx, mvy, slot, nty, ntx, H, W):
     return idx, hcls, vcls
 
 
+_BXBY_CACHE = {}
+
+
+def _block_xy(H, W):
+    """(bx, by) int32 luma block origins in device raster order, cached
+    per resolution (stream_cfg calls the class counters per frame)."""
+    key = (H, W)
+    hit = _BXBY_CACHE.get(key)
+    if hit is None:
+        n_bx = W // 4
+        N = n_bx * (H // 4)
+        i = np.arange(N, dtype=np.int32)
+        hit = _BXBY_CACHE[key] = ((i % n_bx) * 4, (i // n_bx) * 4)
+    return hit
+
+
 def luma_class_counts(mv_lane, H, W):
     """Host: (N,2) int (mvx,mvy) for ONE lane in device block-raster
-    order -> ((16,) h-class counts, (16,) v-class counts) (numpy)."""
-    N = mv_lane.shape[0]
-    n_bx = W // 4
-    bx = (np.arange(N, dtype=np.int64) % n_bx) * 4
-    by = (np.arange(N, dtype=np.int64) // n_bx) * 4
-    nty, ntx = (H + 20) // 4, (W + 20) // 4
-    _, hcls, vcls = luma_geom(np, bx, by,
-                              mv_lane[:, 0].astype(np.int64),
-                              mv_lane[:, 1].astype(np.int64),
-                              np.zeros(N, np.int64), nty, ntx, H, W)
+    order -> ((16,) h-class counts, (16,) v-class counts) (numpy).
+    Classes-only re-derivation of luma_geom (same clip geometry; the
+    table row index is not needed for capacity analysis)."""
+    bx, by = _block_xy(H, W)
+    mvx = mv_lane[:, 0].astype(np.int32)
+    mvy = mv_lane[:, 1].astype(np.int32)
+    x0 = np.clip(bx + (mvx >> 2) - 3, -14, W + 1)
+    y0 = np.clip(by + (mvy >> 2) - 3, -14, H + 1)
+    hcls = (mvx & 3) * 4 + ((x0 + 16) & 3)
+    vcls = (mvy & 3) * 4 + ((y0 + 16) & 3)
     return (np.bincount(hcls, minlength=NCLS),
             np.bincount(vcls, minlength=NCLS))
 
@@ -222,16 +238,14 @@ def chroma_geom(xp, bx, by, mvx, mvy, slot, nty, ntx, Hc, Wc):
 def chroma_class_counts(mv_lane, H, W):
     """Host: (N,2) (mvx,mvy) for ONE lane, luma geometry H/W ->
     ((32,) h counts, (32,) v counts)."""
-    N = mv_lane.shape[0]
-    n_bx = W // 4
-    bx = (np.arange(N, dtype=np.int64) % n_bx) * 4
-    by = (np.arange(N, dtype=np.int64) // n_bx) * 4
+    bx, by = _block_xy(H, W)
     Hc, Wc = H // 2, W // 2
-    nty, ntx = (Hc + 12) // 4, (Wc + 12) // 4
-    _, hcls, vcls = chroma_geom(np, bx, by,
-                                mv_lane[:, 0].astype(np.int64),
-                                mv_lane[:, 1].astype(np.int64),
-                                np.zeros(N, np.int64), nty, ntx, Hc, Wc)
+    mvx = mv_lane[:, 0].astype(np.int32)
+    mvy = mv_lane[:, 1].astype(np.int32)
+    x0 = np.clip((bx >> 1) + (mvx >> 3) - 1, -7, Wc + 1)
+    y0 = np.clip((by >> 1) + (mvy >> 3) - 1, -7, Hc + 1)
+    hcls = (mvx & 7) * 4 + ((x0 + 8) & 3)
+    vcls = (mvy & 7) * 4 + ((y0 + 8) & 3)
     return (np.bincount(hcls, minlength=NCLS_C),
             np.bincount(vcls, minlength=NCLS_C))
 

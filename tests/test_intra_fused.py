@@ -164,3 +164,41 @@ def test_fused_intra_matches_hybrid_path():
         for ci in range(3):
             assert np.array_equal(fused[ci], hybrid[ci]), \
                 f"poc {p.poc} plane {ci}"
+
+
+@pytest.mark.parametrize("mf,name", [
+    ("manifest_inter.json", "p_cip"),
+    ("manifest_inter.json", "p_tiles8nu_mv"),
+    ("manifest_inter.json", "p_slices2wpp"),
+    ("manifest.json", "intra_cif_q20_nxn"),
+    ("manifest_inter.json", "i_strong32"),
+])
+def test_border_ok_runs_matches_dense(mf, name):
+    """The run-granular availability fast path (_border_ok_runs, the
+    round-4 pack-wall fix) must be sample-identical to the per-sample
+    oracle across tiles / WPP / CIP / NxN topologies."""
+    from libde265_tpu.intra_fused import (assign_levels_meta,
+                                          _border_ok_dense, _border_ok)
+    plans = _parse(os.path.join(DATA, name + ".bin"))
+    checked = 0
+    for plan in plans:
+        if plan.nal_type == -1 or plan._tu_arrays is None:
+            continue
+        tm = plan._tu_arrays[0]
+        if not tm.shape[0]:
+            continue
+        levels = assign_levels_meta(plan)
+        for log2 in (2, 3, 4, 5):
+            for pl in (0, 1):
+                sel = ((levels > 0) & (tm[:, 3] == log2)
+                       & ((tm[:, 0] == 0) if pl == 0 else (tm[:, 0] > 0)))
+                idx = np.flatnonzero(sel)
+                if not idx.size:
+                    continue
+                dense = _border_ok_dense(plan, tm[idx, 1], tm[idx, 2],
+                                         tm[idx, 0], log2)
+                fast = _border_ok(plan, tm[idx, 1], tm[idx, 2],
+                                  tm[idx, 0], log2)
+                assert (dense == fast).all(), (name, plan.poc, pl, log2)
+                checked += 1
+    assert checked
