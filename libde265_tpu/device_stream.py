@@ -428,17 +428,30 @@ class DeviceStreamDecoder:
                               real_slots=True)
 
         q = _q.Queue(maxsize=4)
+        meta_cache = {}
 
         def builder():
+            from .frame_program import pack_blob_native
             try:
                 with ThreadPoolExecutor(max_workers=pack_workers) as ex:
                     for kind, items in groups:
+                        slots = np.asarray([s for (_, _, s) in items],
+                                           np.int32)
+                        ck = (kind, len(items))
+                        if ck in meta_cache:
+                            meta, totals = meta_cache[ck]
+                            bufs = pack_blob_native(
+                                [it[0] for it in items], kinds[kind],
+                                slot_map, meta, totals)
+                            if bufs is not None:
+                                q.put((kinds[kind], meta, bufs, slots,
+                                       items))
+                                continue
                         packed = list(ex.map(pack_one, items))
                         stacked = {k: np.stack([t[k] for t in packed])
                                    for k in packed[0]}
                         meta, totals = blob_meta(stacked)
-                        slots = np.asarray([s for (_, _, s) in items],
-                                           np.int32)
+                        meta_cache[ck] = (meta, totals)
                         q.put((kinds[kind], meta,
                                pack_blob(stacked, meta, totals), slots,
                                items))

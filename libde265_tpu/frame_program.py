@@ -1061,6 +1061,31 @@ def unpack_blob(bufs, meta):
     return out
 
 
+def pack_blob_native(plans, cfg: ProgramCfg, fid_slot, meta, totals):
+    """Pack an F-frame batch blob with the C++ front-end writers
+    (native/frontend.cc fe_pack_frame) — the whole per-dtype buffer set
+    is filled in one pass per frame with no numpy intermediates. Byte-
+    identical to pack_frame+pack_blob (tests/test_native_pack.py).
+    Returns None when the layout has keys the native side doesn't
+    claim (weights / scaling / intra / pcm) or plans lack the native
+    handle — caller falls back to numpy."""
+    if not plans:
+        return None
+    fes = {getattr(p, "_fe", (None,))[0] for p in plans}
+    if len(fes) != 1 or None in fes:
+        return None
+    fe = fes.pop()
+    if cfg.pcm or cfg.scaling or cfg.intra:
+        return None
+    if not fe.pack_setup(cfg, meta, len(plans)):
+        return None
+    bufs = {dt: np.zeros(n, np.dtype(dt) if np.dtype(dt).kind != "b"
+                         else np.uint8) for dt, n in totals.items()}
+    for bi_, p in enumerate(plans):
+        fe.pack_frame_into(p._fe[1], bi_, fid_slot, bufs)
+    return bufs
+
+
 _STREAM_PROGRAMS = {}
 
 

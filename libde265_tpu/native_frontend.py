@@ -193,4 +193,77 @@ class NativeFrontend:
             lv = np.zeros(n_tus, np.int32)
             if lib.fe_intra_levels(C.c_void_p(self.h), idx, _arr(lv)) == 0:
                 plan._intra_levels = lv
+        plan._fe = (self, idx)    # native pack (fe_pack_frame) handle
         return plan
+
+    # ---------------------------------------------------- native packing
+    # key-kind ids (must match PackKeyKind in native/frontend.cc)
+    PACK_KINDS = {
+        "pm": 0, "cbf": 1, "off": 2, "tucb": 3, "edgeall": 4, "qp": 5,
+        "pf": 6, "mv": 7, "poc": 8, "slot": 9, "allow_v": 10,
+        "allow_h": 11, "pair_ok": 12, "sao_type": 13, "sao_eo": 14,
+        "sao_band": 15, "sao_off": 16, "sidx": 17, "sh_disable": 18,
+        "sh_beta": 19, "sh_tc": 20, "sh_across": 21, "sh_sao_luma": 22,
+        "sh_sao_chroma": 23,
+    }
+    PACK_BUCKET_KINDS = {
+        "rc": 24, "rb": 25, "rbi": 26, "re_i": 27, "re_v": 28,
+        "rk": 29, "rq": 30, "rs": 31,
+    }
+    PACK_DT_SLOTS = {"|i1": 0, "|u1": 1, "<i2": 2, "<i4": 3, "|b1": 4}
+
+    def pack_setup(self, cfg, meta, nframes):
+        """Configure fe_pack_frame for a blob layout (blob_meta tuple of
+        the F-frame stacked batch). Returns False when any key is outside
+        the native writer set — caller packs with numpy instead."""
+        keys = []
+        for (k, dt, shape, off) in meta:
+            sz = (int(np.prod(shape)) if shape else 1) // nframes
+            dslot = self.PACK_DT_SLOTS.get(dt)
+            if dslot is None:
+                return False
+            parts = k.rsplit("_", 2)
+            if k in self.PACK_KINDS:
+                keys.append((self.PACK_KINDS[k], dslot, off, sz,
+                             0, 0, 0, 0, 0, 0))
+            elif len(parts) == 3 and parts[0] in self.PACK_BUCKET_KINDS:
+                base, cidx_s, log2_s = parts
+                cidx, log2 = int(cidx_s), int(log2_s)
+                bi = [i for i, b in enumerate(cfg.buckets)
+                      if b[0] == cidx and b[1] == log2]
+                if not bi:
+                    return False
+                b = cfg.buckets[bi[0]]
+                E = cfg.escapes[bi[0]] if cfg.escapes else 0
+                Ssb = cfg.sb_caps[bi[0]] if cfg.sb_caps else 0
+                kinds = cfg.res_kinds[bi[0]] if cfg.res_kinds else 0
+                keys.append((self.PACK_BUCKET_KINDS[base], dslot, off,
+                             sz, cidx, log2, b[2], E, Ssb, kinds))
+            else:
+                return False
+        if cfg.has_weights or not cfg.pack_bits:
+            return False
+        karr = np.asarray(keys, np.int64)
+        carr = np.asarray([
+            cfg.W, cfg.H, cfg.log2ctb, cfg.n_slice_rows,
+            int(cfg.pack_bits), int(cfg.qp_grid8), int(cfg.lane0),
+            int(cfg.pu_grid8), int(cfg.mv8), int(cfg.poc8),
+            int(cfg.pcm_lfd), int(cfg.skip_mc), cfg.r_act], np.int32)
+        r = self.lib.fe_pack_setup(C.c_void_p(self.h), _arr(carr),
+                                   len(carr), _arr(karr), len(keys))
+        return r == 0
+
+    def pack_frame_into(self, idx, batch_index, fid_slot, bufs):
+        """Fill one frame's keys into the per-dtype blob buffers
+        (pack_blob layout). fid_slot: {frame_id: dpb_slot}."""
+        fids = np.asarray(list(fid_slot.keys()), np.int32)
+        slots = np.asarray(list(fid_slot.values()), np.int32)
+        ptrs = [None] * 5
+        for dt, arr in bufs.items():
+            ptrs[self.PACK_DT_SLOTS[dt]] = arr
+        args = [_arr(p) if p is not None else None for p in ptrs]
+        r = self.lib.fe_pack_frame(
+            C.c_void_p(self.h), idx, batch_index, _arr(fids), _arr(slots),
+            len(fids), *args)
+        if r != 0:
+            raise RuntimeError(f"fe_pack_frame failed: {r}")

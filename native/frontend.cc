@@ -2736,10 +2736,58 @@ bool Context::flush_jobs() {
 // ============================== C ABI =====================================
 extern "C" {
 
+// ====================== native plan packing ===============================
+// fe_pack_setup / fe_pack_frame: fill the fused frame program's per-dtype
+// blob buffers (frame_program.pack_frame + pack_blob layout) DIRECTLY from
+// the C++ Frame state — the Python/numpy pack was the pipeline wall at 4K
+// (~30 ms/frame vs the chip's ~30 fps; VERDICT r3 item 1). The Python
+// layout (blob_meta) is passed in as a key table; every writer below is a
+// byte-exact mirror of its numpy counterpart (differential test:
+// tests/test_native_pack.py compares whole blobs). Python keeps packing
+// the keys C++ does not claim (weights, scaling matrices, intra classes).
+enum PackKeyKind {
+  PK_PM = 0, PK_CBF, PK_OFF, PK_TUCB, PK_EDGEALL, PK_QP, PK_PF, PK_MV,
+  PK_POC, PK_SLOT, PK_ALLOW_V, PK_ALLOW_H, PK_PAIR_OK, PK_SAO_TYPE,
+  PK_SAO_EO, PK_SAO_BAND, PK_SAO_OFF, PK_SIDX, PK_SH_DISABLE, PK_SH_BETA,
+  PK_SH_TC, PK_SH_ACROSS, PK_SH_SAOL, PK_SH_SAOC, PK_RC, PK_RB, PK_RBI,
+  PK_REI, PK_REV, PK_RK, PK_RQ, PK_RS
+};
+
+struct PackKeyDesc {
+  int32_t kind, dt_slot;      // dt_slot: index into the buffer-ptr array
+  int64_t off, sz;            // element offset in dtype buffer, per frame
+  int32_t cidx, log2, K, E, Ssb, kinds;   // residual-bucket params
+};
+
+struct PackPlan {
+  // cfg scalars (mirror of ProgramCfg fields pack_frame consumes)
+  int W = 0, H = 0, log2ctb = 6, S1 = 2;
+  int pack_bits = 1, qp_grid8 = 0, lane0 = 0, pu_grid8 = 0;
+  int mv8 = 0, poc8 = 0, pcm_lfd = 0, skip_mc = 0, r_act = 1;
+  std::vector<PackKeyDesc> keys;
+};
+
+static void pack_bits_rows(const uint8_t* src, int gh, int gw, int stride,
+                           uint8_t* dst) {
+  // numpy packbits(bool, axis=1): MSB-first bytes per row
+  int gwb = (gw + 7) >> 3;
+  for (int y = 0; y < gh; y++) {
+    const uint8_t* r = src + (size_t)y * stride;
+    uint8_t* o = dst + (size_t)y * gwb;
+    for (int xb = 0; xb < gwb; xb++) {
+      uint8_t v = 0;
+      int x0 = xb * 8, xe = x0 + 8 < gw ? x0 + 8 : gw;
+      for (int x = x0; x < xe; x++) v |= (r[x] & 1) << (7 - (x - x0));
+      o[xb] = v;
+    }
+  }
+}
+
 struct FEHandle {
   Context ctx;
   std::vector<uint8_t> nal_buf;
   std::vector<int> skip_buf;
+  std::unique_ptr<PackPlan> pack_plan;   // fe_pack_setup state
 };
 
 FEHandle* fe_new() { trace_open(); init_scans(); return new FEHandle(); }
@@ -2947,6 +2995,422 @@ int fe_get_slices(FEHandle* h, int idx, int32_t* out) {
     o[7] = s.sao_luma; o[8] = s.sao_chroma; o[9] = s.lf_across;
     o[10] = s.max_merge; o[11] = s.nref[0]; o[12] = s.nref[1];
     o[13] = s.has_pw ? 1 : 0; o[14] = s.cb_qp_off; o[15] = s.cr_qp_off;
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+// per-frame derived state shared by several key writers
+struct PackCtx {
+  const PackPlan& pp;
+  Frame& f;
+  // slice-row mapping
+  std::vector<int32_t> sidx_raw;   // (nctby*nctbx), unmapped = S
+  int S;                            // number of real slices
+  // resolved ref-slot table (S1,2,16) incl. the numpy unset->sel[0] rule
+  std::vector<int32_t> rl;
+  // lane-collapse swap mask per 4x4 cell (lane0 mode)
+  // (computed on the fly from f.pred_flag)
+  PackCtx(const PackPlan& p, Frame& fr, const int32_t* fids,
+          const int32_t* slots, int nfids)
+      : pp(p), f(fr) {
+    S = (int)f.slices.size();
+    sidx_raw.assign((size_t)f.nctby * f.nctbx, S);
+    // seg2row: slice_segment_address -> header row; grid = ctb_slice_seg
+    for (size_t i = 0; i < sidx_raw.size(); i++) {
+      int seg = f.ctb_slice_seg[i];
+      for (int s = 0; s < S; s++)
+        if (f.slices[s].seg_addr == seg) { sidx_raw[i] = s; break; }
+    }
+    // rl_slot: mirror _pack_motion (frame_program.py:514-555)
+    rl.assign((size_t)pp.S1 * 2 * 16, 0);
+    std::vector<int> used_fids;
+    std::vector<int> compact_fid;           // used_fids[i] = fid
+    if (!pp.skip_mc) {
+      std::vector<int32_t> rl_c((size_t)pp.S1 * 2 * 16, 0);
+      for (int l = 0; l < 2; l++) {
+        // unique (sh*16+ridx) in ascending key order, first occurrence
+        std::vector<std::pair<int, int>> kv;    // key -> fid
+        std::vector<char> seen((size_t)pp.S1 * 16, 0);
+        for (const PU& pu : f.pus) {
+          if (!pu.pf[l]) continue;
+          int key = pu.slice_idx * 16 + pu.ref[l];
+          if (key < 0 || key >= pp.S1 * 16 || seen[key]) continue;
+          seen[key] = 1;
+          kv.push_back({key, pu.ref_frame[l]});
+        }
+        std::sort(kv.begin(), kv.end());
+        for (auto& e : kv) {
+          int fid = e.second, ci = -1;
+          for (size_t i = 0; i < used_fids.size(); i++)
+            if (used_fids[i] == fid) { ci = (int)i; break; }
+          if (ci < 0) { ci = (int)used_fids.size(); used_fids.push_back(fid); }
+          rl_c[(size_t)(e.first / 16) * 32 + l * 16 + (e.first % 16)] = ci;
+        }
+      }
+      // sel: compact id -> DPB slot (fid_slot map from python)
+      std::vector<int32_t> sel(pp.r_act > 0 ? pp.r_act : 1, 0);
+      for (size_t i = 0; i < used_fids.size(); i++) {
+        int slot = 0;
+        for (int j = 0; j < nfids; j++)
+          if (fids[j] == used_fids[i]) { slot = slots[j]; break; }
+        if ((int)i < (int)sel.size()) sel[i] = slot;
+      }
+      for (size_t i = 0; i < rl.size(); i++) {
+        int c = rl_c[i];
+        if (c < 0) c = 0;
+        if (c > pp.r_act - 1) c = pp.r_act - 1;
+        rl[i] = sel[c];
+      }
+    }
+  }
+  int sidx_clipped(int cy, int cx) const {
+    int v = sidx_raw[(size_t)cy * f.nctbx + cx];
+    return v < pp.S1 - 1 ? v : pp.S1 - 1;
+  }
+};
+
+// slice-table entry with the slice_tables() sentinel + pack_frame padding
+static int32_t sh_value(const PackCtx& c, int kind, int row) {
+  const int S = c.S;
+  if (row < S) {
+    const SliceHeader& s = c.f.slices[row];
+    switch (kind) {
+      case PK_SH_DISABLE: return s.disable_deblock ? 1 : 0;
+      case PK_SH_BETA: return s.beta_off;
+      case PK_SH_TC: return s.tc_off;
+      case PK_SH_ACROSS: return s.lf_across ? 1 : 0;
+      case PK_SH_SAOL: return s.sao_luma ? 1 : 0;
+      case PK_SH_SAOC: return s.sao_chroma ? 1 : 0;
+    }
+  } else if (row == S) {            // slice_tables sentinel row
+    return (kind == PK_SH_DISABLE || kind == PK_SH_ACROSS) ? 1 : 0;
+  }
+  return kind == PK_SH_DISABLE ? 1 : 0;   // pack_frame pad rows
+}
+
+// deblock edge permission between CTB (cy,cx) and neighbour (ny,nx)
+static bool ctb_pair_ok(const PackCtx& c, int cy, int cx, int ny, int nx,
+                        bool sao) {
+  const Frame& f = c.f;
+  const PPS& pps = *f.pps;
+  size_t ci = (size_t)cy * f.nctbx + cx, ni = (size_t)ny * f.nctbx + nx;
+  bool tile_diff = pps.tile_id[(size_t)cy * f.nctbx + cx] !=
+                   pps.tile_id[(size_t)ny * f.nctbx + nx];
+  if (!pps.lf_across_tiles && tile_diff) return false;
+  bool slice_diff = f.slice_addr[ci] != f.slice_addr[ni];
+  if (!slice_diff) return true;
+  int rc = c.sidx_raw[ci];
+  bool a1 = sh_value(c, PK_SH_ACROSS, rc) != 0;
+  if (!sao) return a1;
+  int rn = c.sidx_raw[ni];
+  bool a2 = sh_value(c, PK_SH_ACROSS, rn) != 0;
+  return a1 && a2;
+}
+
+static int pack_one_key(const PackCtx& c, const PackKeyDesc& kd,
+                        uint8_t* dst) {
+  Frame& f = c.f;
+  const PackPlan& pp = c.pp;
+  const int gh = f.gh, gw = f.gw;
+  const int sub = pp.pu_grid8 ? 2 : 1;     // motion-grid subsample
+  const int mh = (gh + sub - 1) / sub, mw = (gw + sub - 1) / sub;
+  const int s = pp.log2ctb - 2;
+  switch (kd.kind) {
+    case PK_PM: case PK_CBF: case PK_OFF: {
+      std::vector<uint8_t> tmp((size_t)gh * gw);
+      for (size_t i = 0; i < tmp.size(); i++) {
+        if (kd.kind == PK_PM) tmp[i] = f.pred_mode[i] == 1;
+        else if (kd.kind == PK_CBF) tmp[i] = f.cbf_luma[i] != 0;
+        else {
+          uint8_t v = f.tq_bypass[i];
+          if (pp.pcm_lfd) v |= f.pcm_flag[i];
+          tmp[i] = v != 0;
+        }
+      }
+      pack_bits_rows(tmp.data(), gh, gw, gw, dst);
+      return 0;
+    }
+    case PK_TUCB: case PK_EDGEALL: {
+      int gwb = (gw + 7) >> 3;
+      std::vector<uint8_t> tmp((size_t)gh * gw);
+      for (int bit = 0; bit < 2; bit++) {
+        for (size_t i = 0; i < tmp.size(); i++) {
+          uint8_t v = f.tu_bound[i] | f.cb_bound[i];
+          if (kd.kind == PK_EDGEALL) v |= f.pb_bound[i];
+          tmp[i] = (v >> bit) & 1;
+        }
+        pack_bits_rows(tmp.data(), gh, gw, gw,
+                       dst + (size_t)bit * gh * gwb);
+      }
+      return 0;
+    }
+    case PK_QP: {
+      int8_t* o = (int8_t*)dst;
+      int qs = pp.qp_grid8 ? 2 : 1;
+      for (int y = 0; y < gh; y += qs)
+        for (int x = 0; x < gw; x += qs)
+          *o++ = f.qp_y[(size_t)y * gw + x];
+      return 0;
+    }
+    case PK_PF: {
+      uint8_t* o = dst;
+      for (int y = 0; y < gh; y += sub)
+        for (int x = 0; x < gw; x += sub) {
+          size_t g = (size_t)y * gw + x;
+          uint8_t p0 = f.pred_flag[g * 2], p1 = f.pred_flag[g * 2 + 1];
+          if (pp.lane0) *o++ = p0 | p1;
+          else { *o++ = p0; *o++ = p1; }
+        }
+      return 0;
+    }
+    case PK_MV: {
+      for (int y = 0, oi = 0; y < gh; y += sub)
+        for (int x = 0; x < gw; x += sub) {
+          size_t g = (size_t)y * gw + x;
+          int l0 = (pp.lane0 && !f.pred_flag[g * 2]) ? 1 : 0;
+          int nl = pp.lane0 ? 1 : 2;
+          for (int li = 0; li < nl; li++) {
+            int l = pp.lane0 ? l0 : li;
+            for (int i = 0; i < 2; i++) {
+              int16_t v = f.mv[g * 4 + l * 2 + i];
+              if (pp.mv8) ((int8_t*)dst)[oi++] = (int8_t)v;
+              else ((int16_t*)dst)[oi++] = v;
+            }
+          }
+        }
+      return 0;
+    }
+    case PK_POC: {
+      for (int y = 0, oi = 0; y < gh; y += sub)
+        for (int x = 0; x < gw; x += sub) {
+          size_t g = (size_t)y * gw + x;
+          int l0 = (pp.lane0 && !f.pred_flag[g * 2]) ? 1 : 0;
+          int nl = pp.lane0 ? 1 : 2;
+          for (int li = 0; li < nl; li++) {
+            int l = pp.lane0 ? l0 : li;
+            int32_t d = f.refpoc[g * 2 + l] - f.poc;
+            if (pp.poc8) ((int8_t*)dst)[oi++] = (int8_t)d;
+            else ((int16_t*)dst)[oi++] = (int16_t)d;
+          }
+        }
+      return 0;
+    }
+    case PK_SLOT: {
+      int8_t* o = (int8_t*)dst;
+      for (int y = 0; y < gh; y += sub)
+        for (int x = 0; x < gw; x += sub) {
+          size_t g = (size_t)y * gw + x;
+          int row = c.sidx_clipped(y >> s, x >> s);
+          int8_t sl[2];
+          for (int l = 0; l < 2; l++) {
+            int r = f.ref_idx[g * 2 + l];
+            if (r < 0) r = 0;
+            if (r > 15) r = 15;
+            sl[l] = (int8_t)c.rl[(size_t)row * 32 + l * 16 + r];
+          }
+          if (pp.lane0)
+            *o++ = f.pred_flag[g * 2] ? sl[0] : sl[1];
+          else { *o++ = sl[0]; *o++ = sl[1]; }
+        }
+      return 0;
+    }
+    case PK_ALLOW_V: case PK_ALLOW_H: {
+      bool vert = kd.kind == PK_ALLOW_V;
+      for (int cy = 0; cy < f.nctby; cy++)
+        for (int cx = 0; cx < f.nctbx; cx++) {
+          bool ok = false;
+          if (vert ? cx > 0 : cy > 0)
+            ok = ctb_pair_ok(c, cy, cx, vert ? cy : cy - 1,
+                             vert ? cx - 1 : cx, false);
+          dst[(size_t)cy * f.nctbx + cx] = ok;
+        }
+      return 0;
+    }
+    case PK_PAIR_OK: {
+      // dir 0 left, 1 right, 2 up, 3 down (device_plan.ctb_allow_masks)
+      static const int dy[4] = {0, 0, -1, 1}, dx[4] = {-1, 1, 0, 0};
+      for (int d = 0; d < 4; d++)
+        for (int cy = 0; cy < f.nctby; cy++)
+          for (int cx = 0; cx < f.nctbx; cx++) {
+            int ny = cy + dy[d], nx = cx + dx[d];
+            bool ok = ny >= 0 && nx >= 0 && ny < f.nctby && nx < f.nctbx
+                && ctb_pair_ok(c, cy, cx, ny, nx, true);
+            dst[((size_t)d * f.nctby + cy) * f.nctbx + cx] = ok;
+          }
+      return 0;
+    }
+    case PK_SAO_TYPE:
+      memcpy(dst, f.sao_type.data(), f.sao_type.size());
+      return 0;
+    case PK_SAO_EO:
+      memcpy(dst, f.sao_eo.data(), f.sao_eo.size());
+      return 0;
+    case PK_SAO_BAND:
+      memcpy(dst, f.sao_band.data(), f.sao_band.size());
+      return 0;
+    case PK_SAO_OFF:
+      memcpy(dst, f.sao_off.data(), f.sao_off.size() * sizeof(int16_t));
+      return 0;
+    case PK_SIDX: {
+      int32_t* o = (int32_t*)dst;
+      for (int cy = 0; cy < f.nctby; cy++)
+        for (int cx = 0; cx < f.nctbx; cx++)
+          *o++ = c.sidx_clipped(cy, cx);
+      return 0;
+    }
+    case PK_SH_DISABLE: case PK_SH_BETA: case PK_SH_TC:
+    case PK_SH_ACROSS: case PK_SH_SAOL: case PK_SH_SAOC: {
+      int32_t* o = (int32_t*)dst;
+      for (int r = 0; r < pp.S1; r++) o[r] = sh_value(c, kd.kind, r);
+      return 0;
+    }
+    case PK_RC: case PK_RB: case PK_RBI: case PK_REI: case PK_REV:
+    case PK_RK: case PK_RQ: case PK_RS: {
+      const int n = 1 << kd.log2, nn = n * n;
+      const int subp = kd.cidx == 0 ? 1 : 2;   // 4:2:0 plane scale
+      const int Wp = pp.W / subp, Hp = pp.H / subp;
+      const int ncols = (Wp + n - 1) / n;
+      const int nslots = ((Hp + n - 1) / n) * ncols;
+      const int nsb = (n / 4) * (n / 4);
+      // init padding
+      if (kd.kind == PK_RC) memset(dst, 0, (size_t)kd.K * nn);
+      else if (kd.kind == PK_RB) memset(dst, 0, (size_t)kd.Ssb * 16);
+      else if (kd.kind == PK_RBI) {
+        int32_t* o = (int32_t*)dst;
+        for (int i = 0; i < kd.Ssb; i++) o[i] = kd.K * nsb + i;
+      } else if (kd.kind == PK_REI) {
+        int32_t* o = (int32_t*)dst;
+        for (int i = 0; i < kd.E; i++) o[i] = kd.K * nn;
+      } else if (kd.kind == PK_REV)
+        memset(dst, 0, (size_t)kd.E * sizeof(int16_t));
+      else if (kd.kind == PK_RK) memset(dst, 0, kd.K);
+      else if (kd.kind == PK_RQ)
+        memset(dst, 0, (size_t)kd.K * sizeof(int32_t));
+      else if (kd.kind == PK_RS) {
+        int32_t* o = (int32_t*)dst;
+        for (int i = 0; i < kd.K; i++) o[i] = nslots;
+      }
+      int k = 0, ne = 0, nz = 0;
+      for (const TU& t : f.tus) {
+        if (t.cidx != kd.cidx || t.log2 != kd.log2) continue;
+        if (t.pred_mode != 0 || t.coeff_off < 0) continue;
+        if (k >= kd.K) return -2;
+        const int16_t* cf = f.coeff_pool.data() + t.coeff_off;
+        switch (kd.kind) {
+          case PK_RC: {
+            int8_t* o = (int8_t*)dst + (size_t)k * nn;
+            for (int i = 0; i < nn; i++) {
+              int v = cf[i];
+              o[i] = (int8_t)(v < -128 ? -128 : v > 127 ? 127 : v);
+            }
+            break;
+          }
+          case PK_RB: case PK_RBI: {
+            // coded-sub-block rows in (k, sy, sx) order; both keys walk
+            // the same nz sequence so their row counters agree
+            for (int sy = 0; sy < n / 4; sy++)
+              for (int sx = 0; sx < n / 4; sx++) {
+                bool any = false;
+                int8_t vals[16];
+                for (int r = 0; r < 4; r++)
+                  for (int cc = 0; cc < 4; cc++) {
+                    int v = cf[(sy * 4 + r) * n + sx * 4 + cc];
+                    int8_t v8 = (int8_t)(v < -128 ? -128
+                                         : v > 127 ? 127 : v);
+                    vals[r * 4 + cc] = v8;
+                    any |= v8 != 0;
+                  }
+                if (!any) continue;
+                if (nz >= kd.Ssb) return -2;
+                if (kd.kind == PK_RB)
+                  memcpy(dst + (size_t)nz * 16, vals, 16);
+                else
+                  ((int32_t*)dst)[nz] = k * nsb + sy * (n / 4) + sx;
+                nz++;
+              }
+            break;
+          }
+          case PK_REI: case PK_REV: {
+            for (int i = 0; i < nn; i++) {
+              int v = cf[i];
+              if (v >= -128 && v <= 127) continue;
+              if (ne >= kd.E) return -2;
+              if (kd.kind == PK_REI)
+                ((int32_t*)dst)[ne] = k * nn + i;
+              else
+                ((int16_t*)dst)[ne] = (int16_t)v;
+              ne++;
+            }
+            break;
+          }
+          case PK_RK:
+            ((int8_t*)dst)[k] = t.tq_bypass ? 2 : t.transform_skip ? 1 : 0;
+            break;
+          case PK_RQ:
+            ((int32_t*)dst)[k] = t.qp;
+            break;
+          case PK_RS:
+            ((int32_t*)dst)[k] =
+                (t.y >> kd.log2) * ncols + (t.x >> kd.log2);
+            break;
+        }
+        k++;
+      }
+      (void)mh; (void)mw;
+      return 0;
+    }
+  }
+  return -3;
+}
+
+}  // namespace
+
+extern "C" {
+
+int fe_pack_setup(FEHandle* h, const int32_t* cfg, int ncfg,
+                  const int64_t* keys, int nkeys) {
+  if (ncfg < 13) return -1;
+  PackPlan* pp = new PackPlan();
+  pp->W = cfg[0]; pp->H = cfg[1]; pp->log2ctb = cfg[2]; pp->S1 = cfg[3];
+  pp->pack_bits = cfg[4]; pp->qp_grid8 = cfg[5]; pp->lane0 = cfg[6];
+  pp->pu_grid8 = cfg[7]; pp->mv8 = cfg[8]; pp->poc8 = cfg[9];
+  pp->pcm_lfd = cfg[10]; pp->skip_mc = cfg[11]; pp->r_act = cfg[12];
+  for (int i = 0; i < nkeys; i++) {
+    const int64_t* k = keys + (size_t)i * 10;
+    PackKeyDesc kd;
+    kd.kind = (int32_t)k[0]; kd.dt_slot = (int32_t)k[1];
+    kd.off = k[2]; kd.sz = k[3];
+    kd.cidx = (int32_t)k[4]; kd.log2 = (int32_t)k[5];
+    kd.K = (int32_t)k[6]; kd.E = (int32_t)k[7];
+    kd.Ssb = (int32_t)k[8]; kd.kinds = (int32_t)k[9];
+    pp->keys.push_back(kd);
+  }
+  h->pack_plan.reset(pp);
+  return 0;
+}
+
+// element sizes per dtype slot: 0='|i1' 1='|u1' 2='<i2' 3='<i4' 4='|b1'
+static const int PK_ESIZE[5] = {1, 1, 2, 4, 1};
+
+int fe_pack_frame(FEHandle* h, int idx, int batch_index,
+                  const int32_t* fids, const int32_t* slots, int nfids,
+                  uint8_t* buf_i1, uint8_t* buf_u1, uint8_t* buf_i2,
+                  uint8_t* buf_i4, uint8_t* buf_b1) {
+  if (!h->pack_plan) return -1;
+  if (idx < 0 || idx >= (int)h->ctx.frames.size()) return -1;
+  uint8_t* bufs[5] = {buf_i1, buf_u1, buf_i2, buf_i4, buf_b1};
+  const PackPlan& pp = *h->pack_plan;
+  PackCtx ctx(pp, *h->ctx.frames[idx], fids, slots, nfids);
+  for (const PackKeyDesc& kd : pp.keys) {
+    if (kd.dt_slot < 0 || kd.dt_slot > 4 || !bufs[kd.dt_slot]) return -4;
+    uint8_t* dst = bufs[kd.dt_slot] +
+        (kd.off + (int64_t)batch_index * kd.sz) * PK_ESIZE[kd.dt_slot];
+    int r = pack_one_key(ctx, kd, dst);
+    if (r) return r;
   }
   return 0;
 }
