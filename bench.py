@@ -48,60 +48,106 @@ ROUNDS = int(os.environ.get("BENCH_ROUNDS", "6"))
 
 
 def _pipe_worker(wid, nworkers, rounds, stream_path, cfg_i, cfg_p,
-                 fid_slot_items, rq, go):
+                 fid_slot_items, rq, aq, go):
     """Pack-pipeline worker process: parses + packs every `nworkers`-th
-    round of the stream and ships the per-dtype blobs to the dispatch
-    process. A separate PROCESS, not a thread: the host stages are
-    numpy/ctypes under the GIL, and measured thread-based overlap
-    regressed throughput (GIL thrash with the dispatcher). This is the
-    TPU-era shape of the reference's decode thread pool
-    (decctx.cc:700-789): host processes feed one chip."""
+    round of the stream and hands the per-dtype blobs to the dispatch
+    process through double-buffered SHARED MEMORY (fe_pack_frame writes
+    straight into the shm views — measured: a 63 MB round through an
+    mp.Queue pipe cost ~3 s, the shm handoff is one 40 ms memcpy on the
+    consumer side). A separate PROCESS, not a thread: the host stages
+    are numpy/ctypes under the GIL and thread-based overlap regressed
+    throughput. This is the TPU-era shape of the reference's decode
+    thread pool (decctx.cc:700-789): host processes feed one chip."""
     os.environ["JAX_PLATFORMS"] = "cpu"       # workers never touch the TPU
     os.environ.setdefault("FE_THREADS", "2")  # share 4 cores between 2 workers
     sys.path.insert(0, REPO)
     import numpy as np
+    from multiprocessing import shared_memory
     from libde265_tpu.frame_program import (pack_frame, frame_has_intra,
                                             blob_meta, pack_blob,
                                             pack_blob_native)
     with open(stream_path, "rb") as f:
         data = f.read()
     fid_slot = dict(fid_slot_items)
-    # warm: parse+pack once so imports/allocators are hot before timing
+    # warm round: parse+pack with numpy once — this also yields the blob
+    # layouts (meta/totals) that size the shm segments
     plans = parse_stream(data)
-    fr = [p for p in plans if p.nal_type != -1]
-    ifr = [p for p in fr if frame_has_intra(p)]
-    pfr = [p for p in fr if not frame_has_intra(p)]
     meta_cache = {}
 
-    def pack_round(plans_r):
+    def split(plans_r):
         fr = [p for p in plans_r if p.nal_type != -1]
-        ifr = [p for p in fr if frame_has_intra(p)]
-        pfr = [p for p in fr if not frame_has_intra(p)]
-        out = []
+        return fr, [p for p in fr if frame_has_intra(p)], \
+            [p for p in fr if not frame_has_intra(p)]
+
+    def pack_round(plans_r, out=None):
+        fr, ifr, pfr = split(plans_r)
+        out_blobs = {}
         for kind, pl, cfgu in (("i", ifr, cfg_i), ("p", pfr, cfg_p)):
+            dst = out.get(kind) if out else None
             if kind in meta_cache:
                 meta, tot = meta_cache[kind]
-                nat = pack_blob_native(pl, cfgu, fid_slot, meta, tot)
+                nat = pack_blob_native(pl, cfgu, fid_slot, meta, tot,
+                                       out=dst)
                 if nat is not None:
-                    out.append(nat)
+                    out_blobs[kind] = nat
                     continue
             pk = [pack_frame(p, cfgu, fid_slot, real_slots=True)
                   for p in pl]
             st = {k: np.stack([t[k] for t in pk]) for k in pk[0]}
             meta, tot = blob_meta(st)
             meta_cache[kind] = (meta, tot)
-            out.append(pack_blob(st, meta, tot))
-        return out[0], out[1], len(fr)
+            b = pack_blob(st, meta, tot)
+            if dst is not None:
+                for dt, a in b.items():
+                    dst[dt][:] = a
+                out_blobs[kind] = dst
+            else:
+                out_blobs[kind] = b
+        return out_blobs, len(fr)
 
-    bi, bp, nf = pack_round(plans)
-    rq.put(("ready", wid, None))
+    first, nf = pack_round(plans)
+    del plans        # frees the python plans AND the C++ frames (._fe)
+
+    # two shm buffer sets (ping/pong) sized from the first round
+    shms, views, names = [], [], []
+    for setid in range(2):
+        vs, nm = {}, {}
+        for kind, b in first.items():
+            vs[kind], nm[kind] = {}, {}
+            for dt, a in b.items():
+                s = shared_memory.SharedMemory(
+                    create=True, size=max(1, a.nbytes))
+                v = np.frombuffer(s.buf, dtype=a.dtype, count=a.size)
+                if setid == 0:
+                    v[:] = a
+                shms.append(s)
+                vs[kind][dt] = v
+                nm[kind][dt] = (s.name, a.dtype.str, a.size)
+        views.append(vs)
+        names.append(nm)
+    rq.put(("ready", wid, names))
     go.wait()
     my_rounds = list(range(wid, rounds, nworkers))
     for j, r in enumerate(my_rounds):
-        if j > 0:                  # round 0 ships the pre-warmed blobs
-            bi, bp, nf = pack_round(parse_stream(data))
-        rq.put(("blob", nf, (bi, bp)))
+        setid = j % 2
+        if j >= 2:
+            aq.get()               # main consumed the set two rounds ago
+        if j > 0:                  # round 0 ships the pre-warmed set 0
+            plans_r = parse_stream(data)
+            pack_round(plans_r, out=views[setid])
+            del plans_r
+        rq.put(("blob", nf, (wid, setid)))
     rq.put(("done", wid, None))
+    # main acks every blob; drain the tail acks before unlinking
+    for _ in range(min(len(my_rounds), 2)):
+        aq.get()
+    views = None          # release the exported buffer views first
+    for s in shms:
+        try:
+            s.close()
+            s.unlink()
+        except Exception:
+            pass
 
 
 def parse_stream(data):
@@ -289,31 +335,54 @@ def main():
     def pipelined_rounds(R, nworkers=2):
         nonlocal dy, dcb, dcr, ty, tc
         import multiprocessing as mp
+        from multiprocessing import shared_memory
         ctx = mp.get_context("spawn")
-        rq = ctx.Queue(maxsize=3)       # bounds host blob memory
+        rq = ctx.Queue()
+        aqs = [ctx.Queue() for _ in range(nworkers)]
         go = ctx.Event()
         procs = [ctx.Process(
             target=_pipe_worker,
             args=(w, nworkers, R, path, cfg_i, cfg_p,
-                  tuple(fid_slot.items()), rq, go), daemon=True)
+                  tuple(fid_slot.items()), rq, aqs[w], go), daemon=True)
             for w in range(nworkers)]
         for p in procs:
             p.start()
+        # attach to each worker's shm sets
+        wviews = {}
+        wshms = []
         n_ready = 0
         while n_ready < nworkers:
-            kind, _, _ = rq.get()
+            kind, wid, names = rq.get()
             assert kind == "ready", kind
+            sets = []
+            for nm in names:
+                vs = {}
+                for kind2, dts in nm.items():
+                    vs[kind2] = {}
+                    for dt, (sname, dstr, size) in dts.items():
+                        s = shared_memory.SharedMemory(name=sname)
+                        wshms.append(s)
+                        vs[kind2][dt] = np.frombuffer(
+                            s.buf, dtype=np.dtype(dstr), count=size)
+                sets.append(vs)
+            wviews[wid] = sets
             n_ready += 1
         t0 = time.time()
         go.set()
         done = 0
         n_fin = 0
         while n_fin < nworkers:
-            kind, nf2, blobs = rq.get()
+            kind, nf2, ref = rq.get()
             if kind == "done":
                 n_fin += 1
                 continue
-            bi, bp = blobs
+            wid, setid = ref
+            vs = wviews[wid][setid]
+            # private copies (~40 ms) so the worker can refill the set
+            # while device_put/dispatch run async behind them
+            bi = {dt: a.copy() for dt, a in vs["i"].items()}
+            bp = {dt: a.copy() for dt, a in vs["p"].items()}
+            aqs[wid].put(setid)
             sdi_r = jax.device_put(bi)
             dy, dcb, dcr, ty, tc = iprog(dy, dcb, dcr, ty, tc,
                                          sdi_r, islots_j)
@@ -323,8 +392,14 @@ def main():
             done += nf2
         float(dy[1, 0, 0])
         dt = time.time() - t0
+        wviews.clear()        # release exported views before closing shm
+        for s in wshms:
+            try:
+                s.close()
+            except Exception:
+                pass
         for p in procs:
-            p.join(timeout=10)
+            p.join(timeout=30)
         return done / dt
 
     ts = timed_rounds()

@@ -507,7 +507,10 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
 
     def _fast_ok(self, plan):
         if frame_has_intra(plan):
-            return False           # sharded program is inter-only (yet)
+            # intra frames run the UNSHARDED fused program (replicated)
+            # — the band-scan/wavefront doesn't tile-shard yet, but the
+            # numpy hybrid fallback is orders of magnitude slower
+            return DeviceStreamDecoder._fast_ok(self, plan)
         pps = plan.pps
         if not getattr(pps, "tiles_enabled_flag", False):
             return False
@@ -516,6 +519,8 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
         return pps.num_tile_columns == self.ndev
 
     def _run_fast(self, plan, out_slot):
+        if frame_has_intra(plan):
+            return DeviceStreamDecoder._run_fast(self, plan, out_slot)
         jnp = self.jnp
         _, ws, _ = self._geom(plan, self.ndev)
         sprog = self._get_prog(self.cfg_scan, self.mesh, tuple(ws))

@@ -1061,7 +1061,8 @@ def unpack_blob(bufs, meta):
     return out
 
 
-def pack_blob_native(plans, cfg: ProgramCfg, fid_slot, meta, totals):
+def pack_blob_native(plans, cfg: ProgramCfg, fid_slot, meta, totals,
+                     out=None):
     """Pack an F-frame batch blob with the C++ front-end writers
     (native/frontend.cc fe_pack_frame) — the whole per-dtype buffer set
     is filled in one pass per frame with no numpy intermediates. Byte-
@@ -1079,8 +1080,13 @@ def pack_blob_native(plans, cfg: ProgramCfg, fid_slot, meta, totals):
         return None
     if not fe.pack_setup(cfg, meta, len(plans)):
         return None
-    bufs = {dt: np.zeros(n, np.dtype(dt) if np.dtype(dt).kind != "b"
-                         else np.uint8) for dt, n in totals.items()}
+    if out is not None:
+        bufs = out          # e.g. shared-memory views: zero-copy handoff
+        for a in bufs.values():
+            a[:] = 0
+    else:
+        bufs = {dt: np.zeros(n, np.dtype(dt) if np.dtype(dt).kind != "b"
+                             else np.uint8) for dt, n in totals.items()}
     for bi_, p in enumerate(plans):
         fe.pack_frame_into(p._fe[1], bi_, fid_slot, bufs)
     return bufs

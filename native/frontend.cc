@@ -1460,13 +1460,21 @@ struct SliceReader {
 
   // ---- availability (spec 6.4.1) ----
   int zorder(int x, int y) const {
+    // table-driven bit spread (this runs ~8x per PU in the motion
+    // replay's availability checks — the loop version showed up in the
+    // derive_motion profile)
+    static const struct Spread {
+      uint16_t t[256];
+      Spread() {
+        for (int v = 0; v < 256; v++) {
+          int z = 0;
+          for (int b = 0; b < 8; b++) z |= ((v >> b) & 1) << (2 * b);
+          t[v] = (uint16_t)z;
+        }
+      }
+    } sp;
     int xr = (x & (ctb_size - 1)) >> 2, yr = (y & (ctb_size - 1)) >> 2;
-    int z = 0;
-    for (int b = 0; b < 8; b++) {
-      z |= ((xr >> b) & 1) << (2 * b);
-      z |= ((yr >> b) & 1) << (2 * b + 1);
-    }
-    return z;
+    return sp.t[xr] | (sp.t[yr] << 1);
   }
   bool avail(int xc, int yc, int xn, int yn) const {
     if (xn < 0 || yn < 0 || xn >= W || yn >= H) return false;
@@ -2582,20 +2590,34 @@ void SliceReader::store_pu(int x0, int y0, int w, int h, const uint8_t* pf,
       rframe[l] = sh.ref_frame[l][ref[l]];
       rlt[l] = sh.ref_lt[l][ref[l]];
     }
-  for (int y = 0; y < gh4; y++)
-    for (int x = 0; x < gw4; x++) {
-      size_t g = G(gx + x, gy + y);
-      for (int l = 0; l < 2; l++) {
-        f.pred_flag[g * 2 + l] = pf[l];
-        f.ref_idx[g * 2 + l] = ref[l];
-        f.mv[g * 4 + l * 2] = mv[l][0];
-        f.mv[g * 4 + l * 2 + 1] = mv[l][1];
-        f.refpoc[g * 2 + l] = rp[l];
-        f.ref_lt[g * 2 + l] = rlt[l];
-      }
+  // row templates + per-row memcpy: a 64x64 PU writes 256 grid cells x
+  // ~14 fields — the scattered per-cell stores were the bulk of the
+  // serial derive_motion replay at 4K
+  uint8_t tpf[32];
+  int8_t tref[32];
+  int16_t tmv[64];
+  int32_t tpoc[32];
+  uint8_t tlt[32];
+  for (int x = 0; x < gw4; x++)
+    for (int l = 0; l < 2; l++) {
+      tpf[x * 2 + l] = pf[l];
+      tref[x * 2 + l] = ref[l];
+      tmv[x * 4 + l * 2] = mv[l][0];
+      tmv[x * 4 + l * 2 + 1] = mv[l][1];
+      tpoc[x * 2 + l] = rp[l];
+      tlt[x * 2 + l] = rlt[l];
     }
-  for (int y = 0; y < gh4; y++) f.pb_bound[G(gx, gy + y)] |= 1;
-  for (int x = 0; x < gw4; x++) f.pb_bound[G(gx + x, gy)] |= 2;
+  for (int y = 0; y < gh4; y++) {
+    size_t g = G(gx, gy + y);
+    memcpy(&f.pred_flag[g * 2], tpf, (size_t)gw4 * 2);
+    memcpy(&f.ref_idx[g * 2], tref, (size_t)gw4 * 2);
+    memcpy(&f.mv[g * 4], tmv, (size_t)gw4 * 8);
+    memcpy(&f.refpoc[g * 2], tpoc, (size_t)gw4 * 8);
+    memcpy(&f.ref_lt[g * 2], tlt, (size_t)gw4 * 2);
+    f.pb_bound[g] |= 1;
+  }
+  uint8_t* pb = &f.pb_bound[G(gx, gy)];
+  for (int x = 0; x < gw4; x++) pb[x] |= 2;
   PU pu{};
   pu.x = x0; pu.y = y0; pu.w = w; pu.h = h;
   pu.pf[0] = pf[0]; pu.pf[1] = pf[1];
