@@ -52,22 +52,19 @@ class DeviceStreamDecoder:
         self.plans = plans
         self.cfg = stream_cfg(plans, sps, use_pallas=use_pallas)
         H, W = self.cfg.H, self.cfg.W
-        # chroma stack geometry per format; the fused fast path (and its
-        # tile tables) exists only for 4:2:0 — other formats route every
-        # frame through the hybrid path, with the device DPB stacks kept
-        # at the format's chroma dims (mono: 1-row dummies, never read)
+        # chroma stack geometry per format (mono: 1-row dummies, never
+        # read). Since round 4 every chroma format runs the fused fast
+        # path: 4:2:0 with chroma tile tables, 4:2:2/4:4:4 with the
+        # dense in-program epel, mono luma-only.
         fmt = self.cfg.chroma_fmt
         self.mono = fmt == 0
-        self.Hc, self.Wc = {0: (1, 128), 1: (H // 2, W // 2),
-                            2: (H, W // 2), 3: (H, W)}[fmt]
+        self.Hc, self.Wc = self.cfg.chroma_dims
         self.dy = jnp.zeros((REF_SLOTS, H, W), jnp.int16)
         self.dcb = jnp.zeros((REF_SLOTS, self.Hc, self.Wc), jnp.int16)
         self.dcr = jnp.zeros((REF_SLOTS, self.Hc, self.Wc), jnp.int16)
         # persistent MC tile tables, one build per decoded frame
-        self.has_fast = fmt == 1
-        self.ty, self.tc = init_tables(self.cfg) if self.has_fast \
-            else (jnp.zeros((1, 128), jnp.int16),
-                  jnp.zeros((1, 128), jnp.int16))
+        self.has_fast = True
+        self.ty, self.tc = init_tables(self.cfg)
         self.slot_of = {}              # fid -> slot
         self.slot_fid = [None] * REF_SLOTS
         self.frames = {}               # fid -> {plan, host(np)|None, fast}
@@ -514,6 +511,8 @@ class ShardedStreamDecoder(DeviceStreamDecoder):
         pps = plan.pps
         if not getattr(pps, "tiles_enabled_flag", False):
             return False
+        if plan.sps.ChromaArrayType != 1:
+            return False       # sharded strips assume 4:2:0 chroma dims
         # one tile COLUMN per device; arbitrary (non-uniform) boundaries
         # are fine — strips pad to the widest column (pps.h:109-151)
         return pps.num_tile_columns == self.ndev

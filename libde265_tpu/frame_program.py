@@ -116,9 +116,29 @@ class ProgramCfg:
                 self.bitdepth, self.cb_qpoff, self.cr_qpoff, self.H, self.W)
 
     @property
+    def subw(self):
+        return 2 if self.chroma_fmt in (1, 2) else 1
+
+    @property
+    def subh(self):
+        return 2 if self.chroma_fmt == 1 else 1
+
+    @property
+    def mono(self):
+        return self.chroma_fmt == 0
+
+    @property
+    def chroma_dims(self):
+        """(Hc, Wc) of the chroma DPB stacks per format (mono keeps
+        1x128 dummies so program shapes stay static)."""
+        return {0: (1, 128), 1: (self.H // 2, self.W // 2),
+                2: (self.H, self.W // 2),
+                3: (self.H, self.W)}[self.chroma_fmt]
+
+    @property
     def scfg(self):
-        sub = 2 if self.chroma_fmt == 1 else 1
-        return (self.log2ctb, self.chroma_fmt, self.H, self.W, sub, sub)
+        return (self.log2ctb, self.chroma_fmt, self.H, self.W,
+                self.subw, self.subh)
 
 
 def _ceil_pow2(n):
@@ -141,9 +161,8 @@ def _ceil_sched(n):
 # ------------------------------------------------------- host plan packing
 def frame_compatible(plan):
     """Can this frame run through the fused device program? (Intra TUs
-    are fused since round 3 — intra_fused.py wavefront scan.)"""
-    if plan.sps.ChromaArrayType != 1:
-        return False
+    fused since round 3 — intra_fused.py; 4:2:2/4:4:4/monochrome since
+    round 4 — dense-gather chroma MC + per-axis filter geometry.)"""
     if getattr(plan.sps, "implicit_rdpcm_enabled_flag", 0) or \
             getattr(plan.sps, "transform_skip_rotation_enabled_flag", 0):
         return False              # rext rdpcm / tskip-rotation semantics
@@ -152,6 +171,9 @@ def frame_compatible(plan):
         return False              # python front-end path: use hybrid
     if not len(plan.slice_headers):
         return False
+    if plan.sps.ChromaArrayType != 1 and tu_meta.shape[0] \
+            and (tu_meta[:, 0] == -1).any():
+        return False              # PCM paste layout is 4:2:0-only (yet)
     return True
 
 
@@ -251,6 +273,8 @@ def stream_cfg(plans, sps, use_pallas=False):
                 e[1] = max(e[1], tot)
                 e[2] = max(e[2], ne)
                 e[3] |= kinds
+            if plan.sps.ChromaArrayType != 1:
+                continue          # scan kernel caps: 4:2:0-only path
             # per-CTB-row-band TU caps for the Pallas scan kernel
             from .intra_fused import _border_ok
             lv = assign_levels_meta(plan)
@@ -317,11 +341,15 @@ def stream_cfg(plans, sps, use_pallas=False):
             hc, vc = luma_class_counts(lane_mv, H_, W_)
             hmax = np.maximum(hmax, hc)
             vmax = np.maximum(vmax, vc)
-            hcc, vcc = chroma_class_counts(lane_mv, H_, W_)
-            hmax_c = np.maximum(hmax_c, hcc)
-            vmax_c = np.maximum(vmax_c, vcc)
+            if sps.ChromaArrayType == 1:
+                hcc, vcc = chroma_class_counts(lane_mv, H_, W_)
+                hmax_c = np.maximum(hmax_c, hcc)
+                vmax_c = np.maximum(vmax_c, vcc)
     mc_caps = caps_from_counts(hmax, vmax) if any_mc else ()
-    mc_caps_c = caps_from_counts(hmax_c, vmax_c) if any_mc else ()
+    # chroma MXU MC classes exist only for the 4:2:0 tile-table path;
+    # 4:2:2/4:4:4 chroma runs the dense in-program epel, mono has none
+    mc_caps_c = caps_from_counts(hmax_c, vmax_c) \
+        if any_mc and sps.ChromaArrayType == 1 else ()
 
     pps = plans[0].pps if plans else None
     order = sorted(kmax.items())
@@ -364,7 +392,8 @@ def stream_cfg(plans, sps, use_pallas=False):
         # mode — CPU correctness tests)
         intra_scan=(_ceil_sched(iKL), _ceil_sched(iKC) if iKC else 0,
                     not ihole)
-        if (iKL and sps.BitDepthY == 8
+        if (iKL and sps.BitDepthY in (8, 10, 12)
+            and sps.ChromaArrayType == 1
             and os.environ.get("DE265_INTRA_SCAN", "1") != "0"
             and (use_pallas
                  or os.environ.get("DE265_INTRA_SCAN") == "force"))
@@ -376,12 +405,16 @@ def table_geom(cfg: ProgramCfg):
     """Static geometry/dtype of the persistent MC tile tables: one table
     row per stride-4 tile of the edge-padded plane, REF_SLOTS slots deep
     (see ops/mc_tile_jax.py). Returns ((rows_y, 256), (rows_c, 64), dtype)
-    for ONE slot; the carried tables have REF_SLOTS x rows."""
+    for ONE slot; the carried tables have REF_SLOTS x rows. Chroma tile
+    tables exist only for 4:2:0 (other formats read the chroma DPB
+    stacks directly via the dense epel; mono has none)."""
     import jax.numpy as jnp
     from .ops.mc_tile_jax import n_tiles_y, n_tiles_c
     nty, ntx = n_tiles_y(cfg.H, cfg.W)
-    ntyc, ntxc = n_tiles_c(cfg.H // 2, cfg.W // 2)
     dt = jnp.uint8 if cfg.bitdepth <= 8 else jnp.int16
+    if cfg.chroma_fmt != 1:
+        return (nty * ntx, 256), (1, 128), dt
+    ntyc, ntxc = n_tiles_c(cfg.H // 2, cfg.W // 2)
     return (nty * ntx, 256), (ntyc * ntxc, 128), dt
 
 
@@ -401,6 +434,22 @@ def update_tables(ty, tc, Y, Cb, Cr, slot, cfg: ProgramCfg):
     build for contiguous-row MC gathers."""
     import jax.numpy as jnp
     from .ops.mc_tile_jax import build_tables, PAD_Y, PAD_C
+    if cfg.chroma_fmt != 1:
+        # luma-only tile build; chroma (if any) is read straight from
+        # the DPB stacks by the dense epel in decode_frame_device
+        from .ops.mc_tile_jax import build_tile_table_y
+        if cfg.use_pallas:
+            from .ops.pallas.mc_tables import update_tile_table_pallas
+            py = jnp.pad(Y.astype(jnp.int16),
+                         ((PAD_Y, PAD_Y), (PAD_Y, PAD_Y)), mode="edge")
+            ty = update_tile_table_pallas(ty, py[None], slot, 16)
+            return ty, tc
+        (ry, _), _, _ = table_geom(cfg)
+        py = jnp.pad(Y.astype(jnp.int16),
+                     ((PAD_Y, PAD_Y), (PAD_Y, PAD_Y)), mode="edge")
+        ny = build_tile_table_y(py[None], out_dtype=ty.dtype)
+        ty = jax.lax.dynamic_update_slice(ty, ny, (slot * ry, 0))
+        return ty, tc
     if cfg.use_pallas:
         # in-place slot write: the kernel's out index_map lands on the
         # slot's blocks directly (no build-then-dynamic_update_slice
@@ -657,8 +706,8 @@ def _pack_residual_buckets(t, plan, cfg, real_slots):
             t[f"rk_{cidx}_{log2}"] = kd
         qp = np.zeros(K, np.int32)
         qp[:k] = rows[:, 5]
-        sub = 1 if cidx == 0 else 2
-        Wp_, Hp_ = cfg.W // sub, cfg.H // sub
+        Wp_ = cfg.W // (1 if cidx == 0 else cfg.subw)
+        Hp_ = cfg.H // (1 if cidx == 0 else cfg.subh)
         # CEIL lattice: dims need not be n-multiples (1080p with 16/32
         # TUs); must match _scatter_residual_slots' padded lattice
         ncols = -(-Wp_ // n)
@@ -746,10 +795,16 @@ def _expand_grid2(a, gh, gw):
 
 def _expand_mask(m, f, H, W):
     """(gh,gw) -> (H,W) with f-fold block expansion (f=4 luma, 2 chroma)."""
+    return _expand_mask2(m, f, f, H, W)
+
+
+def _expand_mask2(m, fy, fx, H, W):
+    """Per-axis block expansion: 4:2:2 chroma scales 4x vertically but
+    2x horizontally."""
     import jax.numpy as jnp
     gh, gw = m.shape
-    return jnp.broadcast_to(m[:, None, :, None], (gh, f, gw, f)) \
-        .reshape(gh * f, gw * f)[:H, :W]
+    return jnp.broadcast_to(m[:, None, :, None], (gh, fy, gw, fx)) \
+        .reshape(gh * fy, gw * fx)[:H, :W]
 
 
 def _scatter_residual_slots(plane, res, slots, log2, maxv):
@@ -788,7 +843,7 @@ def decode_frame_device(dy, dcb, dcr, ty, tc, t, out_slot,
     from .ops.mc_tile_jax import mc_frame_tile
 
     H, W = cfg.H, cfg.W
-    Hc, Wc = H // 2, W // 2
+    Hc, Wc = cfg.chroma_dims
     bd = cfg.bitdepth
     gh, gw = H // 4, W // 4
     N = gh * gw
@@ -866,13 +921,30 @@ def decode_frame_device(dy, dcb, dcr, ty, tc, t, out_slot,
                         bi=cfg.has_bi, use_pallas=cfg.pallas_taps,
                         mc_caps=cfg.mc_caps or None,
                         mc_caps_c=cfg.mc_caps_c or None,
-                        luma_only="mc_luma_only" in stages,
+                        luma_only=("mc_luma_only" in stages
+                                   or cfg.chroma_fmt != 1),
                         weighted=cfg.has_weights)
 
     inter_m = t["pm"].astype(jnp.int32) == 0      # not intra (skip==inter)
     Y = jnp.where(_expand_mask(inter_m, 4, H, W), mcp[0], 0)
-    Cb = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[1], 0)
-    Cr = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[2], 0)
+    if cfg.mono:
+        Cb = jnp.zeros((Hc, Wc), jnp.int32)
+        Cr = jnp.zeros((Hc, Wc), jnp.int32)
+    elif cfg.chroma_fmt != 1:
+        # 4:2:2/4:4:4: dense in-program epel straight from the chroma
+        # DPB stacks (motion.cc:174-278 format scaling); the tile
+        # tables stay luma-only for these formats
+        from .ops.mc_tile_jax import mc_chroma_dense
+        cbp, crp = mc_chroma_dense(dcb, dcr, mv, slot, pf, wts, ex,
+                                   H, W, bd, bi=cfg.has_bi,
+                                   weighted=cfg.has_weights)
+        cm_ = _expand_mask2(inter_m, 4 // cfg.subh, 4 // cfg.subw,
+                            Hc, Wc)
+        Cb = jnp.where(cm_, cbp, 0)
+        Cr = jnp.where(cm_, crp, 0)
+    else:
+        Cb = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[1], 0)
+        Cr = jnp.where(_expand_mask(inter_m, 2, Hc, Wc), mcp[2], 0)
     return _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg,
                          stages, Y, Cb, Cr)
 
@@ -971,17 +1043,25 @@ def _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg, stages,
         for vi, vertical in enumerate((True, False)):
             Y = deblock_luma_pass(Y, *lm[vi], vertical=vertical, bitdepth=bd)
             if cm is not None:
+                # map rows are 4x4-luma-granular; chroma lines per row
+                # depend on the along-edge subsampling (4:2:2/4:4:4)
+                rep = 4 // (cfg.subh if vertical else cfg.subw)
                 act, tc_map, p_off, q_off = cm[vi]
                 Cb = deblock_chroma_pass(Cb, act[0], tc_map[0], p_off, q_off,
-                                         vertical=vertical, bitdepth=bd)
+                                         vertical=vertical, bitdepth=bd,
+                                         rep=rep)
                 Cr = deblock_chroma_pass(Cr, act[1], tc_map[1], p_off, q_off,
-                                         vertical=vertical, bitdepth=bd)
+                                         vertical=vertical, bitdepth=bd,
+                                         rep=rep)
 
     # ---- SAO
     if cfg.sao_enabled and "sao" in stages:
         outs = []
         for ci, P in enumerate((Y, Cb, Cr)):
-            if cfg.use_pallas:
+            if ci and cfg.mono:
+                outs.append(P)
+                continue
+            if cfg.use_pallas and cfg.chroma_fmt == 1:
                 # single-pass Mosaic kernel (~25 XLA plane passes folded)
                 from .ops.filter_plan_jax import plan_sao_compact
                 from .ops.pallas.sao_filter import sao_pallas

@@ -146,12 +146,13 @@ def _border_ok(plan, xs, ys, cidx_arr, log2):
     is_luma = N > 0 and not (cidx_arr != 0).any()
     is_chroma = N > 0 and not (cidx_arr == 0).any()
     if N and (is_luma or is_chroma):
-        sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
-        sc = 1 if is_luma else sub
-        gstep = 4 // sc                   # samples per uniform run
-        if gstep > 1:
-            ok = _border_ok_runs(plan, xs, ys, is_luma, sub, sc, gstep,
-                                 log2)
+        subw = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+        subh = plan.sps.SubHeightC if plan.sps.ChromaArrayType else 1
+        scx = 1 if is_luma else subw
+        scy = 1 if is_luma else subh
+        if 4 // scx > 1 or 4 // scy > 1:
+            ok = _border_ok_runs(plan, xs, ys, is_luma, subw, subh,
+                                 scx, scy, log2)
             cache[key] = ok
             return ok
     ok = _border_ok_dense(plan, xs, ys, cidx_arr, log2)
@@ -159,44 +160,47 @@ def _border_ok(plan, xs, ys, cidx_arr, log2):
     return ok
 
 
-def _border_ok_runs(plan, xs, ys, is_luma, sub, sc, gstep, log2):
+def _border_ok_runs(plan, xs, ys, is_luma, subw, subh, scx, scy, log2):
     """Run-granular availability (one decision per 4x4-grid-aligned run
-    of border samples). Correct because the z-scan frontier, slice ids
-    and tile ids are all constant within one 4x4-luma cell, and TU
+    of border samples; run lengths are per-axis — 4:2:2 top runs are 2
+    samples, left runs 4). Correct because the z-scan frontier, slice
+    ids and tile ids are all constant within one 4x4-luma cell, and TU
     origins/plane dims are run-aligned."""
     zg, sa4, tid4 = _avail_grids(plan)
     gh, gw = zg.shape
     n = 1 << log2
     c = 2 * n
-    nb = c // gstep                       # runs per (left|top) segment
+    gy, gx = 4 // scy, 4 // scx           # run lengths (left | top)
+    nbl, nbt = c // gy, c // gx           # runs per segment
     x = xs.astype(np.int32)[:, None]
     y = ys.astype(np.int32)[:, None]
     N = x.shape[0]
-    Hp = plan.H if is_luma else plan.H // sub
-    Wp = plan.W if is_luma else plan.W // sub
-    k = np.arange(nb, dtype=np.int32)[None, :]
+    Hp = plan.H if is_luma else plan.H // subh
+    Wp = plan.W if is_luma else plan.W // subw
+    kl = np.arange(nbl, dtype=np.int32)[None, :]
+    kt = np.arange(nbt, dtype=np.int32)[None, :]
     # run representatives: left runs in pos order (bottom-up), corner,
     # top runs left-to-right; left run k covers samples
-    # by in [y + c - gstep*(k+1), ...+gstep) at bx = x-1
-    by = np.concatenate([y + (c - gstep * (k + 1)),
+    # by in [y + c - gy*(k+1), ...+gy) at bx = x-1
+    by = np.concatenate([y + (c - gy * (kl + 1)),
                          y - 1,
-                         np.broadcast_to(y - 1, (N, nb))], axis=1)
-    bx = np.concatenate([np.broadcast_to(x - 1, (N, nb)),
+                         np.broadcast_to(y - 1, (N, nbt))], axis=1)
+    bx = np.concatenate([np.broadcast_to(x - 1, (N, nbl)),
                          x - 1,
-                         x + gstep * k], axis=1)
+                         x + gx * kt], axis=1)
     inb = (bx >= 0) & (by >= 0) & (bx < Wp) & (by < Hp)
-    nby = np.clip((by * sc) >> 2, 0, gh - 1)
-    nbx = np.clip((bx * sc) >> 2, 0, gw - 1)
-    cby = (y * sc) >> 2
-    cbx = (x * sc) >> 2
+    nby = np.clip((by * scy) >> 2, 0, gh - 1)
+    nbx = np.clip((bx * scx) >> 2, 0, gw - 1)
+    cby = (y * scy) >> 2
+    cbx = (x * scx) >> 2
     okb = (inb & (zg[nby, nbx] < zg[cby, cbx])
            & (sa4[nby, nbx] == sa4[cby, cbx])
            & (tid4[nby, nbx] == tid4[cby, cbx]))
     if plan.pps.constrained_intra_pred_flag:
         okb &= plan.pred_mode[nby, nbx] == MODE_INTRA
-    return np.concatenate([np.repeat(okb[:, :nb], gstep, axis=1),
-                           okb[:, nb:nb + 1],
-                           np.repeat(okb[:, nb + 1:], gstep, axis=1)],
+    return np.concatenate([np.repeat(okb[:, :nbl], gy, axis=1),
+                           okb[:, nbl:nbl + 1],
+                           np.repeat(okb[:, nbl + 1:], gx, axis=1)],
                           axis=1)
 
 
@@ -205,8 +209,10 @@ def _border_ok_dense(plan, xs, ys, cidx_arr, log2):
     differential oracle for _border_ok_runs)."""
     zg, sa4, tid4 = _avail_grids(plan)
     gh, gw = zg.shape
-    sub = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
-    sc = np.where(cidx_arr == 0, 1, sub).astype(np.int64)[:, None]
+    subw = plan.sps.SubWidthC if plan.sps.ChromaArrayType else 1
+    subh = plan.sps.SubHeightC if plan.sps.ChromaArrayType else 1
+    scx = np.where(cidx_arr == 0, 1, subw).astype(np.int64)[:, None]
+    scy = np.where(cidx_arr == 0, 1, subh).astype(np.int64)[:, None]
     n = 1 << log2
     Lb = 4 * n + 1
     c = 2 * n
@@ -215,14 +221,15 @@ def _border_ok_dense(plan, xs, ys, cidx_arr, log2):
     y = ys.astype(np.int64)[:, None]
     by = np.where(pos < c, y + c - pos - 1, y - 1)
     bx = np.where(pos > c, x + pos - c - 1, x - 1)
-    # plane bounds (own sample units)
-    Hp_l = np.where(cidx_arr == 0, plan.H, plan.H // sub)[:, None]
-    Wp_l = np.where(cidx_arr == 0, plan.W, plan.W // sub)[:, None]
+    # plane bounds (own sample units; per-axis scale — 4:2:2 halves
+    # only horizontally)
+    Hp_l = np.where(cidx_arr == 0, plan.H, plan.H // subh)[:, None]
+    Wp_l = np.where(cidx_arr == 0, plan.W, plan.W // subw)[:, None]
     inb = (bx >= 0) & (by >= 0) & (bx < Wp_l) & (by < Hp_l)
-    nby = np.clip((by * sc) >> 2, 0, gh - 1)
-    nbx = np.clip((bx * sc) >> 2, 0, gw - 1)
-    cby = np.clip((y * sc) >> 2, 0, gh - 1)
-    cbx = np.clip((x * sc) >> 2, 0, gw - 1)
+    nby = np.clip((by * scy) >> 2, 0, gh - 1)
+    nbx = np.clip((bx * scx) >> 2, 0, gw - 1)
+    cby = np.clip((y * scy) >> 2, 0, gh - 1)
+    cbx = np.clip((x * scx) >> 2, 0, gw - 1)
     ok = (inb & (zg[nby, nbx] < zg[cby, cbx])
           & (sa4[nby, nbx] == sa4[cby, cbx])
           & (tid4[nby, nbx] == tid4[cby, cbx]))
@@ -497,7 +504,7 @@ def intra_stage(Y, Cb, Cr, t, cfg):
         return intra_stage_scan(Y, Cb, Cr, t, cfg)
 
     H, W = cfg.H, cfg.W
-    Hc, Wc = H // 2, W // 2
+    Hc, Wc = cfg.chroma_dims
     bd = cfg.bitdepth
     maxv = (1 << bd) - 1
     res_all = _residuals(t, cfg)
@@ -553,7 +560,7 @@ def intra_stage(Y, Cb, Cr, t, cfg):
         ref = jnp.take_along_axis(raw, src, axis=1)
         ref = jnp.where(anyok[:, None], ref, 1 << (bd - 1))
         pred = predict_core(ref, md, log2, pl == 0, bd, cfg.strong,
-                            smooth=pl == 0)
+                            smooth=pl == 0 or cfg.chroma_fmt == 3)
         out = jnp.clip(pred + resw, 0, maxv)
         valid = start + jnp.arange(Klvl, dtype=jnp.int32) < end
         rr = jnp.arange(n, dtype=jnp.int32)

@@ -248,7 +248,8 @@ class NativeFrontend:
             cfg.W, cfg.H, cfg.log2ctb, cfg.n_slice_rows,
             int(cfg.pack_bits), int(cfg.qp_grid8), int(cfg.lane0),
             int(cfg.pu_grid8), int(cfg.mv8), int(cfg.poc8),
-            int(cfg.pcm_lfd), int(cfg.skip_mc), cfg.r_act], np.int32)
+            int(cfg.pcm_lfd), int(cfg.skip_mc), cfg.r_act,
+            cfg.subw, cfg.subh], np.int32)
         r = self.lib.fe_pack_setup(C.c_void_p(self.h), _arr(carr),
                                    len(carr), _arr(karr), len(keys))
         return r == 0

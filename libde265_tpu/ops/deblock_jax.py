@@ -268,11 +268,15 @@ def plan_chroma_metadata(plan, vertical):
     return act, tc, p_off, q_off
 
 
-@partial(jax.jit, static_argnames=("vertical", "bitdepth"))
-def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
-    """C: (H/2, W/2) int32 chroma plane; metadata for this component.
+@partial(jax.jit, static_argnames=("vertical", "bitdepth", "rep"))
+def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8,
+                        rep=2):
+    """C: chroma plane (int32); metadata for this component.
     Frame-layout phase slices (see deblock_luma_pass); edges at chroma
-    x/y = 8*(ei+1), 2-line segments, p1..q1 window at offsets 6..9."""
+    x/y = 8*(ei+1), p1..q1 window at offsets 6..9. The maps are in
+    4x4-LUMA-row granularity along the edge; `rep` expands each map row
+    onto its chroma lines (2 for a halved axis, 4 for a full-res axis —
+    4:2:2 vertical / 4:4:4; deblock.cc:738-757)."""
     n_s, n_e = act.shape
     ax = 1 if vertical else 0
     la = 0 if vertical else 1
@@ -300,7 +304,7 @@ def deblock_chroma_pass(C, act, tc, p_off, q_off, vertical, bitdepth=8):
         return m if vertical else m.T
 
     def rep2(m):
-        return jnp.repeat(m, 2, axis=la)
+        return jnp.repeat(m, rep, axis=la)
 
     maxv = (1 << bitdepth) - 1
     tc_ = rep2(orient(tc))

@@ -191,31 +191,41 @@ def plan_deblock_device(grids, cfg, xoff=0):
         return lm, None
 
     def chroma_dir(vertical):
+        # per-format geometry (deblock.cc:738-757): chroma edges sit at
+        # chroma x/y = 8*(ei+1) — luma spacing 8*sub along the
+        # perpendicular axis (16 for 4:2:0's halved axes, 8 for 4:2:2's
+        # vertical / 4:4:4's both)
+        subw = 2 if chroma_fmt in (1, 2) else 1
+        subh = 2 if chroma_fmt == 1 else 1
         if vertical:
             pm_, qp_, tucb_, off_ = pm, qp, tucb, off
             allow, sidx_, bit = allow_v, sidx, 1
+            sp = 8 * subw                    # luma px between edges
         else:
             tr = lambda a: jnp.swapaxes(a, 0, 1)
             pm_, qp_, tucb_, off_ = tr(pm), tr(qp), tr(tucb), tr(off)
             allow, sidx_, bit = (jnp.swapaxes(allow_h, 0, 1),
                                  jnp.swapaxes(sidx, 0, 1), 2)
+            sp = 8 * subh
+        st = sp // 4                         # edge stride in 4x4 blocks
         We = pm_.shape[1] * 4
-        n_e = We // 16 - (1 if We % 16 == 0 else 0)
+        n_e = We // sp - (1 if We % sp == 0 else 0)
         n_s = pm_.shape[0]
         fast = isinstance(xoff, int) and xoff == 0
 
         def atq(a):
-            return a[:, 4:4 + 4 * n_e:4]
+            return a[:, st:st + st * n_e:st]
 
         def atp(a):
-            return a[:, 3:3 + 4 * n_e:4]
+            return a[:, st - 1:st - 1 + st * n_e:st]
         if fast:
-            allow_e = _expand_edge_ctb_fast(allow, n_s, n_e, log2ctb, 16) != 0
-            se = _expand_edge_ctb_fast(sidx_, n_s, n_e, log2ctb, 16)
-            is_ctb = ((jnp.arange(n_e) + 1) * 16
+            allow_e = _expand_edge_ctb_fast(allow, n_s, n_e, log2ctb,
+                                            sp) != 0
+            se = _expand_edge_ctb_fast(sidx_, n_s, n_e, log2ctb, sp)
+            is_ctb = ((jnp.arange(n_e) + 1) * sp
                       & ((1 << log2ctb) - 1)) == 0
         else:
-            gq = 4 * (jnp.arange(n_e, dtype=jnp.int32) + 1)
+            gq = st * (jnp.arange(n_e, dtype=jnp.int32) + 1)
             si = jnp.arange(n_s, dtype=jnp.int32)
             e_x = gq * 4 + (xoff if vertical else 0)
             s_y = si * 4 + (0 if vertical else xoff)

@@ -382,6 +382,91 @@ def mc_frame_tile(tables, dims, mv, slot, pf, wts, ex, bitdepth=8,
     return planes
 
 
+def mc_chroma_dense(refs_cb, refs_cr, mv, slot, pf, wts, ex, H, W,
+                    bitdepth=8, bi=True, weighted=True):
+    """Format-general chroma MC for the fused 4:2:2/4:4:4 path: per
+    4x4-luma-block (ch,cw) chroma windows gathered straight from the
+    chroma DPB stacks, epel taps with per-axis MV scaling
+    (/root/reference/libde265/motion.cc:174-278). Correctness-first —
+    the window gather is XLA-serialized (no tile table for these
+    formats yet); rext content runs at small scales.
+    Returns (Cb, Cr) int32 planes, clipped [0, maxv]."""
+    R, Hc, Wc = refs_cb.shape
+    subw, subh = W // Wc, H // Hc
+    cw, ch = 4 // subw, 4 // subh
+    n_by, n_bx = H // 4, W // 4
+    N = n_by * n_bx
+    bx = (jnp.arange(N, dtype=jnp.int32) % n_bx) * 4
+    by = (jnp.arange(N, dtype=jnp.int32) // n_bx) * 4
+    shift1 = min(4, bitdepth - 8)
+    maxv = (1 << bitdepth) - 1
+    shift = 14 - bitdepth
+    etaps = jnp.asarray(EPEL_TAPS)
+
+    def pred(refs_c, l):
+        mvx = mv[:, l, 0] * (2 // subw)
+        mvy = mv[:, l, 1] * (2 // subh)
+        x0 = (bx // subw) + (mvx >> 3) - 1
+        y0 = (by // subh) + (mvy >> 3) - 1
+        rows = jnp.clip(y0[:, None] + jnp.arange(ch + 3)[None, :],
+                        0, Hc - 1)
+        cols = jnp.clip(x0[:, None] + jnp.arange(cw + 3)[None, :],
+                        0, Wc - 1)
+        win = refs_c[slot[:, l, None, None], rows[:, :, None],
+                     cols[:, None, :]].astype(jnp.int32)
+        th = etaps[mvx & 7]
+        tv = etaps[mvy & 7]
+        tmp = sum(th[:, k, None, None] * win[:, :, k:k + cw]
+                  for k in range(4))
+        tmp = tmp >> shift1
+        out = sum(tv[:, k, None, None] * tmp[:, k:k + ch, :]
+                  for k in range(4))
+        return out >> 6                       # (N, ch, cw) 14-bit
+
+    def to_plane(p):
+        return p.reshape(n_by, n_bx, ch, cw).transpose(0, 2, 1, 3) \
+                .reshape(Hc, Wc)
+
+    def expand(a):
+        g = a.reshape(n_by, n_bx)
+        return jnp.broadcast_to(g[:, None, :, None],
+                                (n_by, ch, n_bx, cw)).reshape(Hc, Wc)
+
+    def combine(p0, p1, ci):
+        P0 = to_plane(p0)
+        P1 = to_plane(p1) if p1 is not None else None
+        uni = jnp.clip((P0 + (1 << (shift - 1))) >> shift, 0, maxv)
+        if P1 is None:
+            dflt = uni
+        else:
+            has1 = expand(pf[:, 0] * pf[:, 1]) != 0
+            bi_ = jnp.clip((P0 + P1 + (1 << shift)) >> (shift + 1),
+                           0, maxv)
+            dflt = jnp.where(has1, bi_, uni)
+        if not weighted:
+            return dflt
+        w0 = expand(wts[:, ci, 0])
+        o0 = expand(wts[:, ci, 1])
+        l2 = expand(wts[:, ci, 4])
+        euni = jnp.clip(((P0 * w0 + (1 << jnp.maximum(l2 - 1, 0)) *
+                          (l2 >= 1)) >> l2) + o0, 0, maxv)
+        exm = expand(ex.astype(jnp.int32)) != 0
+        if P1 is None:
+            return jnp.where(exm, euni, uni)
+        w1 = expand(wts[:, ci, 2])
+        o1 = expand(wts[:, ci, 3])
+        ebi = jnp.clip((P0 * w0 + P1 * w1 + ((o0 + o1 + 1) << l2))
+                       >> (l2 + 1), 0, maxv)
+        return jnp.where(exm, jnp.where(has1, ebi, euni), dflt)
+
+    out = []
+    for ci, refs_c in ((1, refs_cb), (2, refs_cr)):
+        p0 = pred(refs_c, 0)
+        p1 = pred(refs_c, 1) if bi else None
+        out.append(combine(p0, p1, ci))
+    return out[0], out[1]
+
+
 @partial(jax.jit, static_argnames=("dims", "bitdepth"))
 def _mc_standalone(refs_y, refs_cb, refs_cr, mv, slot, pf, wts, ex,
                    dims, bitdepth):

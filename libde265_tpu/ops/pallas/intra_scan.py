@@ -98,6 +98,24 @@ def _reverse_prefix(v, lane, p):
     return v
 
 
+def _wdot(ref, wsl, bd):
+    """ref (rows, Lp) int32 in [0, maxv] -> ref @ wsl with int8 MXU
+    operands: direct centered int8 for 8-bit, hi/lo split (256*hi + lo)
+    for 10/12-bit — the W rows sum to 64, so the -128 centering folds
+    into the constant 8224 either way."""
+    dims = (((1,), (0,)), ((), ()))
+    if bd == 8:
+        r8 = (ref - 128).astype(jnp.int8)
+        return jax.lax.dot_general(r8, wsl, dims,
+                                   preferred_element_type=jnp.int32)
+    hi8 = (ref >> 8).astype(jnp.int8)
+    lo8 = ((ref & 255) - 128).astype(jnp.int8)
+    return 256 * jax.lax.dot_general(hi8, wsl, dims,
+                                     preferred_element_type=jnp.int32) \
+        + jax.lax.dot_general(lo8, wsl, dims,
+                              preferred_element_type=jnp.int32)
+
+
 def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                interpret=False, ablate=frozenset(), span_only=False):
     """span_only: the host proved every TU's availability is one
@@ -111,7 +129,7 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
     C: width in 128-lane tiles;  NB/K: grid dims;  planes: 1 or 2
     RW: residual row lanes (max n*n over classes, >=256)
     """
-    assert bd == 8, "scan kernel is 8-bit (int8 centering); fori covers >8"
+    assert bd in (8, 10, 12), "int8 / hi-lo int8-split matvec paths"
     maxv = (1 << bd) - 1
     mid = 1 << (bd - 1)
     nc = len(classes)
@@ -242,11 +260,7 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                 pred = jnp.zeros((1, nsq), jnp.int32) + ref[0:1, 0:1]
             else:
                 wsl = wref[pl.ds(mode * Lp, Lp), :]
-                r8 = (ref[0:1, :Lp] - 128).astype(jnp.int8)
-                d = jax.lax.dot_general(
-                    r8, wsl, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                pred = (d + 8224) >> 6                  # (1, nsq)
+                pred = (_wdot(ref[0:1, :Lp], wsl, bd) + 8224) >> 6
             # ---- boundary fixups (luma n<32): row 0 vector forms
             isdc = mode == 1
             is26 = mode == 26
@@ -278,9 +292,7 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             # loop this replaces was 75% of the kernel in ablation);
             # out is in [0,maxv] so the int8 centering is exact
             dims = (((1,), (0,)), ((), ()))
-            o8 = (out - 128).astype(jnp.int8)
-            blk = jax.lax.dot_general(o8, pref[...], dims,
-                                      preferred_element_type=jnp.int32)
+            blk = _wdot(out, pref[...], bd)
             lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, n * 128), 1)
             blk = (blk + 128 * ((lane128 % 128) < n)).reshape(n, 128)
             if fix:
@@ -390,11 +402,8 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                                  f121)
                 ref = jnp.where(fflag_b, f121, ref)
             wsl = wref[pl.ds(mode * Lp, Lp), :]
-            r8 = (ref[0:2, :Lp] - 128).astype(jnp.int8)
             dims = (((1,), (0,)), ((), ()))
-            pred = (jax.lax.dot_general(
-                r8, wsl, dims, preferred_element_type=jnp.int32)
-                + 8224) >> 6                              # (2, nsq)
+            pred = (_wdot(ref[0:2, :Lp], wsl, bd) + 8224) >> 6  # (2,nsq)
             ox = x % 128
             cx = x // 128
             cx1 = jnp.minimum(cx + 1, C - 1)
@@ -405,11 +414,8 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                 band = pouts[p]
                 resv = rs[p][pl.ds(rgs[p][t] % 8, 1), :]
                 out = jnp.clip(pred[p:p + 1] + resv[:, :nsq], 0, maxv)
-                o8 = (out - 128).astype(jnp.int8)
-                blk = (jax.lax.dot_general(
-                    o8, pref[...], dims,
-                    preferred_element_type=jnp.int32)
-                    + placed).reshape(n, 128)
+                blk = (_wdot(out, pref[...], bd)
+                       + placed).reshape(n, 128)
                 tmp3[0:n, 0:128] = blk
                 rolled = pltpu.roll(tmp3[0:n, :], ox, axis=1)
                 w0 = band[pl.ds(yin, n), cx, :]

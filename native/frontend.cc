@@ -2786,6 +2786,7 @@ struct PackPlan {
   int W = 0, H = 0, log2ctb = 6, S1 = 2;
   int pack_bits = 1, qp_grid8 = 0, lane0 = 0, pu_grid8 = 0;
   int mv8 = 0, poc8 = 0, pcm_lfd = 0, skip_mc = 0, r_act = 1;
+  int subw = 2, subh = 2;     // chroma plane subsampling (4:2:0 default)
   std::vector<PackKeyDesc> keys;
 };
 
@@ -3293,8 +3294,8 @@ static int pack_one_key(const PackCtx& c, const PackKeyDesc& kd,
     case PK_RC: case PK_RB: case PK_RBI: case PK_REI: case PK_REV:
     case PK_RK: case PK_RQ: case PK_RS: {
       const int n = 1 << kd.log2, nn = n * n;
-      const int subp = kd.cidx == 0 ? 1 : 2;   // 4:2:0 plane scale
-      const int Wp = pp.W / subp, Hp = pp.H / subp;
+      const int Wp = pp.W / (kd.cidx == 0 ? 1 : pp.subw);
+      const int Hp = pp.H / (kd.cidx == 0 ? 1 : pp.subh);
       const int ncols = (Wp + n - 1) / n;
       const int nslots = ((Hp + n - 1) / n) * ncols;
       const int nsb = (n / 4) * (n / 4);
@@ -3401,6 +3402,7 @@ int fe_pack_setup(FEHandle* h, const int32_t* cfg, int ncfg,
   pp->pack_bits = cfg[4]; pp->qp_grid8 = cfg[5]; pp->lane0 = cfg[6];
   pp->pu_grid8 = cfg[7]; pp->mv8 = cfg[8]; pp->poc8 = cfg[9];
   pp->pcm_lfd = cfg[10]; pp->skip_mc = cfg[11]; pp->r_act = cfg[12];
+  if (ncfg >= 15) { pp->subw = cfg[13]; pp->subh = cfg[14]; }
   for (int i = 0; i < nkeys; i++) {
     const int64_t* k = keys + (size_t)i * 10;
     PackKeyDesc kd;

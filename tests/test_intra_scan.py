@@ -22,6 +22,7 @@ CASES = [
     ("manifest_inter.json", "p_cip"),            # constrained intra pred
     ("manifest_inter.json", "p_cif_mixed"),      # intra-in-P + tiles/WPP
     ("manifest_inter.json", "p_mixed"),
+    ("manifest_inter.json", "p_10bit"),          # Main-10: hi/lo matvec
 ]
 
 

@@ -60,7 +60,7 @@ def test_pipelined_falls_back_on_hybrid_streams():
     and still produce golden output."""
     from libde265_tpu.device_stream import (DeviceStreamDecoder,
                                             PipelineUnsupported)
-    name = "rext_422_104x72"
+    name = "rext_422_pcm"      # PCM-in-rext: the remaining hybrid case
     path = os.path.join(DATA, name + ".bin")
     if not os.path.exists(path):
         pytest.skip("rext vector absent")
