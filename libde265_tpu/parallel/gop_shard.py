@@ -107,10 +107,7 @@ def get_gop_program(cfg, mesh):
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
 
 
-def decode_gops_sharded(plans, sps, mesh, use_pallas=False):
-    """Decode a closed-GOP stream with one GOP per mesh device. Returns
-    {frame_id: (slot, gop_idx)} plus the final device stacks (G, R, H, W)
-    for MD5 verification/download."""
+def _shard_args(plans, sps, mesh, use_pallas=False):
     from ..frame_program import stream_cfg
     G = mesh.shape["g"]
     gops = split_gop_plans(plans)
@@ -129,11 +126,28 @@ def decode_gops_sharded(plans, sps, mesh, use_pallas=False):
     ty = jnp.broadcast_to(ty1[None], (G,) + ty1.shape)
     tc = jnp.broadcast_to(tc1[None], (G,) + tc1.shape)
     prog = get_gop_program(cfg, mesh)
-    out = prog(dy, dcb, dcr, ty, tc,
-               {k: jnp.asarray(v) for k, v in ti.items()},
-               jnp.asarray(islots)[:, None],
-               {k: jnp.asarray(v) for k, v in ts.items()},
-               jnp.asarray(oslots))
+    args = (dy, dcb, dcr, ty, tc,
+            {k: jnp.asarray(v) for k, v in ti.items()},
+            jnp.asarray(islots)[:, None],
+            {k: jnp.asarray(v) for k, v in ts.items()},
+            jnp.asarray(oslots))
+    return prog, args, gops
+
+
+def lower_sharded_for_census(plans, sps, mesh, use_pallas=False):
+    """Lower (without running) the GOP-sharded program: the bench counts
+    collective ops in the HLO — the zero-collective scaling claim is
+    CHECKED, not asserted (tools/bench_gop_device.py)."""
+    prog, args, _ = _shard_args(plans, sps, mesh, use_pallas)
+    return prog.lower(*args)
+
+
+def decode_gops_sharded(plans, sps, mesh, use_pallas=False):
+    """Decode a closed-GOP stream with one GOP per mesh device. Returns
+    {frame_id: (slot, gop_idx)} plus the final device stacks (G, R, H, W)
+    for MD5 verification/download."""
+    prog, args, gops = _shard_args(plans, sps, mesh, use_pallas)
+    out = prog(*args)
     # frame -> (gop, slot) map for verification (last write per slot)
     where = {}
     for gi, g in enumerate(gops):
