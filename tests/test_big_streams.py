@@ -22,7 +22,8 @@ def _case(name):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["ld_720p_wpp", "ld_1080p_wpp",
                                   "tiles44_1080p", "bigmv_720p",
-                                  "intra_720p"])
+                                  "intra_720p", "ld1080p_light_wppb",
+                                  "ld4k_light_wppb"])
 def test_big_stream_native(name):
     from libde265_tpu.api import decode_stream_native
     m, data = _case(name)

@@ -19,7 +19,10 @@ DEC = os.path.join(REPO, ".ref_build", "dec265", "dec265")
 DATA = os.path.join(REPO, "tests", "data")
 
 STREAMS = ["gop1080p", "ld4k_light", "ld4k", "ld_1080p_wpp", "ld_720p_wpp",
-           "ld720p_light", "ld1080p_light"]
+           "ld720p_light", "ld1080p_light",
+           # WPP-encoded bench-bitrate streams: dec265 -t4 threads these
+           # (fair same-machine comparison, VERDICT r3 item 6)
+           "ld1080p_light_wppb", "ld4k_light_wppb"]
 
 
 def main():
