@@ -192,19 +192,29 @@ class SliceReader:
                     self.qp_y_pred_prev = sh.SliceQPY
                     self.last_cu_qp = sh.SliceQPY
             else:
-                if pps.entropy_coding_sync_enabled_flag and is_row_start and cy > 0 \
-                        and not sh.dependent_slice_segment_flag:
+                if pps.entropy_coding_sync_enabled_flag and is_row_start \
+                        and cy > 0:
                     saved = self.wpp_contexts.get(cy - 1)
-                    # first CTB of a new slice at a row start: sync only if the
-                    # above-right CTB is in the same slice/tile
-                    ar_ok = self.available_zscan(xCtb, yCtb,
-                                                 xCtb + self.ctb_size,
-                                                 yCtb - self.ctb_size)
-                    if self.pic_w_ctbs == 1:
-                        ar_ok = self.available_zscan(xCtb, yCtb, xCtb,
-                                                     yCtb - self.ctb_size)
-                    if saved is not None and ar_ok:
-                        self.ctx = saved.copy()
+                    if sh.dependent_slice_segment_flag:
+                        # a dependent segment starting at a row start
+                        # takes the WPP model of the row above,
+                        # OVERRIDING the dependent-continuation ctx
+                        # (reference decode_substream slice.cc:4679-4702
+                        # restores whenever !first_independent_
+                        # substream); adversarial wpp x dep vector (r4)
+                        if saved is not None:
+                            self.ctx = saved.copy()
+                    else:
+                        # first CTB of a new slice at a row start: sync
+                        # only if the above-right CTB is available
+                        ar_ok = self.available_zscan(
+                            xCtb, yCtb, xCtb + self.ctb_size,
+                            yCtb - self.ctb_size)
+                        if self.pic_w_ctbs == 1:
+                            ar_ok = self.available_zscan(
+                                xCtb, yCtb, xCtb, yCtb - self.ctb_size)
+                        if saved is not None and ar_ok:
+                            self.ctx = saved.copy()
 
             # record slice ids
             frame.ctb_slice_seg[cy, cx] = sh.slice_segment_address

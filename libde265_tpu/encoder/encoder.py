@@ -288,7 +288,12 @@ class Encoder:
         poc_out = poc - getattr(self, "_poc_base", 0)
 
         frame = FramePlan(self.sps, self.pps, poc=poc_out)
-        if cfg.temporal_layers and tid == 0:
+        if cfg.temporal_layers:
+            # TSA semantics (7.4.2.2): a TSA picture must not reference
+            # any same-or-higher-tid picture preceding it, so BOTH tids
+            # reference only the tid-0 (even-POC) pictures — the
+            # adversarial ltr x tsa sweep caught tid-1 frames
+            # referencing dropped tid-1 predecessors (round 4)
             n_refs_avail = sum(1 for p in self.dpb.pics
                                if p.state == SHORT_TERM and p.poc < poc_out
                                and (p.poc & 1) == 0)
@@ -341,7 +346,7 @@ class Encoder:
         # reference lists from DPB (most recent first, like our RPS writes)
         cand = [i for i, p in enumerate(self.dpb.pics)
                 if p.state == SHORT_TERM and p.poc < poc_out]
-        if cfg.temporal_layers and tid == 0:
+        if cfg.temporal_layers:
             cand = [i for i in cand if (self.dpb.pics[i].poc & 1) == 0]
         lt_refs = []
         lt_pocs = []

@@ -1532,12 +1532,22 @@ struct SliceReader {
           else ct.init(sh.init_type, clip3(0, 51, sh.qp));
           qp_prev = sh.qp; last_cu_qp = sh.qp;
         }
-      } else if (pps.wpp && row_start && cy > 0 && !sh.dependent) {
+      } else if (pps.wpp && row_start && cy > 0) {
         auto it = ps->wpp_ctx.find(cy - 1);
-        bool ar_ok = wctbs == 1
-            ? avail(xctb, yctb, xctb, yctb - ctb_size)
-            : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
-        if (it != ps->wpp_ctx.end() && ar_ok) ct = it->second;
+        if (sh.dependent) {
+          // a dependent segment starting at a row start takes the WPP
+          // model of the row above, OVERRIDING the dependent-
+          // continuation ctx (reference decode_substream,
+          // slice.cc:4679-4702: the sync restore runs whenever
+          // !first_independent_substream). Found by the adversarial
+          // wpp x dependent-slices vector (round 4).
+          if (it != ps->wpp_ctx.end()) ct = it->second;
+        } else {
+          bool ar_ok = wctbs == 1
+              ? avail(xctb, yctb, xctb, yctb - ctb_size)
+              : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
+          if (it != ps->wpp_ctx.end() && ar_ok) ct = it->second;
+        }
       }
       f.ctb_slice_seg[rs] = sh.seg_addr;
       f.slice_addr[rs] = sh.slice_addr_rs;
