@@ -15,7 +15,13 @@ DATA = os.path.join(REPO, "tests", "data")
 
 SOURCES = ["intra_64x64_q27", "intra_104x72_q26", "lowdelay_cif_q28",
            "p_mv", "p_tiles22", "p_wppx", "p_pcm", "p_tskip", "b_mv",
-           "p_slices2"]
+           "p_slices2",
+           # round-4 adversarial combo vectors: WPP x dep-slices,
+           # tiles x lossless, LTR x TSA, rext x tiles — new syntax
+           # interactions under mutation
+           "adv_wpp_dep10_scaling", "adv_tiles_lossless",
+           "adv_ltr_tsa_scaling", "adv_422_tiles_tskip",
+           "adv_dep_pcm_strong"]
 
 
 def main():
