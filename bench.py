@@ -132,19 +132,28 @@ def _pipe_worker(wid, nworkers, rounds, stream_path, cfg_i, cfg_p,
         setid = j % 2
         if j >= 2:
             aq.get()               # main consumed the set two rounds ago
-        if j > 0:                  # round 0 ships the pre-warmed set 0
-            plans_r = parse_stream(data)
-            pack_round(plans_r, out=views[setid])
-            del plans_r
+        # EVERY shipped round parses+packs inside the timed window (the
+        # warm round above only sizes the shm segments and fills
+        # meta_cache) — shipping pre-warmed work would inflate
+        # sustained_fps by ~R/(R-nworkers) when pack-bound (ADVICE r4)
+        plans_r = parse_stream(data)
+        pack_round(plans_r, out=views[setid])
+        del plans_r
         rq.put(("blob", nf, (wid, setid)))
     rq.put(("done", wid, None))
     # main acks every blob; drain the tail acks before unlinking
     for _ in range(min(len(my_rounds), 2)):
         aq.get()
-    views = None          # release the exported buffer views first
+    del first
+    views.clear()         # release the exported buffer views first
+    import gc
+    gc.collect()
     for s in shms:
         try:
             s.close()
+        except BufferError:
+            pass
+        try:
             s.unlink()
         except Exception:
             pass
@@ -392,10 +401,25 @@ def main():
             done += nf2
         float(dy[1, 0, 0])
         dt = time.time() - t0
-        wviews.clear()        # release exported views before closing shm
+        # release EVERY exported view before closing the shm maps (the
+        # loop locals vs/bi/bp still alias the last set; a lingering
+        # export makes mmap.close() raise BufferError and the skipped
+        # close leaks the segment — the round-4 artifact tail bug)
+        vs = bi = bp = None
+        wviews.clear()
+        import gc
+        gc.collect()
+        from multiprocessing import resource_tracker
         for s in wshms:
             try:
                 s.close()
+            except BufferError:
+                pass
+            try:
+                # attaching registers with the resource tracker too
+                # (CPython<3.13); the creator unlinks, we must only
+                # unregister or the exit hook reports phantom leaks
+                resource_tracker.unregister(s._name, "shared_memory")
             except Exception:
                 pass
         for p in procs:

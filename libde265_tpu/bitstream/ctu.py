@@ -183,8 +183,10 @@ class SliceReader:
                                                  xCtb + self.ctb_size,
                                                  yCtb - self.ctb_size)                         if yCtb > 0 else False
                     if self.pic_w_ctbs == 1:
-                        ar_ok = cy > 0 and self.available_zscan(
-                            xCtb, yCtb, xCtb, yCtb - self.ctb_size)
+                        # 1-CTB-wide picture: the reference re-inits the
+                        # models per row (slice.cc:4696-4703); no
+                        # snapshot restore at width 1
+                        ar_ok = False
                     if saved is not None and ar_ok:
                         self.ctx = saved.copy()
                     else:
@@ -201,18 +203,21 @@ class SliceReader:
                         # OVERRIDING the dependent-continuation ctx
                         # (reference decode_substream slice.cc:4679-4702
                         # restores whenever !first_independent_
-                        # substream); adversarial wpp x dep vector (r4)
-                        if saved is not None:
+                        # substream); adversarial wpp x dep vector (r4).
+                        # 1-CTB-wide pictures: the reference re-inits
+                        # instead (slice.cc:4696-4703) — no snapshot is
+                        # ever stored at width 1.
+                        if self.pic_w_ctbs == 1:
+                            self.ctx.init_states(
+                                sh.initType, clip3(0, 51, sh.SliceQPY))
+                        elif saved is not None:
                             self.ctx = saved.copy()
-                    else:
+                    elif self.pic_w_ctbs > 1:
                         # first CTB of a new slice at a row start: sync
                         # only if the above-right CTB is available
                         ar_ok = self.available_zscan(
                             xCtb, yCtb, xCtb + self.ctb_size,
                             yCtb - self.ctb_size)
-                        if self.pic_w_ctbs == 1:
-                            ar_ok = self.available_zscan(
-                                xCtb, yCtb, xCtb, yCtb - self.ctb_size)
                         if saved is not None and ar_ok:
                             self.ctx = saved.copy()
 
@@ -226,9 +231,10 @@ class SliceReader:
 
             self._coding_quadtree(xCtb, yCtb, self.ctb_log2, 0)
 
-            # WPP: snapshot contexts after 2nd CTB of row
-            if pps.entropy_coding_sync_enabled_flag and (cx == 1 or
-                                                         (self.pic_w_ctbs == 1 and cx == 0)):
+            # WPP: snapshot contexts after 2nd CTB of row (the reference
+            # stores only at ctbx==1, slice.cc:4741-4752 — width-1
+            # pictures never snapshot; they re-init per row)
+            if pps.entropy_coding_sync_enabled_flag and cx == 1:
                 self.wpp_contexts[cy] = self.ctx.copy()
 
             end_flag = self.cabac.decode_terminate()

@@ -173,6 +173,12 @@ class DeviceStreamDecoder:
     def _host_planes(self, fid):
         f = self.frames[fid]
         if f["host"] is None:
+            if fid not in self.slot_of:
+                raise KeyError(
+                    f"frame {fid} was evicted from its DPB slot before "
+                    f"download (decode_all_pipelined(keep_outputs=False) "
+                    f"throughput mode) — decode with keep_outputs=True "
+                    f"to pin outputs until planes_of()")
             s = self.slot_of[fid]
             y, cb, cr = self._fetch(self.dy, self.dcb, self.dcr,
                                     np.int32(s))
@@ -373,7 +379,7 @@ class DeviceStreamDecoder:
         return last
 
     def decode_all_pipelined(self, batch=8, pack_workers=2,
-                             keep_outputs=False):
+                             keep_outputs=True):
         """decode_all with the host stages running AHEAD of the device:
         the slot schedule is precomputed, frames are packed on a worker
         pool and assembled into per-dtype blob batches on a builder

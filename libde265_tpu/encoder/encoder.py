@@ -408,6 +408,15 @@ class Encoder:
         nals = []
         ts_to_rs = self.pps.CtbAddrTStoRS
         prev_ctx = None
+        # WPP snapshots live across slice boundaries: a dependent slice
+        # segment starting at a row start must inherit the row-above WPP
+        # model, NOT the previous slice's continuation ctx (reference
+        # decode_substream slice.cc:4679-4702 — the sync restore runs
+        # whenever !first_independent_substream; width-1 pictures re-init,
+        # slice.cc:4696-4703). Before round 5 the encoder continued
+        # prev_ctx here, desyncing every conforming decoder (dec265
+        # concealed "CTB outside of image area" on the wpp x dep vector).
+        wpp_saved = {}
         for si, r0 in enumerate(slice_row0):
             r1 = min(r0 + rows_per, hc)
             seg_addr = r0 * wc
@@ -432,13 +441,19 @@ class Encoder:
             frame.slice_headers.append(ssh)
             if self.motion is not None:
                 self.motion.sh = ssh
-            sw = SliceWriter(frame, ssh,
-                             init_ctx=prev_ctx if dependent else None)
+            slice_init_ctx = prev_ctx if dependent else None
+            if dependent and cfg.wpp and r0 > 0:
+                # dep segment at a WPP row start: decoders restore the
+                # row-above model (or re-init when the picture is one
+                # CTB wide) — mirror that so the emitted bins decode
+                # back to the symbols we intended
+                slice_init_ctx = None if wc == 1 else \
+                    wpp_saved.get(r0 - 1, prev_ctx)
+            sw = SliceWriter(frame, ssh, init_ctx=slice_init_ctx)
             emitter.sw = sw
             # CTBs of this slice in tile-scan order
             addrs = [rs for rs in (ts_to_rs[t] for t in range(wc * hc))
                      if r0 <= rs // wc < r1]
-            wpp_saved = {}
             for i, rs in enumerate(addrs):
                 cx, cy = rs % wc, rs // wc
                 last_in_slice = (i == len(addrs) - 1)
@@ -453,13 +468,18 @@ class Encoder:
                         boundary = "row"
                 sw.write_ctb(cx, cy, emitter, last_ctb,
                              end_substream=boundary is not None)
-                if cfg.wpp and (cx == 1 or (wc == 1 and cx == 0)):
+                if cfg.wpp and cx == 1:   # width-1 pictures never snapshot
                     wpp_saved[cy] = sw.snapshot_ctx()
                 if boundary == "tile":
                     sw.start_substream(reinit=True)
                 elif boundary == "row":
+                    # width-1 pictures: decoders re-init the models per
+                    # row (slice.cc:4696-4703) — emit with the same state
                     ncy = addrs[i + 1] // wc
-                    sw.start_substream(restore_ctx=wpp_saved.get(ncy - 1))
+                    sw.start_substream(
+                        reinit=(wc == 1),
+                        restore_ctx=None if wc == 1
+                        else wpp_saved.get(ncy - 1))
             blobs = sw.finish()
             stuffed = [add_emulation_prevention(b) for b in blobs]
             entry_points = [len(b) for b in stuffed[:-1]]

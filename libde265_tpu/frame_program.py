@@ -9,9 +9,11 @@ per-CTB threaded decode loop (decctx.cc:700-789, slice.cc:4664-4830): the
 frame's whole dataflow graph is static, so XLA replaces the progress-lock
 protocol entirely.
 
-Frames outside the fused fast path (intra wavefronts, PCM, transform-skip,
-tq-bypass, scaling lists) decode through the round-1 hybrid device path and
-their pixels are inserted into the device DPB stack, so mixed streams stay
+The fused path covers intra (band-scan kernel), PCM, transform-skip,
+tq-bypass, scaling lists, 8/10/12-bit and every chroma format; the one
+remaining exclusion is PCM inside 4:2:2/4:4:4 frames (see
+frame_compatible), which decodes through the round-1 hybrid device path
+with its pixels inserted into the device DPB stack, so mixed streams stay
 bit-exact end to end (tests/test_frame_program.py vs golden MD5).
 """
 import os

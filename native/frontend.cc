@@ -1524,10 +1524,11 @@ struct SliceReader {
         } else if (pps.wpp && row_start) {
           substream++;
           cabac = Cabac(data, dlen, offs[substream]);
+          // 1-CTB-wide pictures: the reference re-initializes the models
+          // per row (slice.cc:4696-4703); no snapshot restore at width 1.
           auto it = ps->wpp_ctx.find(cy - 1);
-          bool ar_ok = wctbs == 1
-              ? avail(xctb, yctb, xctb, yctb - ctb_size)
-              : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
+          bool ar_ok = wctbs > 1 &&
+              avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
           if (it != ps->wpp_ctx.end() && ar_ok) ct = it->second;
           else ct.init(sh.init_type, clip3(0, 51, sh.qp));
           qp_prev = sh.qp; last_cu_qp = sh.qp;
@@ -1540,12 +1541,12 @@ struct SliceReader {
           // continuation ctx (reference decode_substream,
           // slice.cc:4679-4702: the sync restore runs whenever
           // !first_independent_substream). Found by the adversarial
-          // wpp x dependent-slices vector (round 4).
-          if (it != ps->wpp_ctx.end()) ct = it->second;
-        } else {
-          bool ar_ok = wctbs == 1
-              ? avail(xctb, yctb, xctb, yctb - ctb_size)
-              : avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
+          // wpp x dependent-slices vector (round 4). Width-1 pictures
+          // re-init instead (slice.cc:4696-4703).
+          if (wctbs == 1) ct.init(sh.init_type, clip3(0, 51, sh.qp));
+          else if (it != ps->wpp_ctx.end()) ct = it->second;
+        } else if (wctbs > 1) {
+          bool ar_ok = avail(xctb, yctb, xctb + ctb_size, yctb - ctb_size);
           if (it != ps->wpp_ctx.end() && ar_ok) ct = it->second;
         }
       }
@@ -1553,7 +1554,7 @@ struct SliceReader {
       f.slice_addr[rs] = sh.slice_addr_rs;
       if (sh.sao_luma || sh.sao_chroma) read_sao(cx, cy, xctb, yctb);
       if (!coding_quadtree(xctb, yctb, ctb_log2, 0)) return false;
-      if (pps.wpp && (cx == 1 || (wctbs == 1 && cx == 0)))
+      if (pps.wpp && cx == 1)   // width-1 pictures never snapshot
         ps->wpp_ctx[cy] = ct;
       int end = cb->term();
       first = false;

@@ -71,7 +71,7 @@ def main():
     nf = len(plans)
     dec = DeviceStreamDecoder(plans, plans[0].sps, use_pallas=on_tpu)
     t0 = time.time()
-    dec.decode_all_pipelined()         # also compiles
+    dec.decode_all_pipelined(keep_outputs=False)         # also compiles
     for fid in list(dec.slot_of):      # drain: sync + MD5 what remains
         pass
     idx_of = {p.frame_id: i for i, p in enumerate(plans)}
@@ -92,7 +92,7 @@ def main():
         dec = DeviceStreamDecoder(plans_r, plans_r[0].sps,
                                   use_pallas=on_tpu)
         t0 = time.time()
-        dec.decode_all_pipelined()
+        dec.decode_all_pipelined(keep_outputs=False)
         dec._host_planes(plans_r[-1].frame_id)     # sync
         times.append(time.time() - t0)
     fps = nf / min(times)

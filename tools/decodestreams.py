@@ -2,7 +2,7 @@
 """Conformance-sweep driver (counterpart of
 /root/reference/scripts/decodestreams.py): decodes every stream in a
 directory through our decoder with SEI-hash / manifest MD5 checking, using a
-process pool; corrupted-input files (prefix 'id:' like AFL corpora) are
+process pool; corrupted-input files (prefix 'id_' like AFL corpora) are
 allowed to fail but must not crash the interpreter."""
 import json
 import multiprocessing as mp
@@ -28,7 +28,7 @@ def check_one(task):
                     return (name, f"MD5 MISMATCH frame {i}")
         return (name, "OK")
     except Exception as e:
-        if os.path.basename(path).startswith("id:"):
+        if os.path.basename(path).startswith("id_"):
             return (name, f"FUZZ-FAIL (allowed): {e!r:.60}")
         return (name, f"EXC {e!r:.80}")
 

@@ -88,6 +88,18 @@ CASES = {
         dependent_slices=True, pcm=True, pcm_loop_filter_disable=True,
         strong_intra_smoothing=True, intra_period=2, sao=True,
         disable_deblocking=False)),
+    # 1-CTB-wide pictures: WPP rows re-init the CABAC models instead of
+    # inheriting a snapshot (slice.cc:4696-4703) — the ADVICE r4 finding;
+    # crossed with dependent slices to hit both width-1 restore branches
+    "adv_w1_wpp": (4, dict(
+        width=32, height=96, qp=30, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, wpp=True,
+        sign_data_hiding=True, sao=True, disable_deblocking=False)),
+    "adv_w1_wpp_dep": (4, dict(
+        width=32, height=128, qp=30, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, wpp=True,
+        num_slices=2, dependent_slices=True, sao=True,
+        disable_deblocking=False)),
     "adv_cra_scaling_10b_amp": (5, dict(
         width=104, height=72, qp=30, log2_ctb=5, cu_log2=4,
         inter_mode="mixed", inter_residual=True, bit_depth=10,

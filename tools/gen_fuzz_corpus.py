@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Generate the committed adversarial corpus (VERDICT r2 item 9):
 deterministic bit-flip / truncation / duplication / garbage mutations of
-small committed streams, written as tests/data/id:NNN_<kind>.bin — the
-'id:' prefix marks AFL-style corpora for tools/decodestreams.py (allowed
+small committed streams, written as tests/data/id_NNN_<kind>.bin — the
+'id_' prefix marks AFL-style corpora for tools/decodestreams.py (allowed
 to fail decode, must never crash; reference model:
 /root/reference/scripts/decodestreams.py:46-74)."""
 import os
@@ -53,7 +53,7 @@ def main():
         muts.append(("inject", bytes(data[:L // 3]) + g +
                      bytes(data[L // 3:])))
         for kind, blob in muts:
-            fn = f"id:{n:03d}_{src}_{kind}.bin"
+            fn = f"id_{n:03d}_{src}_{kind}.bin"
             with open(os.path.join(DATA, fn), "wb") as f:
                 f.write(blob)
             n += 1
