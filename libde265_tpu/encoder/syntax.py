@@ -195,6 +195,7 @@ class SliceWriter:
         f.qp_y[gy:gy + gs, gx:gx + gs] = self.sh.SliceQPY
 
     def write_tq_bypass(self, x0, y0, size, flag):
+        self.cur_tq_bypass = bool(flag)
         self.cabac.encode_bin(self.ctx.at("cu_transquant_bypass_flag"),
                               1 if flag else 0)
         f = self.frame
@@ -484,9 +485,13 @@ class SliceWriter:
                        ts=False):
         """coeffs: (n,n) int array (y,x). Mirrors the reader exactly.
         ts: transform_skip_flag for this block (written whenever the PPS
-        enables transform skip and the block size allows it)."""
+        enables transform skip, the block size allows it, and the CU is
+        not transquant-bypassed — spec 7.3.8.11; omitting the bypass
+        guard desynced every conforming decoder on lossless x tskip
+        streams, the round-4 known bug)."""
         c = self.cabac
         if self.pps.transform_skip_enabled_flag and \
+                not getattr(self, "cur_tq_bypass", False) and \
                 log2_size <= self.pps.log2_max_transform_skip_block_size:
             c.encode_bin(self.ctx.at("transform_skip_flag",
                                      0 if cidx == 0 else 1), 1 if ts else 0)

@@ -45,11 +45,14 @@ CASES = {
         wpp=True, num_slices=2, dependent_slices=True,
         scaling_lists=True, sign_data_hiding=True, sao=True,
         disable_deblocking=False)),
-    # CTB-aligned dims: the partial-CTB x lossless x transform-skip
-    # emission is a KNOWN ENCODER BUG found by this sweep (the emitted
-    # bits decode consistently in dec265 and our decoder but disagree
-    # with the encoder's own recon in edge CTBs) — tracked in
-    # COMPONENTS.md; the decoder side is correct.
+    # partial-CTB x lossless x transform-skip: the round-4 known encoder
+    # bug (transform_skip_flag emitted for transquant-bypassed CUs,
+    # spec 7.3.8.11 omits it) — fixed round 5; this vector pins it
+    "adv_lossless_tskip_partial": (4, dict(
+        width=104, height=72, qp=32, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True,
+        tq_bypass=True, transform_skip=True, tiles=(2, 2),
+        sao=True, disable_deblocking=False, lf_across_tiles=False)),
     "adv_tiles_lossless": (4, dict(
         width=96, height=64, qp=32, log2_ctb=5, cu_log2=4,
         inter_mode="mixed", inter_residual=True, tiles=(2, 2),
