@@ -102,12 +102,19 @@ def init_context(init_value: int, qp: int):
 
 
 class ContextModelTable:
-    """Flat table of [pStateIdx, valMps] context states with named access."""
+    """Flat table of [pStateIdx, valMps] context states with named access.
 
-    __slots__ = ("models",)
+    Carries the persistent-Rice StatCoeff state (range extension, spec
+    9.3.2.3) alongside the models so WPP/dependent-slice snapshot and
+    restore synchronize it together with the context variables. The
+    reference keeps StatCoeff in its thread_context and zeroes it in
+    initialize_CABAC_models (slice.cc:1507-1517)."""
+
+    __slots__ = ("models", "stat_coeff")
 
     def __init__(self):
         self.models = [[0, 0] for _ in range(NUM_CONTEXTS)]
+        self.stat_coeff = [0, 0, 0, 0]
 
     def init_states(self, init_type: int, qp: int):
         for name in _ORDER:
@@ -115,6 +122,7 @@ class ContextModelTable:
             base = OFFSETS[name]
             for i, iv in enumerate(vals):
                 self.models[base + i] = init_context(iv, qp)
+        self.stat_coeff = [0, 0, 0, 0]
 
     def at(self, name: str, idx: int = 0):
         return self.models[OFFSETS[name] + idx]
@@ -122,4 +130,5 @@ class ContextModelTable:
     def copy(self):
         t = ContextModelTable.__new__(ContextModelTable)
         t.models = [m[:] for m in self.models]
+        t.stat_coeff = list(self.stat_coeff)
         return t

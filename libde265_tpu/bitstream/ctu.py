@@ -83,6 +83,10 @@ class SliceReader:
         self.qg_y = 0
         self.last_cu_qp = sh.SliceQPY
         self.cur_cu_qp = sh.SliceQPY
+        # TU-level chroma QP offsets (range ext, slice.cc:3610-3635)
+        self.cu_qp_offset_cb = 0
+        self.cu_qp_offset_cr = 0
+        self.is_cu_chroma_qp_offset_coded = False
 
         # geometry shorthands
         self.ctb_log2 = self.sps.Log2CtbSizeY
@@ -345,6 +349,12 @@ class SliceReader:
             # qPY_PREV update: QP of last decoded CU (spec 8.6.1)
             self.qp_y_pred_prev = self.last_cu_qp
 
+        # chroma QP offset group (range ext, slice.cc:4621-4624)
+        if self.sh.cu_chroma_qp_offset_enabled_flag and \
+                log2_size >= self.ctb_log2 - \
+                pps.diff_cu_chroma_qp_offset_depth:
+            self.is_cu_chroma_qp_offset_coded = False
+
         if split:
             half = 1 << (log2_size - 1)
             self._coding_quadtree(x0, y0, log2_size - 1, depth + 1)
@@ -542,8 +552,10 @@ class SliceReader:
                 idx = c.decode_bypass_bits(2)
                 cand = (0, 26, 10, 1)[idx]
                 cmode = 34 if cand == luma_mode else cand
+                self._last_cmode4 = False
             else:
                 cmode = luma_mode
+                self._last_cmode4 = True   # mode 4: copy of luma
             if cat == 2:
                 cmode = MAP_CHROMA_422[cmode]
             return cmode
@@ -555,6 +567,9 @@ class SliceReader:
                 frame.intra_mode_c[py >> 2:(py + pb_size) >> 2,
                                    px >> 2:(px + pb_size) >> 2] = \
                     read_cmode(modes[i])
+                frame.intra_cmode4[py >> 2:(py + pb_size) >> 2,
+                                   px >> 2:(px + pb_size) >> 2] = \
+                    1 if self._last_cmode4 else 0
         elif cat != 0:
             cmode = read_cmode(modes[0])
             size = 1 << log2_size
@@ -832,11 +847,32 @@ class SliceReader:
         if cbf_luma or cbf_cb or cbf_cr:
             if pps.cu_qp_delta_enabled_flag and not self.is_cu_qp_delta_coded:
                 self._decode_cu_qp_delta()
+            # TU-level chroma QP offset (range ext, slice.cc:3610-3635).
+            # NOTE the reference reads cu_chroma_qp_offset_idx as ONE bin
+            # regardless of list length (slice.cc:3621-3624) — mirrored
+            # here; the spec's TR binarization only differs for len>2.
+            if sh.cu_chroma_qp_offset_enabled_flag and (cbf_cb or cbf_cr) \
+                    and not self.cur_tq_bypass \
+                    and not self.is_cu_chroma_qp_offset_coded:
+                c_ = self.cabac
+                flag = c_.decode_bin(self.ctx.at("cu_chroma_qp_offset_flag"))
+                idx = 0
+                if flag and len(pps.cb_qp_offset_list) > 1:
+                    idx = c_.decode_bin(
+                        self.ctx.at("cu_chroma_qp_offset_idx"))
+                self.is_cu_chroma_qp_offset_coded = True
+                if flag:
+                    self.cu_qp_offset_cb = pps.cb_qp_offset_list[idx]
+                    self.cu_qp_offset_cr = pps.cr_qp_offset_list[idx]
+                else:
+                    self.cu_qp_offset_cb = 0
+                    self.cu_qp_offset_cr = 0
 
         qp_prime = self.cur_cu_qp + sps.QpBdOffsetY  # QP' luma (spec 8.6.1)
 
         # luma TU record (prediction always needed for intra; residual if cbf)
         coeffs = None
+        self._last_rdpcm = -1
         if cbf_luma:
             coeffs = self._residual_coding(x0, y0, log2_size, 0)
         intra_mode = int(frame.intra_mode_y[gy, gx]) \
@@ -846,7 +882,8 @@ class SliceReader:
             cidx=0, x=x0, y=y0, log2=log2_size, intra_mode=intra_mode,
             qp=qp_prime, transform_skip=(coeffs is not None and ts_flag),
             tq_bypass=self.cur_tq_bypass, pred_mode=self.cur_pred_mode,
-            coeffs=coeffs))
+            coeffs=coeffs,
+            explicit_rdpcm=(self._last_rdpcm if coeffs is not None else -1)))
 
         if chroma_here:
             sw, sh_ = sps.SubWidthC, sps.SubHeightC
@@ -862,10 +899,35 @@ class SliceReader:
             # 4:2:2: each luma TB carries TWO stacked square chroma TBs
             # (slice.cc:3671-3712); cbf masks select per-TB residuals
             n_tb = 2 if cat == 2 else 1
+            # cross-component prediction (range ext, 4:4:4 only):
+            # one (scale, sign) pair read per chroma component, before
+            # its residual, gated on cbf_luma and inter / chroma-mode-4
+            # (slice.cc:3678-3692, 3530-3558)
+            do_ccp = (cat == 3 and
+                      pps.cross_component_prediction_enabled_flag and
+                      bool(cbf_luma) and
+                      (self.cur_pred_mode != MODE_INTRA or
+                       bool(frame.intra_cmode4[y0 >> 2, x0 >> 2])))
             for ci, cbf in ((1, cbf_cb), (2, cbf_cr)):
+                res_scale = 0
+                if do_ccp:
+                    c_ = self.cabac
+                    v = 0
+                    for b in range(4):
+                        if c_.decode_bin(self.ctx.at(
+                                "log2_res_scale_abs_plus1",
+                                4 * (ci - 1) + b)):
+                            v += 1
+                        else:
+                            break
+                    if v:
+                        sgn = c_.decode_bin(self.ctx.at(
+                            "res_scale_sign_flag", ci - 1))
+                        res_scale = (1 << (v - 1)) * (1 - 2 * sgn)
                 for tb in range(n_tb):
                     yoff = tb << clog2
                     ccoeffs = None
+                    self._last_rdpcm = -1
                     if cbf & (1 << tb):
                         ccoeffs = self._residual_coding(
                             cx, cy_ + yoff, clog2, ci)
@@ -876,12 +938,17 @@ class SliceReader:
                         intra_mode=cmode, qp=cqp,
                         transform_skip=(ccoeffs is not None and cts),
                         tq_bypass=self.cur_tq_bypass,
-                        pred_mode=self.cur_pred_mode, coeffs=ccoeffs))
+                        pred_mode=self.cur_pred_mode, coeffs=ccoeffs,
+                        cross_comp_alpha=res_scale,
+                        explicit_rdpcm=(self._last_rdpcm
+                                        if ccoeffs is not None else -1)))
 
     def _chroma_qp(self, cidx):
         sps, pps, sh = self.sps, self.pps, self.sh
-        off = (pps.pic_cb_qp_offset + sh.slice_cb_qp_offset) if cidx == 1 else \
-            (pps.pic_cr_qp_offset + sh.slice_cr_qp_offset)
+        off = (pps.pic_cb_qp_offset + sh.slice_cb_qp_offset +
+               self.cu_qp_offset_cb) if cidx == 1 else \
+            (pps.pic_cr_qp_offset + sh.slice_cr_qp_offset +
+             self.cu_qp_offset_cr)
         qpi = clip3(-sps.QpBdOffsetC, 57, self.cur_cu_qp + off)
         return chroma_qp_from_luma(qpi, sps.ChromaArrayType) + sps.QpBdOffsetC
 
@@ -918,6 +985,25 @@ class SliceReader:
                 log2_size <= pps.log2_max_transform_skip_block_size:
             self._last_ts_flag = bool(c.decode_bin(
                 self.ctx.at("transform_skip_flag", 0 if cidx == 0 else 1)))
+
+        # explicit RDPCM (range ext): inter CUs with tskip/bypass residual
+        # (reference residual_coding, slice.cc:2937-2951)
+        self._last_rdpcm = -1
+        if self.cur_pred_mode == MODE_INTER and \
+                sps.explicit_rdpcm_enabled_flag and \
+                (self._last_ts_flag or self.cur_tq_bypass):
+            if c.decode_bin(self.ctx.at("explicit_rdpcm_flag",
+                                        0 if cidx == 0 else 1)):
+                d = c.decode_bin(self.ctx.at("explicit_rdpcm_dir_flag",
+                                             0 if cidx == 0 else 1))
+                self._last_rdpcm = 2 if d else 1
+
+        # persistent Rice adaptation state class (slice.cc:2957-2961)
+        sb_type = (2 if cidx == 0 else 0) + \
+            (1 if (self._last_ts_flag or self.cur_tq_bypass) else 0)
+        persistent = bool(sps.persistent_rice_adaptation_enabled_flag)
+        ts_ctx = bool(sps.transform_skip_context_enabled_flag) and \
+            (self.cur_tq_bypass or self._last_ts_flag)
 
         # scan index (spec 7.4.9.11)
         scan_idx = SCAN_DIAG
@@ -996,8 +1082,9 @@ class SliceReader:
                     continue
                 if n == 0 and infer_sb_dc and sig_pos:
                     pass  # decode normally below
-                ctx_inc = self._sig_ctx(xC, yC, xS, yS, log2_size, cidx,
-                                        scan_idx, csbf, nsb)
+                ctx_inc = (42 if cidx == 0 else 43) if ts_ctx else \
+                    self._sig_ctx(xC, yC, xS, yS, log2_size, cidx,
+                                  scan_idx, csbf, nsb)
                 cabac_mod.TRACE_LABEL[0] = f"sigctx={ctx_inc}"
                 if c.decode_bin(self.ctx.at("sig_coeff_flag", ctx_inc)):
                     sig_pos.append(n)
@@ -1045,7 +1132,12 @@ class SliceReader:
                     signs[n] = c.decode_bypass()
 
             cabac_mod.TRACE_LABEL[0] = f"remaining i={i}"
-            rice = 0
+            # persistent Rice adaptation (range ext): the Rice parameter
+            # starts from StatCoeff[sbType]/4 per subblock and StatCoeff
+            # adapts on the subblock's FIRST remaining-coded level
+            # (reference slice.cc:3330-3376)
+            rice = self.ctx.stat_coeff[sb_type] >> 2 if persistent else 0
+            first_rem = True
             sum_abs = 0
             values = {}
             for k, n in enumerate(sig_pos):
@@ -1056,7 +1148,14 @@ class SliceReader:
                     rem = self._decode_remaining(rice)
                     level = base + rem
                     if level > (3 << rice):
-                        rice = min(rice + 1, 4)
+                        rice = rice + 1 if persistent else min(rice + 1, 4)
+                    if persistent and first_rem:
+                        sc = self.ctx.stat_coeff[sb_type]
+                        if rem >= (3 << (sc >> 2)):
+                            self.ctx.stat_coeff[sb_type] = sc + 1
+                        elif 2 * rem < (1 << (sc >> 2)) and sc > 0:
+                            self.ctx.stat_coeff[sb_type] = sc - 1
+                    first_rem = False
                 values[n] = level
                 sum_abs += level
             if hidden and (sum_abs & 1):

@@ -89,6 +89,17 @@ class EncoderConfig:
     rdo: bool = False                 # RD-optimized mode decision (rdo.py)
     rdo_search_range: int = 8         # integer-pel motion search range
     bitrate_kbps: float = 0.0         # >0: rate control (ratectrl.py)
+    # ---- range-extension residual tools (round 5; reference
+    # slice.cc:2937-2951,3330-3366,3530-3558, transform.cc:235-251,395-429)
+    tskip_rotation: bool = False      # SPS: rotate 4x4 intra ts/bypass
+    transform_skip_context: bool = False  # SPS: sig ctx 42/43 for ts/bypass
+    implicit_rdpcm: bool = False      # SPS: intra ts/bypass mode 10/26 DPCM
+    explicit_rdpcm: bool = False      # SPS: inter ts/bypass signalled DPCM
+    persistent_rice: bool = False     # SPS: StatCoeff Rice adaptation
+    intra_smoothing_disabled: bool = False  # SPS: no [1,2,1]/strong filter
+    cross_comp_pred: bool = False     # PPS: chroma-from-luma residual
+                                      # prediction (4:4:4 only)
+    chroma_qp_offset_list: tuple = ()  # PPS: ((cb,cr),..) TU-level offsets
 
     @property
     def maxval(self):
@@ -223,6 +234,25 @@ class Encoder:
         if cfg.chroma_format != 1:
             # RDO mode decision is tuned for 4:2:0 distortion weighting
             assert not cfg.rdo, "non-4:2:0: no RDO"
+        if cfg.cross_comp_pred:
+            assert cfg.chroma_format == 3, "cross-comp pred is 4:4:4-only"
+            assert not cfg.nxn_intra, "ccp vectors: 2Nx2N intra only"
+        if cfg.chroma_qp_offset_list:
+            # the reference reads cu_chroma_qp_offset_idx as ONE bin
+            # (slice.cc:3621-3624) — keep lists at <=2 entries
+            assert len(cfg.chroma_qp_offset_list) <= 2
+            assert all(-12 <= v <= 12 for p in cfg.chroma_qp_offset_list
+                       for v in p)
+            assert not cfg.nxn_intra and not cfg.rdo
+        if cfg.persistent_rice:
+            # the reference leaves StatCoeff uninitialized across
+            # dependent-slice / WPP thread contexts (decctx.cc:57-90) —
+            # dec265's behaviour there is undefined; keep the oracle
+            # well-defined
+            assert not cfg.dependent_slices and not cfg.wpp
+        if cfg.implicit_rdpcm or cfg.explicit_rdpcm or cfg.tskip_rotation:
+            assert cfg.transform_skip or cfg.tq_bypass, \
+                "rdpcm/rotation need a tskip or bypass residual path"
         # self-parse our own headers for exact derived geometry
         self.sps_nal = write_sps(cfg)
         self.pps_nal = write_pps(cfg)
@@ -234,6 +264,10 @@ class Encoder:
         self._basis_cache = {}
         self.cur_qp = cfg.qp           # per-frame QP (rate control)
         self._pending_qp_delta = None
+        self._ctb_counter = 0          # chroma-qp-offset group cycle
+        self._cuc_qp_off = (0, 0)      # active TU-level chroma offsets
+        self._chroma_off_coded = True
+        self._chroma_off_next = (False, 0)
         self._frame_base_qp = cfg.qp
         self.rc = None
         if getattr(cfg, "bitrate_kbps", 0):
@@ -456,6 +490,19 @@ class Encoder:
                      if r0 <= rs // wc < r1]
             for i, rs in enumerate(addrs):
                 cx, cy = rs % wc, rs // wc
+                if cfg.chroma_qp_offset_list:
+                    # per-group (=CTB, diff depth 0) offset decision —
+                    # fixed BEFORE any quantization in the group, emitted
+                    # lazily at the first chroma-cbf TU
+                    t = self._ctb_counter
+                    self._ctb_counter += 1
+                    flag = (t % 3) != 2
+                    oidx = (t >> 1) % len(cfg.chroma_qp_offset_list) \
+                        if flag else 0
+                    self._chroma_off_next = (flag, oidx)
+                    self._chroma_off_coded = False
+                    self._cuc_qp_off = tuple(
+                        cfg.chroma_qp_offset_list[oidx]) if flag else (0, 0)
                 last_in_slice = (i == len(addrs) - 1)
                 last_ctb = last_in_slice
                 # substream boundary after this CTB?
@@ -609,6 +656,7 @@ class Encoder:
         # predict + residual on luma and both chroma planes
         n = 1 << log2_size
         coeffs_y = self._intra_predict_and_quant(0, x0, y0, log2_size, mode)
+        y_rext = (self._last_ts, self._last_rdpcm, self._last_rot)
         cbf_y = coeffs_y is not None
         if cat == 0:
             sw.write_cbf_luma(True, cbf_y)
@@ -616,8 +664,11 @@ class Encoder:
             if cbf_y:
                 self._maybe_write_qp_delta(sw)
                 sw.write_residual(coeffs_y, log2_size,
-                                  0, self._scan_for(mode, log2_size, 0))
-            self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y)
+                                  0, self._scan_for(mode, log2_size, 0),
+                                  ts=y_rext[0])
+            self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y,
+                              ts=y_rext[0], rdpcm=y_rext[1],
+                              rotate=y_rext[2])
             return
         # chroma geometry per format; 4:2:2 codes two stacked TBs per
         # plane and remaps the derived (DM) mode through Table 8-23
@@ -626,19 +677,41 @@ class Encoder:
         clog2 = log2_size if cat == 3 else log2_size - 1
         cx, cy_ = x0 // sw_c, y0 // sh_c
         n_tb = 2 if cat == 2 else 1
+        # cross-component prediction (range ext, 4:4:4, derived chroma
+        # mode — always "mode 4" for this encoder): deterministic alpha
+        # cycle per CU; the chroma residual is coded MINUS the scaled
+        # luma residual, the decoder adds it back (transform.cc:235-251)
+        ccp = self.cfg.cross_comp_pred and cat == 3 and cbf_y
+        alphas = {1: 0, 2: 0}
+        ccp_terms = {}
+        if ccp:
+            cyc = (1, -2, 4, 0, -8, 2, -1, 8)
+            alphas[1] = cyc[idx % len(cyc)]
+            alphas[2] = cyc[(idx + 3) % len(cyc)]
+            res_l = self._residual_from_coeffs(
+                0, log2_size, coeffs_y, y_rext[0], y_rext[1], y_rext[2])
+            bd_c = bd_y = self.cfg.bit_depth
+            rl = ((res_l.astype(np.int64) << bd_c) >> bd_y)
+            for ci in (1, 2):
+                ccp_terms[ci] = (alphas[ci] * rl) >> 3
         # quantize + reconstruct chroma TB-sequentially (the 4:2:2 bottom
         # TB predicts from the top TB's reconstruction), then write the
         # bitstream in syntax order (all cbf flags precede residuals)
         cco = {}
-        cts = {}
+        crext = {}
         for ci in (1, 2):
             for tb in range(n_tb):
                 yc = cy_ + (tb << clog2)
                 cco[ci, tb] = self._intra_predict_and_quant(
-                    ci, cx, yc, clog2, cmode, defer=True)
-                cts[ci, tb] = self._last_ts
-                self._recon_intra(ci, cx, yc, clog2, cmode, cco[ci, tb],
-                                  ts=cts[ci, tb])
+                    ci, cx, yc, clog2, cmode, defer=True,
+                    ccp_sub=ccp_terms.get(ci) if alphas[ci] else None)
+                crext[ci, tb] = (self._last_ts, self._last_rdpcm,
+                                 self._last_rot)
+                self._recon_intra(
+                    ci, cx, yc, clog2, cmode, cco[ci, tb],
+                    ts=crext[ci, tb][0], rdpcm=crext[ci, tb][1],
+                    rotate=crext[ci, tb][2],
+                    ccp_add=ccp_terms.get(ci) if alphas[ci] else None)
         # transform tree: no split (maxdepth 0, log2<=MaxTb); the 4:2:2
         # second cbf bit follows the first at non-split nodes
         for ci in (1, 2):
@@ -646,18 +719,24 @@ class Encoder:
                 sw.write_cbf_chroma(0, cco[ci, tb] is not None)
         sw.write_cbf_luma(True, cbf_y)
         sw.record_tu(x0, y0, log2_size, cbf_y)
-        if cbf_y or any(v is not None for v in cco.values()):
+        any_chroma = any(v is not None for v in cco.values())
+        if cbf_y or any_chroma:
             self._maybe_write_qp_delta(sw)
+            self._maybe_write_chroma_qp_offset(sw, any_chroma)
         if cbf_y:
             sw.write_residual(coeffs_y, log2_size,
-                              0, self._scan_for(mode, log2_size, 0))
-        self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y)
+                              0, self._scan_for(mode, log2_size, 0),
+                              ts=y_rext[0])
+        self._recon_intra(0, x0, y0, log2_size, mode, coeffs_y,
+                          ts=y_rext[0], rdpcm=y_rext[1], rotate=y_rext[2])
         for ci in (1, 2):
+            if ccp:
+                sw.write_cross_comp(ci, alphas[ci])
             for tb in range(n_tb):
                 if cco[ci, tb] is not None:
                     sw.write_residual(cco[ci, tb], clog2, ci,
                                       self._scan_for(cmode, clog2, ci),
-                                      ts=cts[ci, tb])
+                                      ts=crext[ci, tb][0])
 
     def _emit_intra_nxn_cu(self, sw, x0, y0, idx):
         """8x8 PART_NxN intra CU: 4 luma modes + forced TT split
@@ -781,6 +860,8 @@ class Encoder:
         if cidx == 0:
             return self.cur_qp + bd_off
         off = self.cfg.cb_qp_offset if cidx == 1 else self.cfg.cr_qp_offset
+        if self.cfg.chroma_qp_offset_list:
+            off += self._cuc_qp_off[cidx - 1]
         qpi = max(-bd_off, min(57, self.cur_qp + off))
         return chroma_qp_from_luma(qpi, self.sps.ChromaArrayType) + bd_off
 
@@ -867,31 +948,88 @@ class Encoder:
             sw.write_cu_qp_delta(self._pending_qp_delta)
             self._pending_qp_delta = None
 
+    def _maybe_write_chroma_qp_offset(self, sw, has_chroma_cbf):
+        """TU-level chroma QP offset (range ext): signalled at the first
+        chroma-cbf TU of each group (= CTB with diff depth 0); the
+        per-group decision was fixed at CTB start so quantization already
+        used it (reader: slice.cc:3610-3635)."""
+        if not self.cfg.chroma_qp_offset_list or not has_chroma_cbf:
+            return
+        if getattr(self, "_cur_bypass", False) or self._chroma_off_coded:
+            return
+        flag, oidx = self._chroma_off_next
+        sw.write_cu_chroma_qp_offset(flag, oidx)
+        self._chroma_off_coded = True
+
     def _tskip_for(self, x, y, log2):
         """Deterministic per-TU transform-skip choice for 4x4 TUs when
         the config enables it (vector generation: alternate by position)."""
         return bool(self.cfg.transform_skip) and log2 == 2 and \
             (((x >> 2) + (y >> 2)) & 1) == 1
 
-    def _intra_predict_and_quant(self, cidx, x, y, log2, mode, defer=False):
-        """Returns quantized coeffs or None if all-zero. Prediction uses the
-        current recon (neighbors already reconstructed in z-order).
-        Sets self._last_ts to the block's transform_skip_flag."""
+    def _rext_intra(self, mode, ts):
+        """(rdpcm, rotate) for an intra TU given the configured range-ext
+        tools (mirrors decode_TU, slice.cc:3446-3455, and the rotation
+        gate, transform.cc:395-397)."""
+        byp = getattr(self, "_cur_bypass", False)
+        rdpcm = 0
+        if self.cfg.implicit_rdpcm and (byp or ts) and mode in (10, 26):
+            rdpcm = 1 if mode == 10 else 2
+        rotate = self.cfg.tskip_rotation and (byp or ts)
+        return rdpcm, rotate
+
+    def _intra_predict_and_quant(self, cidx, x, y, log2, mode, defer=False,
+                                 ccp_sub=None):
+        """Returns the EMITTED coeff array or None if all-zero. Prediction
+        uses the current recon (neighbors already reconstructed in
+        z-order). Sets self._last_ts / _last_rdpcm / _last_rot.
+        ccp_sub: cross-component predictor ((alpha*resL')>>3) already
+        scaled — subtracted from the residual before quantization."""
         pred = self._intra_pred(cidx, x, y, log2, mode)
         n = 1 << log2
         src = self.src[cidx][y:y + n, x:x + n].astype(np.int32)
         residual = src - pred
+        if ccp_sub is not None:
+            residual = residual - ccp_sub
         self._last_ts = False
+        self._last_rdpcm = 0
+        self._last_rot = False
         if getattr(self, "_cur_bypass", False):
-            q = np.clip(residual, -32767, 32767).astype(np.int32)
+            rdpcm, rotate = self._rext_intra(mode, False)
+            rotate = rotate and log2 == 2
+            q = np.clip(residual, -32767, 32767).astype(np.int64)
+            if rdpcm == 1:
+                q = np.diff(q, axis=1, prepend=0)
+            elif rdpcm == 2:
+                q = np.diff(q, axis=0, prepend=0)
+            q = np.clip(q, -32767, 32767).astype(np.int32)
+            if rotate:
+                q = q[::-1, ::-1].copy()
+            self._last_rdpcm, self._last_rot = rdpcm, rotate
             return q if q.any() else None
         ts = self._tskip_for(x, y, log2)
+        rdpcm, rotate = self._rext_intra(mode, ts)
+        rotate = rotate and ts and log2 == 2
         is_dst = (cidx == 0 and log2 == 2 and not ts)
-        q = self._quantize(residual, log2, self._qp_for(cidx), is_dst, cidx,
-                           True, tskip=ts)
+        if rdpcm and ts:
+            # DPCM the residual, quantize the differences; the closed
+            # loop recon runs the decoder-exact cumsum path
+            d = np.diff(residual.astype(np.int64), axis=2 - rdpcm,
+                        prepend=0)
+            q = self._quantize(d.astype(np.int32), log2,
+                               self._qp_for(cidx), False, cidx,
+                               True, tskip=True)
+        else:
+            rdpcm = 0
+            q = self._quantize(residual, log2, self._qp_for(cidx), is_dst,
+                               cidx, True, tskip=ts)
+        if rotate:
+            q = q[::-1, ::-1].copy()
         if not q.any():
+            self._last_rot = False
             return None
         self._last_ts = ts
+        self._last_rdpcm, self._last_rot = rdpcm, rotate
         return self._apply_sdh(q, log2, self._scan_for(mode, log2, cidx))
 
     def _intra_pred(self, cidx, x, y, log2, mode):
@@ -899,23 +1037,41 @@ class Encoder:
         bd = self.cfg.bit_depth
         ref = gather_border(self.frame, self.recon, self.avail, x, y, log2,
                             cidx, bd)
-        fref = intra_ref.filter_border(ref, n, mode, cidx, bd,
-                                       bool(self.cfg.strong_intra_smoothing),
-                                       c444=self.sps.ChromaArrayType == 3)
-        return intra_ref.predict(fref, mode, log2, cidx, bd)
+        if self.cfg.intra_smoothing_disabled:
+            fref = ref     # range ext: no smoothing (intrapred.cc:1085)
+        else:
+            fref = intra_ref.filter_border(
+                ref, n, mode, cidx, bd,
+                bool(self.cfg.strong_intra_smoothing),
+                c444=self.sps.ChromaArrayType == 3)
+        dbf = self.cfg.implicit_rdpcm and getattr(self, "_cur_bypass", False)
+        return intra_ref.predict(fref, mode, log2, cidx, bd,
+                                 disable_boundary_filter=dbf)
 
-    def _recon_intra(self, cidx, x, y, log2, mode, coeffs, ts=False):
+    def _residual_from_coeffs(self, cidx, log2, coeffs, ts, rdpcm=0,
+                              rotate=False, is_intra=True):
+        """Decoder-exact residual from emitted coeffs (the closed loop)."""
+        is_dst = (cidx == 0 and log2 == 2 and is_intra and not ts)
+        smat, sdc = self._smat(log2, cidx, is_intra)
+        if getattr(self, "_cur_bypass", False):
+            smat = sdc = None
+        return transform_ref.scale_and_inv_transform(
+            coeffs, self._qp_for(cidx), log2, is_dst, ts,
+            getattr(self, "_cur_bypass", False) and True,
+            self.cfg.bit_depth, smat, sdc, rdpcm=rdpcm, rotate=rotate)
+
+    def _recon_intra(self, cidx, x, y, log2, mode, coeffs, ts=False,
+                     rdpcm=0, rotate=False, ccp_add=None):
         pred = self._intra_pred(cidx, x, y, log2, mode)
         n = 1 << log2
-        if coeffs is not None:
-            is_dst = (cidx == 0 and log2 == 2 and not ts)
-            smat, sdc = self._smat(log2, cidx, True)
-            if getattr(self, "_cur_bypass", False):
-                smat = sdc = None
-            res = transform_ref.scale_and_inv_transform(
-                coeffs, self._qp_for(cidx), log2, is_dst, ts,
-                getattr(self, "_cur_bypass", False) and True,
-                self.cfg.bit_depth, smat, sdc)
+        if coeffs is not None or ccp_add is not None:
+            if coeffs is not None:
+                res = self._residual_from_coeffs(cidx, log2, coeffs, ts,
+                                                 rdpcm, rotate)
+            else:
+                res = np.zeros((n, n), np.int64)
+            if ccp_add is not None:
+                res = res + ccp_add
             out = np.clip(pred + res, 0, self.cfg.maxval)
         else:
             out = np.clip(pred, 0, self.cfg.maxval)
@@ -988,16 +1144,30 @@ class Encoder:
             self._emit_inter_tt_split(sw, x0, y0, log2_size, pred)
             return
         coeffs = None
+        rdpcm = 0
         if with_residual:
             src = self.src[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
             residual = src - pred[0]
-            if getattr(self, "_cur_bypass", False):
-                coeffs = np.clip(residual, -32767, 32767).astype(np.int32)
+            byp0 = getattr(self, "_cur_bypass", False)
+            if byp0 and cfg.explicit_rdpcm:
+                # explicit RDPCM (range ext) on lossless inter CUs:
+                # deterministic direction cycle (none/h/v); coeffs are
+                # the DPCM differences (transform.cc:549-560).
+                # (_cur_bypass is idx%3==0, so cycle on idx//3.)
+                rdpcm = (idx // 3) % 3
+            if byp0:
+                r = np.clip(residual, -32767, 32767).astype(np.int64)
+                if rdpcm == 1:
+                    r = np.diff(r, axis=1, prepend=0)
+                elif rdpcm == 2:
+                    r = np.diff(r, axis=0, prepend=0)
+                coeffs = np.clip(r, -32767, 32767).astype(np.int32)
             else:
                 coeffs = self._quantize(residual, log2_size, self._qp_for(0),
                                         False, 0, False)
             if not coeffs.any():
                 coeffs = None
+                rdpcm = 0
             coeffs = self._apply_sdh(coeffs, log2_size, SCAN_DIAG)
         # rqt_root_cbf (merge==0 -> always present)
         sw.write_rqt_root_cbf(coeffs is not None)
@@ -1010,22 +1180,33 @@ class Encoder:
                 for _ in range(2 * (2 if cat == 2 else 1)):
                     sw.write_cbf_chroma(0, False)
             self._maybe_write_qp_delta(sw)
-            sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG)
-            smat, sdc = self._smat(log2_size, 0, False)
+            sw.write_residual(coeffs, log2_size, 0, SCAN_DIAG,
+                              inter=True, rdpcm=rdpcm)
             byp = getattr(self, "_cur_bypass", False)
-            if byp:
-                smat = sdc = None
-            res = transform_ref.scale_and_inv_transform(
-                coeffs, self._qp_for(0), log2_size, False, False, byp,
-                self.cfg.bit_depth, smat, sdc)
+            res = self._residual_from_coeffs(0, log2_size, coeffs, False,
+                                             rdpcm, False, is_intra=False)
             out = np.clip(pred[0] + res, 0, self.cfg.maxval)
             dt = self.cfg.pix_dtype
             self.recon[0][y0:y0 + size, x0:x0 + size] = out.astype(dt)
             sw_, sh2 = self.sps.SubWidthC, self.sps.SubHeightC
+            cpred = [None, pred[1], pred[2]]
+            if cat == 3 and cfg.cross_comp_pred:
+                # the decoder reads cross-comp syntax for every inter TU
+                # with cbf_luma (even with chroma cbf 0) and ADDS the
+                # scaled luma residual to the chroma planes
+                cyc = (0, 1, -4, 2, 0, -1, 8, -2)
+                rl = res.astype(np.int64)   # equal bit depths: shifts cancel
+                for ci in (1, 2):
+                    alpha = cyc[(idx + ci) % len(cyc)]
+                    sw.write_cross_comp(ci, alpha)
+                    if alpha:
+                        cpred[ci] = np.clip(
+                            pred[ci].astype(np.int64) + ((alpha * rl) >> 3),
+                            0, self.cfg.maxval)
             self.recon[1][y0 // sh2:(y0 + size) // sh2,
-                          x0 // sw_:(x0 + size) // sw_] = pred[1].astype(dt)
+                          x0 // sw_:(x0 + size) // sw_] = cpred[1].astype(dt)
             self.recon[2][y0 // sh2:(y0 + size) // sh2,
-                          x0 // sw_:(x0 + size) // sw_] = pred[2].astype(dt)
+                          x0 // sw_:(x0 + size) // sw_] = cpred[2].astype(dt)
         else:
             dt = self.cfg.pix_dtype
             self.recon[0][y0:y0 + size, x0:x0 + size] = pred[0].astype(dt)
@@ -1147,7 +1328,7 @@ class Encoder:
             sw.record_tu(px, py, log2_size - 1, cbf_l)
             if cbf_l:
                 sw.write_residual(ly[i], log2_size - 1, 0, SCAN_DIAG,
-                                  ts=lts[i])
+                                  ts=lts[i], inter=True)
             if cat != 0:
                 for ci, cc in ((1, ccb), (2, ccr)):
                     if cc is not None:

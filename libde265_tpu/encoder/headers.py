@@ -127,7 +127,26 @@ def write_sps(cfg):
         w.put_bit(0)   # bitstream_restriction
     else:
         w.put_bit(0)   # vui_present
-    w.put_bit(0)       # extension
+    # SPS range extension (spec 7.3.2.2.2) — emitted when any rext
+    # residual tool is configured (round 5)
+    sps_rext = any(getattr(cfg, k, False) for k in (
+        "tskip_rotation", "transform_skip_context", "implicit_rdpcm",
+        "explicit_rdpcm", "persistent_rice", "intra_smoothing_disabled"))
+    if sps_rext:
+        w.put_bit(1)   # sps_extension_present
+        w.put_bit(1)   # sps_range_extension_flag
+        w.put_bits(0, 7)  # multilayer + 6 reserved bits
+        w.put_bit(1 if getattr(cfg, "tskip_rotation", False) else 0)
+        w.put_bit(1 if getattr(cfg, "transform_skip_context", False) else 0)
+        w.put_bit(1 if getattr(cfg, "implicit_rdpcm", False) else 0)
+        w.put_bit(1 if getattr(cfg, "explicit_rdpcm", False) else 0)
+        w.put_bit(0)   # extended_precision_processing
+        w.put_bit(1 if getattr(cfg, "intra_smoothing_disabled", False) else 0)
+        w.put_bit(0)   # high_precision_offsets
+        w.put_bit(1 if getattr(cfg, "persistent_rice", False) else 0)
+        w.put_bit(0)   # cabac_bypass_alignment
+    else:
+        w.put_bit(0)   # extension
     w.rbsp_trailing()
     return add_emulation_prevention(w.data())
 
@@ -199,7 +218,28 @@ def write_pps(cfg):
     w.put_bit(1 if getattr(cfg, 'ref_list_reverse', False) else 0)  # lists_modification_present
     w.put_uvlc(0)      # log2_parallel_merge_level_minus2
     w.put_bit(0)       # slice_segment_header_extension
-    w.put_bit(0)       # pps_extension
+    # PPS range extension (spec 7.3.2.3.2): cross-component prediction
+    # and/or TU-level chroma QP offset lists (round 5)
+    ccp = getattr(cfg, "cross_comp_pred", False)
+    cqol = getattr(cfg, "chroma_qp_offset_list", ())
+    if ccp or cqol:
+        w.put_bit(1)   # pps_extension_present
+        w.put_bit(1)   # pps_range_extension_flag
+        w.put_bits(0, 7)
+        if cfg.transform_skip:
+            w.put_uvlc(0)   # log2_max_transform_skip_block_size_minus2
+        w.put_bit(1 if ccp else 0)
+        w.put_bit(1 if cqol else 0)
+        if cqol:
+            w.put_uvlc(0)   # diff_cu_chroma_qp_offset_depth
+            w.put_uvlc(len(cqol) - 1)
+            for cb, cr in cqol:
+                w.put_svlc(cb)
+                w.put_svlc(cr)
+        w.put_uvlc(0)  # log2_sao_offset_scale_luma
+        w.put_uvlc(0)  # log2_sao_offset_scale_chroma
+    else:
+        w.put_bit(0)   # pps_extension
     w.rbsp_trailing()
     return add_emulation_prevention(w.data())
 
@@ -305,6 +345,8 @@ def write_slice_header(cfg, nal_type, slice_type, poc, first_ctb=0,
                 num_active if num_active is not None else cfg.num_ref_l0)
         w.put_uvlc(5 - cfg.max_merge_cand)
     w.put_svlc(qp_delta)     # slice_qp_delta (rate control / per-frame QP)
+    if getattr(cfg, "chroma_qp_offset_list", ()):
+        w.put_bit(1)         # cu_chroma_qp_offset_enabled_flag (rext)
     dbd = cfg.disable_deblocking
     if getattr(cfg, 'mixed_filter_slices', False) and deblock_disabled is not None:
         # deblocking_filter_override_enabled=1: per-slice override

@@ -79,6 +79,7 @@ def _clone_ctx(ctx):
     from ..bitstream.contextmodel import ContextModelTable
     t = ContextModelTable.__new__(ContextModelTable)
     t.models = [m[:] for m in ctx.models]
+    t.stat_coeff = list(getattr(ctx, "stat_coeff", [0, 0, 0, 0]))
     return t
 
 

@@ -82,6 +82,7 @@ class SliceWriter:
         import copy
         t = ContextModelTable.__new__(ContextModelTable)
         t.models = [m[:] for m in self.ctx.models]
+        t.stat_coeff = list(self.ctx.stat_coeff)
         return t
 
     def finish(self):
@@ -193,6 +194,33 @@ class SliceWriter:
         f.pred_mode[gy:gy + gs, gx:gx + gs] = pred_mode
         f.skip_flag[gy:gy + gs, gx:gx + gs] = 1 if skip else 0
         f.qp_y[gy:gy + gs, gx:gx + gs] = self.sh.SliceQPY
+
+    def write_cross_comp(self, ci, alpha):
+        """Cross-component prediction syntax for one chroma component
+        (range ext, reference read_cross_comp_pred slice.cc:3530-3558):
+        TR-coded log2_res_scale_abs_plus1 (cMax 4) + sign. alpha is the
+        ResScaleVal: 0 or +/- a power of two up to 8."""
+        c = self.cabac
+        v = 0 if alpha == 0 else abs(alpha).bit_length()
+        assert v <= 4 and (alpha == 0 or abs(alpha) == 1 << (v - 1))
+        for b in range(v):
+            c.encode_bin(self.ctx.at("log2_res_scale_abs_plus1",
+                                     4 * (ci - 1) + b), 1)
+        if v < 4:
+            c.encode_bin(self.ctx.at("log2_res_scale_abs_plus1",
+                                     4 * (ci - 1) + v), 0)
+        if v:
+            c.encode_bin(self.ctx.at("res_scale_sign_flag", ci - 1),
+                         1 if alpha < 0 else 0)
+
+    def write_cu_chroma_qp_offset(self, flag, idx=0):
+        """TU-level chroma QP offset (range ext, slice.cc:3610-3635).
+        Mirrors the reference's ONE-bin idx read."""
+        c = self.cabac
+        c.encode_bin(self.ctx.at("cu_chroma_qp_offset_flag"),
+                     1 if flag else 0)
+        if flag and len(self.pps.cb_qp_offset_list) > 1:
+            c.encode_bin(self.ctx.at("cu_chroma_qp_offset_idx"), idx)
 
     def write_tq_bypass(self, x0, y0, size, flag):
         self.cur_tq_bypass = bool(flag)
@@ -482,19 +510,34 @@ class SliceWriter:
 
     # ------------------------------------------------------ residual (7.3.8.11)
     def write_residual(self, coeffs, log2_size, cidx, scan_idx=SCAN_DIAG,
-                       ts=False):
+                       ts=False, inter=False, rdpcm=0):
         """coeffs: (n,n) int array (y,x). Mirrors the reader exactly.
         ts: transform_skip_flag for this block (written whenever the PPS
         enables transform skip, the block size allows it, and the CU is
         not transquant-bypassed — spec 7.3.8.11; omitting the bypass
         guard desynced every conforming decoder on lossless x tskip
-        streams, the round-4 known bug)."""
+        streams, the round-4 known bug).
+        inter: CU pred mode is inter — gates the explicit-rdpcm syntax
+        (range ext, slice.cc:2937-2951); rdpcm 0 none / 1 h / 2 v."""
         c = self.cabac
-        if self.pps.transform_skip_enabled_flag and \
-                not getattr(self, "cur_tq_bypass", False) and \
+        bypass = getattr(self, "cur_tq_bypass", False)
+        if self.pps.transform_skip_enabled_flag and not bypass and \
                 log2_size <= self.pps.log2_max_transform_skip_block_size:
             c.encode_bin(self.ctx.at("transform_skip_flag",
                                      0 if cidx == 0 else 1), 1 if ts else 0)
+        if inter and self.sps.explicit_rdpcm_enabled_flag and (ts or bypass):
+            c.encode_bin(self.ctx.at("explicit_rdpcm_flag",
+                                     0 if cidx == 0 else 1),
+                         1 if rdpcm else 0)
+            if rdpcm:
+                c.encode_bin(self.ctx.at("explicit_rdpcm_dir_flag",
+                                         0 if cidx == 0 else 1),
+                             1 if rdpcm == 2 else 0)
+        # persistent Rice adaptation + transform-skip sig-ctx (range ext)
+        sb_type = (2 if cidx == 0 else 0) + (1 if (ts or bypass) else 0)
+        persistent = bool(self.sps.persistent_rice_adaptation_enabled_flag)
+        ts_ctx = bool(self.sps.transform_skip_context_enabled_flag) and \
+            (ts or bypass)
         size = 1 << log2_size
         nz = np.nonzero(coeffs)
         assert len(nz[0]) > 0
@@ -597,8 +640,9 @@ class SliceWriter:
                     assert sig, "inferred-DC subblock with zero DC"
                     sig_pos.append(0)
                     continue
-                ctx_inc = _sig_ctx(xC, yC, xS, yS, log2_size, cidx,
-                                   scan_idx, csbf, nsb)
+                ctx_inc = (42 if cidx == 0 else 43) if ts_ctx else \
+                    _sig_ctx(xC, yC, xS, yS, log2_size, cidx,
+                             scan_idx, csbf, nsb)
                 c.encode_bin(self.ctx.at("sig_coeff_flag", ctx_inc), sig)
                 if sig:
                     sig_pos.append(n)
@@ -636,14 +680,16 @@ class SliceWriter:
             # order of a wide-enough sub-block omits its sign — the
             # encoder pre-normalized the level-sum parity to carry it
             # (reader: ctu.py sign_hiding/sum_abs)
-            hidden = bool(self.pps.sign_data_hiding_flag) and \
-                (sig_pos[0] - sig_pos[-1] > 3)
+            hidden = bool(self.pps.sign_data_hiding_flag) and not bypass \
+                and (sig_pos[0] - sig_pos[-1] > 3)
             for k, lv in enumerate(levels):
                 if hidden and k == len(levels) - 1:
                     continue
                 c.encode_bypass(1 if lv < 0 else 0)
-            # remaining
-            rice = 0
+            # remaining (persistent Rice mirrors the reader, ctu.py /
+            # reference slice.cc:3330-3376)
+            rice = self.ctx.stat_coeff[sb_type] >> 2 if persistent else 0
+            first_rem = True
             for k, lv in enumerate(levels):
                 a = abs(lv)
                 if k < 8:
@@ -656,7 +702,14 @@ class SliceWriter:
                     rem = a - base
                     _encode_remaining(c, rem, rice)
                     if a > (3 << rice):
-                        rice = min(rice + 1, 4)
+                        rice = rice + 1 if persistent else min(rice + 1, 4)
+                    if persistent and first_rem:
+                        sc = self.ctx.stat_coeff[sb_type]
+                        if rem >= (3 << (sc >> 2)):
+                            self.ctx.stat_coeff[sb_type] = sc + 1
+                        elif 2 * rem < (1 << (sc >> 2)) and sc > 0:
+                            self.ctx.stat_coeff[sb_type] = sc - 1
+                    first_rem = False
 
 
 def _encode_remaining(c, v, rice):

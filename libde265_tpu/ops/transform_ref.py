@@ -87,25 +87,47 @@ def inv_transform(d: np.ndarray, log2_size: int, is_dst: bool,
     return np.clip(r, -32768, 32767).astype(np.int32)
 
 
-def transform_skip_residual(d: np.ndarray, log2_size: int, bitdepth: int = 8) -> np.ndarray:
-    """spec 8.6.4.1 transform-skip: r = ( rotate(d) << 7 + bdOffset ) >> bdShift.
-    (Rotation only with RExt transform_skip_rotation; not applied here.)"""
-    bd_shift = 20 - bitdepth - 7  # after <<7 then >> (20-bitdepth): net
-    r = (d.astype(np.int64) << 7)
+def transform_skip_residual(d: np.ndarray, log2_size: int, bitdepth: int = 8,
+                            rdpcm: int = 0) -> np.ndarray:
+    """spec 8.6.4.1 transform-skip: r = (d << tsShift + rnd) >> bdShift with
+    tsShift = 5 + log2 (reference transform_skip_residual_fallback,
+    fallback-dct.cc:79-90). rdpcm 1/2 accumulates the scaled values along
+    rows/columns (rdpcm_h/v_fallback, fallback-dct.cc:185-213)."""
+    ts_shift = 5 + log2_size
     shift = 20 - bitdepth
+    r = (d.astype(np.int64) << ts_shift)
     r = (r + (1 << (shift - 1))) >> shift
+    if rdpcm == 1:       # horizontal: accumulate along x
+        return np.cumsum(r, axis=1).astype(np.int32)
+    if rdpcm == 2:       # vertical: accumulate along y
+        return np.cumsum(r, axis=0).astype(np.int32)
     return np.clip(r, -32768, 32767).astype(np.int32)
 
 
 def scale_and_inv_transform(coeffs: np.ndarray, qp: int, log2_size: int,
                             is_dst: bool, transform_skip: bool, tq_bypass: bool,
                             bitdepth: int = 8, scaling_matrix=None,
-                            scaling_dc=None) -> np.ndarray:
+                            scaling_dc=None, rdpcm: int = 0,
+                            rotate: bool = False) -> np.ndarray:
     """Full residual path for one TU (counterpart of scale_coefficients_internal,
-    /root/reference/libde265/transform.cc:352-625)."""
+    /root/reference/libde265/transform.cc:352-625).
+
+    Range-extension tools: rdpcm (0 none / 1 horizontal / 2 vertical)
+    accumulates residual differences (transform.cc:418-429,549-560);
+    rotate flips the 4x4 block 180 degrees before the skip/bypass stage
+    (transform_skip_rotation, transform.cc:395-408,548-551)."""
     if tq_bypass:
-        return coeffs.astype(np.int32)
+        r = coeffs.astype(np.int64)
+        if rotate:
+            r = r[::-1, ::-1]
+        if rdpcm == 1:
+            r = np.cumsum(r, axis=1)
+        elif rdpcm == 2:
+            r = np.cumsum(r, axis=0)
+        return r.astype(np.int32)
     d = dequant(coeffs, qp, log2_size, bitdepth, scaling_matrix, scaling_dc)
     if transform_skip:
-        return transform_skip_residual(d, log2_size, bitdepth)
+        if rotate:
+            d = d[::-1, ::-1]
+        return transform_skip_residual(d, log2_size, bitdepth, rdpcm)
     return inv_transform(d, log2_size, is_dst, bitdepth)

@@ -45,9 +45,11 @@ class TURecord:
     tq_bypass: bool
     pred_mode: int     # MODE_INTRA / MODE_INTER
     coeffs: Optional[np.ndarray]
-    # cross-component prediction (range ext) — 0 for Main
+    # cross-component prediction ResScaleVal (range ext) — 0 for Main
     cross_comp_alpha: int = 0
-    explicit_rdpcm: int = -1  # -1 none, 0 horizontal, 1 vertical
+    # explicit RDPCM (range ext): -1 none, 1 horizontal, 2 vertical
+    # (matching the reference's residualDpcm, slice.cc:3456-3462)
+    explicit_rdpcm: int = -1
 
 
 @dataclass
@@ -89,6 +91,10 @@ class FramePlan:
         self.skip_flag = np.zeros((gh, gw), np.uint8)
         self.intra_mode_y = np.full((gh, gw), 255, np.uint8)  # 255 = not intra
         self.intra_mode_c = np.full((gh, gw), 255, np.uint8)
+        # chroma mode came from intra_chroma_pred_mode==4 (copy of luma):
+        # gates cross-component prediction for intra CUs (range ext,
+        # reference image.h is_IntraPredModeC_Mode4 / slice.cc:3678-3683)
+        self.intra_cmode4 = np.zeros((gh, gw), np.uint8)
         self.ct_depth = np.zeros((gh, gw), np.uint8)
         self.log2_cb_size = np.zeros((gh, gw), np.uint8)
         self.qp_y = np.zeros((gh, gw), np.int8)

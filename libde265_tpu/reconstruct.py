@@ -164,6 +164,7 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
     # Pass 2: TU replay in z-scan decode order
     scaling = plan.pps.scaling_list if plan.pps.pic_scaling_list_data_present_flag \
         else (sps.scaling_list if sps.scaling_list_enable_flag else None)
+    resid_luma = None
     for tu in plan.tus:
         if tu.cidx == -1:  # PCM paste
             n = 1 << tu.log2
@@ -179,16 +180,34 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
         maxv = (1 << bd) - 1
         if tu.pred_mode == MODE_INTRA:
             ref = gather_border(plan, planes, avail, tu.x, tu.y, tu.log2, tu.cidx, bd)
-            fref = intra_ref.filter_border(
-                ref, n, tu.intra_mode, tu.cidx, bd,
-                bool(sps.strong_intra_smoothing_enable_flag),
-                c444=sps.ChromaArrayType == 3)
+            if sps.intra_smoothing_disabled_flag:
+                fref = ref     # range ext: no [1,2,1]/strong smoothing
+            else:
+                fref = intra_ref.filter_border(
+                    ref, n, tu.intra_mode, tu.cidx, bd,
+                    bool(sps.strong_intra_smoothing_enable_flag),
+                    c444=sps.ChromaArrayType == 3)
             pred = intra_ref.predict(
                 fref, tu.intra_mode, tu.log2, tu.cidx, bd,
                 disable_boundary_filter=bool(getattr(sps, "implicit_rdpcm_enabled_flag", 0))
                 and tu.tq_bypass)
         else:
             pred = planes[tu.cidx][tu.y:tu.y + n, tu.x:tu.x + n].astype(np.int32)
+
+        # range-ext residual modes (reference decode_TU, slice.cc:3424-3466)
+        skip_or_byp = tu.tq_bypass or tu.transform_skip
+        if tu.pred_mode == MODE_INTRA:
+            rdpcm = 0
+            if sps.implicit_rdpcm_enabled_flag and skip_or_byp and \
+                    tu.intra_mode in (10, 26):
+                rdpcm = 1 if tu.intra_mode == 10 else 2
+        else:
+            rdpcm = tu.explicit_rdpcm if tu.explicit_rdpcm > 0 else 0
+        rotate = bool(sps.transform_skip_rotation_enabled_flag) and \
+            tu.log2 == 2 and tu.pred_mode == MODE_INTRA and skip_or_byp
+
+        ccp_on = bool(plan.pps.cross_component_prediction_enabled_flag)
+        res = None
         if tu.coeffs is not None:
             smat = sdc = None
             if scaling is not None:
@@ -197,7 +216,19 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
             is_dst = (tu.cidx == 0 and tu.log2 == 2 and tu.pred_mode == MODE_INTRA)
             res = transform_ref.scale_and_inv_transform(
                 tu.coeffs, tu.qp, tu.log2, is_dst, tu.transform_skip,
-                tu.tq_bypass, bd, smat, sdc)
+                tu.tq_bypass, bd, smat, sdc, rdpcm=rdpcm, rotate=rotate)
+        if tu.cidx == 0 and ccp_on:
+            # keep the luma residual for cross-component prediction of the
+            # co-located chroma TUs (4:4:4; transform.cc:235-251)
+            resid_luma = res if res is not None else \
+                np.zeros((n, n), np.int32)
+        if tu.cidx != 0 and tu.cross_comp_alpha:
+            if res is None:
+                res = np.zeros((n, n), np.int32)
+            rl = resid_luma[:n, :n].astype(np.int64)
+            res = res + ((tu.cross_comp_alpha *
+                          ((rl << bd_c) >> bd_y)) >> 3)
+        if res is not None:
             out = np.clip(pred + res, 0, maxv)
         else:
             out = np.clip(pred, 0, maxv)
