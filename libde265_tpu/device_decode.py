@@ -51,7 +51,8 @@ def reconstruct_frame_device(plan, dpb_images=None, bitdepth=None):
             continue
         if tu.transform_skip or tu.tq_bypass or \
                 (sps.scaling_list_enable_flag):
-            # rare paths: host residual
+            # rare paths: host residual (incl. explicit RDPCM — range
+            # ext, inter ts/bypass only, slice.cc:3456-3462)
             from .reconstruct import _scaling_matrix
             smat = sdc = None
             if sps.scaling_list_enable_flag:
@@ -59,7 +60,10 @@ def reconstruct_frame_device(plan, dpb_images=None, bitdepth=None):
             n = 1 << tu.log2
             res = scale_and_inv_transform(tu.coeffs, tu.qp, tu.log2, False,
                                           tu.transform_skip, tu.tq_bypass,
-                                          bitdepth, smat, sdc)
+                                          bitdepth, smat, sdc,
+                                          rdpcm=(tu.explicit_rdpcm
+                                                 if tu.explicit_rdpcm > 0
+                                                 else 0))
             cur = planes[tu.cidx][tu.y:tu.y + n, tu.x:tu.x + n].astype(np.int32)
             planes[tu.cidx][tu.y:tu.y + n, tu.x:tu.x + n] = \
                 np.clip(cur + res, 0, maxv).astype(dt)

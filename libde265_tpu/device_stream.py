@@ -223,10 +223,18 @@ class DeviceStreamDecoder:
             self._run_fast(plan, s)
             self.frames[fid] = {"plan": plan, "host": None, "fast": True}
         else:
-            from .device_decode import reconstruct_frame_device
+            from .frame_program import frame_uses_rext_tools
             refs = _HostRefShim(self)
-            planes = reconstruct_frame_device(plan, dpb_images=refs,
-                                              bitdepth=self.cfg.bitdepth)
+            if frame_uses_rext_tools(plan):
+                # rext residual tools (CCP / implicit RDPCM / rotation /
+                # disabled smoothing): reference recon implements them
+                # all; the frame still lands in the device DPB
+                from .reconstruct import reconstruct_frame
+                planes = reconstruct_frame(plan, dpb_images=refs)
+            else:
+                from .device_decode import reconstruct_frame_device
+                planes = reconstruct_frame_device(
+                    plan, dpb_images=refs, bitdepth=self.cfg.bitdepth)
             self.frames[fid] = {"plan": plan, "host": planes, "fast": False}
             s = self._alloc_slot(fid, frame_idx, needed)
             self._do_insert(planes, s)

@@ -164,19 +164,87 @@ def _ceil_sched(n):
 def frame_compatible(plan):
     """Can this frame run through the fused device program? (Intra TUs
     fused since round 3 — intra_fused.py; 4:2:2/4:4:4/monochrome since
-    round 4 — dense-gather chroma MC + per-axis filter geometry.)"""
-    if getattr(plan.sps, "implicit_rdpcm_enabled_flag", 0) or \
-            getattr(plan.sps, "transform_skip_rotation_enabled_flag", 0):
-        return False              # rext rdpcm / tskip-rotation semantics
+    round 4 — dense-gather chroma MC + per-axis filter geometry.)
+
+    Range-extension residual tools (round 5: decoded by BOTH front-ends,
+    reconstructed by the hybrid path) gate per actual USE in the frame —
+    a rext-profile stream that never exercises a tool still runs fused;
+    only the frames that use CCP / RDPCM / rotation / TU-level chroma QP
+    offsets fall back to the hybrid device path (slice.cc:2937-2951,
+    3530-3558, transform.cc:235-429)."""
     tu_meta = plan._tu_arrays[0] if plan._tu_arrays is not None else None
     if tu_meta is None:
         return False              # python front-end path: use hybrid
     if not len(plan.slice_headers):
         return False
+    sps = plan.sps
+    if tu_meta.shape[0]:
+        if (tu_meta[:, 10] != 0).any():
+            return False          # cross-component prediction used
+        if (tu_meta[:, 11] > 0).any():
+            return False          # explicit RDPCM used
+        skipbyp = (tu_meta[:, 6] != 0) | (tu_meta[:, 7] != 0)
+        intra = tu_meta[:, 8] == MODE_INTRA
+        if getattr(sps, "implicit_rdpcm_enabled_flag", 0) and \
+                (skipbyp & intra & ((tu_meta[:, 4] == 10)
+                                    | (tu_meta[:, 4] == 26))).any():
+            return False          # implicit RDPCM applies
+        if getattr(sps, "transform_skip_rotation_enabled_flag", 0) and \
+                (skipbyp & intra & (tu_meta[:, 3] == 2)).any():
+            return False          # 4x4 transform-skip rotation applies
+        if getattr(sps, "intra_smoothing_disabled_flag", 0) and \
+                intra.any():
+            return False          # fused border smoothing is mode-driven
+    if getattr(plan.pps, "chroma_qp_offset_list_enabled_flag", 0):
+        return False              # TU-level chroma QP offsets vary tu.qp
     if plan.sps.ChromaArrayType != 1 and tu_meta.shape[0] \
             and (tu_meta[:, 0] == -1).any():
         return False              # PCM paste layout is 4:2:0-only (yet)
     return True
+
+
+def frame_uses_rext_tools(plan):
+    """Does the frame exercise a rext residual tool the batched hybrid
+    recon does not implement? Such frames decode via the reference
+    recon (reconstruct.py, which implements all five tools) and insert
+    into the device DPB. Explicit RDPCM and TU-level chroma QP offsets
+    are NOT in this set — the hybrid path handles them (per-TU qp, and
+    the host ts/bypass residual branch applies the DPCM cumsum)."""
+    sps = plan.sps
+    irdpcm = getattr(sps, "implicit_rdpcm_enabled_flag", 0)
+    rot = getattr(sps, "transform_skip_rotation_enabled_flag", 0)
+    nosm = getattr(sps, "intra_smoothing_disabled_flag", 0)
+    ccp = getattr(plan.pps, "cross_component_prediction_enabled_flag", 0)
+    if not (irdpcm or rot or nosm or ccp):
+        return False
+    tu_meta = plan._tu_arrays[0] if plan._tu_arrays is not None else None
+    if tu_meta is not None:
+        if not tu_meta.shape[0]:
+            return False
+        if ccp and (tu_meta[:, 10] != 0).any():
+            return True
+        skipbyp = (tu_meta[:, 6] != 0) | (tu_meta[:, 7] != 0)
+        intra = tu_meta[:, 8] == MODE_INTRA
+        if irdpcm and (skipbyp & intra & ((tu_meta[:, 4] == 10)
+                                          | (tu_meta[:, 4] == 26))).any():
+            return True
+        if rot and (skipbyp & intra & (tu_meta[:, 3] == 2)).any():
+            return True
+        return bool(nosm and intra.any())
+    for tu in plan.tus:
+        if tu.cidx < 0:
+            continue
+        if ccp and getattr(tu, "cross_comp_alpha", 0):
+            return True
+        if tu.pred_mode == MODE_INTRA:
+            sb = tu.tq_bypass or tu.transform_skip
+            if sb and irdpcm and tu.intra_mode in (10, 26):
+                return True
+            if sb and rot and tu.log2 == 2:
+                return True
+            if nosm:
+                return True
+    return False
 
 
 def frame_has_intra(plan):

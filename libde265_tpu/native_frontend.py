@@ -131,7 +131,7 @@ class NativeFrontend:
             shape = (n, cols) if cols else (n,)
             return np.empty(shape, dt) if n else np.zeros(
                 (1, cols) if cols else (1,), dt)
-        tu_meta = buf(n_tus, 10)
+        tu_meta = buf(n_tus, 12)
         coeffs = buf(clen, 0, np.int16)
         pcm = buf(plen, 0, np.int16)
         r = lib.fe_get_tus(C.c_void_p(self.h), idx, _arr(tu_meta), _arr(coeffs),

@@ -209,7 +209,7 @@ def _upd_kernel(slot_ref, hbm_ref, perm_ref, tin_ref, out_ref, scratch,
             preferred_element_type=jnp.int32) + 128
         PW = P * T * T
         for b in range(B):
-            out_ref[0, b, :, :] = \
+            out_ref[b * ntx:(b + 1) * ntx, :] = \
                 d[:ntx, b * PW:(b + 1) * PW].astype(out_dtype)
         return
     for p in range(P):
@@ -225,7 +225,7 @@ def _upd_kernel(slot_ref, hbm_ref, perm_ref, tin_ref, out_ref, scratch,
             qo = q[:ntx].astype(out_dtype)
             base = p * T * T + c * T
             for b in range(B):
-                out_ref[0, b, :, base:base + T] = \
+                out_ref[b * ntx:(b + 1) * ntx, base:base + T] = \
                     qo[:, b * T:(b + 1) * T]
 
 
@@ -255,8 +255,11 @@ def update_tile_table_pallas(table, padded, slot, T, interpret=False):
                               (0, Wp_p - Wp)))
     nrows, width = table.shape
     assert width == P * T * T, (width, P, T)
-    ns = nrows // (nty_p * ntx)
-    t4 = table.reshape(ns * ngrp, B, ntx, width)
+    # the out block addresses the 2D table DIRECTLY (one band group =
+    # B*ntx consecutive rows): reshaping the persistent table to a 4D
+    # block view is NOT a bitcast under XLA's tiled uint8 layouts and
+    # cost a full table copy per call (~7 ms/frame at 4K — the real
+    # "table build" wall, see PERF_NOTES round 5)
     out = pl.pallas_call(
         functools.partial(_upd_kernel, T=T, ngrp=ngrp, ntx=ntx, ntx0=ntx0,
                           span_p=span_p, out_dtype=table.dtype, P=P),
@@ -267,17 +270,17 @@ def update_tile_table_pallas(table, padded, slot, T, interpret=False):
                       pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
-                (1, B, ntx, width),
-                lambda t, s: (s[0] * ngrp + t, 0, 0, 0)),
+                (B * ntx, width),
+                lambda t, s: (s[0] * ngrp + t, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, P, span_p, Wp_p), jnp.int16),
                 pltpu.VMEM((ntx0, T * 128), jnp.int8),
                 pltpu.SemaphoreType.DMA((2, P)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(t4.shape, table.dtype),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         input_output_aliases={3: 0},
         interpret=interpret,
     )(jnp.asarray(slot, jnp.int32).reshape(1), padded,
-      jnp.asarray(_emit_perm(T, P)[:, :B * width]), t4)
-    return out.reshape(nrows, width)
+      jnp.asarray(_emit_perm(T, P)[:, :B * width]), table)
+    return out

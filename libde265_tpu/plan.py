@@ -167,8 +167,8 @@ class FramePlan:
         self._tu_arrays = None
         out = []
         for i in range(tu_meta.shape[0]):
-            (cidx, x, y, log2, imode, qp, tskip, tqb, pm, coff) = \
-                (int(v) for v in tu_meta[i])
+            (cidx, x, y, log2, imode, qp, tskip, tqb, pm, coff,
+             ccp, rdpcm) = (int(v) for v in tu_meta[i])
             n = 1 << log2
             if cidx == -1:
                 tu = TURecord(cidx=-1, x=x, y=y, log2=log2, intra_mode=-1,
@@ -193,7 +193,8 @@ class FramePlan:
             out.append(TURecord(
                 cidx=cidx, x=x, y=y, log2=log2, intra_mode=imode, qp=qp,
                 transform_skip=bool(tskip), tq_bypass=bool(tqb),
-                pred_mode=pm, coeffs=cf))
+                pred_mode=pm, coeffs=cf, cross_comp_alpha=ccp,
+                explicit_rdpcm=rdpcm))
         self._tus = out
 
     def _materialize_pus(self):

@@ -106,6 +106,15 @@ static const uint8_t iv_g2[3][6] = {{138,153,136,167,152,152},
                                     {107,167, 91,122,107,167},
                                     {107,167, 91,107,107,167}};
 static const uint8_t iv_cuqp[3][2] = {{154,154},{154,154},{154,154}};
+// range-extension contexts (contextmodel.py:72-77)
+static const uint8_t iv_cuchroff[3][2] = {{154,154},{154,154},{154,154}};
+static const uint8_t iv_resscale[3][8] = {
+    {154,154,154,154,154,154,154,154},
+    {154,154,154,154,154,154,154,154},
+    {154,154,154,154,154,154,154,154}};
+static const uint8_t iv_ressign[3][2] = {{154,154},{154,154},{154,154}};
+static const uint8_t iv_erdpcm[3][2] = {{139,139},{139,139},{139,139}};
+static const uint8_t iv_erdpcmdir[3][2] = {{139,139},{139,139},{139,139}};
 
 // flat context layout
 enum CtxSlot {
@@ -136,7 +145,13 @@ enum CtxSlot {
   CTX_G1 = CTX_SIG + 44,              // 24
   CTX_G2 = CTX_G1 + 24,               // 6
   CTX_CUQP = CTX_G2 + 6,              // 2
-  CTX_COUNT = CTX_CUQP + 2
+  // range extension (same relative order as contextmodel.py)
+  CTX_CUCHROFF = CTX_CUQP + 2,        // 2: flag, idx
+  CTX_RESSCALE = CTX_CUCHROFF + 2,    // 8
+  CTX_RESSIGN = CTX_RESSCALE + 8,     // 2
+  CTX_ERDPCM = CTX_RESSIGN + 2,       // 2
+  CTX_ERDPCMDIR = CTX_ERDPCM + 2,     // 2
+  CTX_COUNT = CTX_ERDPCMDIR + 2
 };
 
 struct CtxModel { uint8_t state; uint8_t mps; };
@@ -156,7 +171,12 @@ static void init_ctx_span(CtxModel* t, int slot, const uint8_t* vals, int n, int
 
 struct ContextTable {
   CtxModel m[CTX_COUNT];
+  // persistent-Rice StatCoeff (range ext, spec 9.3.2.3): carried here so
+  // WPP/dependent-slice snapshots copy it with the models (the reference
+  // keeps it in thread_context, slice.cc:1507-1517)
+  uint8_t stat_coeff[4] = {0, 0, 0, 0};
   void init(int init_type, int qp) {
+    stat_coeff[0] = stat_coeff[1] = stat_coeff[2] = stat_coeff[3] = 0;
     init_ctx_span(m, CTX_SAO_MERGE, iv_sao_merge[init_type], 1, qp);
     init_ctx_span(m, CTX_SAO_TYPE, iv_sao_type[init_type], 1, qp);
     init_ctx_span(m, CTX_SPLIT_CU, iv_split_cu[init_type], 3, qp);
@@ -184,6 +204,11 @@ struct ContextTable {
     init_ctx_span(m, CTX_G1, iv_g1[init_type], 24, qp);
     init_ctx_span(m, CTX_G2, iv_g2[init_type], 6, qp);
     init_ctx_span(m, CTX_CUQP, iv_cuqp[init_type], 2, qp);
+    init_ctx_span(m, CTX_CUCHROFF, iv_cuchroff[init_type], 2, qp);
+    init_ctx_span(m, CTX_RESSCALE, iv_resscale[init_type], 8, qp);
+    init_ctx_span(m, CTX_RESSIGN, iv_ressign[init_type], 2, qp);
+    init_ctx_span(m, CTX_ERDPCM, iv_erdpcm[init_type], 2, qp);
+    init_ctx_span(m, CTX_ERDPCMDIR, iv_erdpcmdir[init_type], 2, qp);
   }
 };
 
@@ -353,6 +378,10 @@ struct SPS {
   int long_term_present = 0, num_lt_sps = 0;
   int lt_poc_lsb[33]; int lt_used[33];
   int temporal_mvp = 0, strong_intra_smoothing = 0;
+  // range extension (sps_range_extension, sps.h:66-83)
+  int ts_rotation = 0, ts_context = 0, implicit_rdpcm = 0,
+      explicit_rdpcm = 0, intra_smoothing_disabled = 0,
+      persistent_rice = 0, cabac_bypass_align = 0;
   // derived
   int ctb_size, min_cb, pic_w_ctbs, pic_h_ctbs, pic_size_ctbs;
   int chroma_array_type, subw, subh;
@@ -387,6 +416,10 @@ struct PPS {
   int scaling_list_present = 0;
   int lists_modification = 0, log2_pml = 2, sh_ext = 0;
   int log2_max_tskip = 2;
+  // range extension (pps_range_extension, pps.h:36-55)
+  int ccp_enabled = 0, chroma_qp_list_enabled = 0;
+  int diff_cu_chroma_qp_depth = 0, chroma_qp_list_len = 0;
+  int cb_qp_list[6] = {0}, cr_qp_list[6] = {0};
   // derived maps
   std::vector<int> rs_to_ts, ts_to_rs, tile_id;
   void derive(const SPS& sps) {
@@ -440,6 +473,7 @@ struct SliceHeader {
   int max_merge = 5;
   int qp = 26;
   int cb_qp_off = 0, cr_qp_off = 0;
+  int cu_chroma_qp_offset_enabled = 0;  // range ext (slice.cc:759-768)
   int deblock_override = 0, disable_deblock = 0;
   int beta_off = 0, tc_off = 0;
   int lf_across = 0;
@@ -472,6 +506,8 @@ struct TU {
   int16_t intra_mode; int16_t qp;
   uint8_t transform_skip, tq_bypass, pred_mode;  // pred_mode 1=intra
   int32_t coeff_off;  // -1 if none, else offset into coeff pool (n*n int16)
+  int16_t ccp_alpha = 0;   // cross-component ResScaleVal (range ext)
+  int8_t rdpcm = -1;       // explicit RDPCM: -1 none, 1 horiz, 2 vert
 };
 struct PU {
   int32_t x, y, w, h;
@@ -487,6 +523,10 @@ struct Frame {
   // 4x4 grids
   std::vector<uint8_t> pred_mode, skip_flag, intra_y, intra_c, ct_depth,
       log2_cb, tq_bypass, pcm_flag, cbf_luma, tu_bound, pb_bound, cb_bound;
+  // chroma mode was intra_chroma_pred_mode==4 (copy of luma): gates CCP
+  // for intra CUs (range ext; reference is_IntraPredModeC_Mode4).
+  // Parse-internal — not exported (recon reads per-TU ccp_alpha).
+  std::vector<uint8_t> cmode4;
   std::vector<int8_t> qp_y;
   std::vector<int16_t> mv;          // gh*gw*2*2
   std::vector<int8_t> ref_idx;      // gh*gw*2
@@ -520,6 +560,7 @@ struct Frame {
     intra_y.assign(g, 255); intra_c.assign(g, 255);
     ct_depth.assign(g, 0); log2_cb.assign(g, 0);
     tq_bypass.assign(g, 0); pcm_flag.assign(g, 0); cbf_luma.assign(g, 0);
+    cmode4.assign(g, 0);
     tu_bound.assign(g, 0); pb_bound.assign(g, 0); cb_bound.assign(g, 0);
     qp_y.assign(g, 0);
     mv.assign(g * 4, 0); ref_idx.assign(g * 2, -1);
@@ -859,6 +900,21 @@ static bool parse_sps(const uint8_t* d, size_t len, SPS& s) {
   s.temporal_mvp = br.bit();
   s.strong_intra_smoothing = br.bit();
   if (br.bit()) skip_vui(br, max_sub);
+  if (br.bit()) {                       // sps_extension_present
+    int range_ext = br.bit();
+    br.bits(3); br.bits(4);             // multilayer/3d/scc/reserved
+    if (range_ext) {                    // sps_range_extension (sps.h:66-83)
+      s.ts_rotation = br.bit();
+      s.ts_context = br.bit();
+      s.implicit_rdpcm = br.bit();
+      s.explicit_rdpcm = br.bit();
+      br.bit();                         // extended_precision_processing
+      s.intra_smoothing_disabled = br.bit();
+      br.bit();                         // high_precision_offsets
+      s.persistent_rice = br.bit();
+      s.cabac_bypass_align = br.bit();
+    }
+  }
   s.derive();
   // corrupted-stream guards (reference counterpart: sps.cc sanity checks
   // + sps.h:39-40 size bound): dimensions must be positive min-CB
@@ -928,7 +984,26 @@ static bool parse_pps(const uint8_t* d, size_t len, PPS& p, const SPS& sps) {
   p.lists_modification = br.bit();
   p.log2_pml = br.uvlc() + 2;
   p.sh_ext = br.bit();
-  br.bit();  // extension (range ext fields unread; Main profile)
+  if (br.bit()) {                       // pps_extension_present
+    int range_ext = br.bit();
+    br.bits(7);
+    if (range_ext) {                    // pps_range_extension (pps.h:36-55)
+      if (p.transform_skip) p.log2_max_tskip = br.uvlc() + 2;
+      p.ccp_enabled = br.bit();
+      p.chroma_qp_list_enabled = br.bit();
+      if (p.chroma_qp_list_enabled) {
+        p.diff_cu_chroma_qp_depth = br.uvlc();
+        p.chroma_qp_list_len = br.uvlc() + 1;
+        if (p.chroma_qp_list_len > 6) return false;
+        for (int i = 0; i < p.chroma_qp_list_len; i++) {
+          p.cb_qp_list[i] = br.svlc();
+          p.cr_qp_list[i] = br.svlc();
+        }
+      }
+      br.uvlc(); br.uvlc();             // log2_sao_offset_scale l/c
+                                        // (recon-side; python pps keeps them)
+    }
+  }
   p.derive(sps);
   return true;
 }
@@ -1077,6 +1152,8 @@ static bool parse_slice_header(const uint8_t* d, size_t len, int nal_type,
     }
     sh.qp = pps.init_qp + br.svlc();
     if (pps.slice_chroma_qp) { sh.cb_qp_off = br.svlc(); sh.cr_qp_off = br.svlc(); }
+    if (pps.chroma_qp_list_enabled)
+      sh.cu_chroma_qp_offset_enabled = br.bit();
     if (pps.deblock_control) {
       if (pps.deblock_override) sh.deblock_override = br.bit();
       if (sh.deblock_override) {
@@ -1444,6 +1521,10 @@ struct SliceReader {
   int cur_pred_mode = 1, cur_part_mode = 0, cur_intra_split = 0, cur_log2_cb = 0;
   bool merge_2nx2n = false;
   bool last_ts_flag = false;
+  // range-extension residual state
+  int last_rdpcm = -1;                 // explicit RDPCM of last residual()
+  int cu_qp_off_cb = 0, cu_qp_off_cr = 0;   // TU-level chroma QP offsets
+  bool chroma_qp_offset_coded = false;
   int ctb_log2, ctb_size, min_cb_log2, W, H, wctbs;
   int slice_idx;
 
@@ -1647,6 +1728,10 @@ struct SliceReader {
       qg_x = x0; qg_y = y0;
       qp_prev = last_cu_qp;
     }
+    // chroma QP offset group (range ext, slice.cc:4621-4624)
+    if (sh.cu_chroma_qp_offset_enabled &&
+        log2 >= ctb_log2 - pps.diff_cu_chroma_qp_depth)
+      chroma_qp_offset_coded = false;
     if (split) {
       int half = 1 << (log2 - 1);
       if (!coding_quadtree(x0, y0, log2 - 1, depth + 1)) return false;
@@ -1821,13 +1906,15 @@ struct SliceReader {
     static const uint8_t map422[35] = {
       0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
       21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31};
+    bool cmode4 = false;
     auto read_cmode = [&](int luma_mode) {
       int cmode;
       if (cb->bin(ct.m[CTX_CHROMAMODE])) {
         static const int cands[4] = {0, 26, 10, 1};
         int c = cands[cb->bypass_bits(2)];
         cmode = (c == luma_mode) ? 34 : c;
-      } else cmode = luma_mode;
+        cmode4 = false;
+      } else { cmode = luma_mode; cmode4 = true; }  // mode 4: luma copy
       if (sps.chroma_array_type == 2) cmode = map422[cmode];
       return cmode;
     };
@@ -1836,9 +1923,11 @@ struct SliceReader {
         int px = x0 + (i & 1) * pb, py = y0 + (i >> 1) * pb;
         int lm = f.intra_y[G(px >> 2, py >> 2)];
         fill_grid(f.intra_c, px, py, pb, (uint8_t)read_cmode(lm));
+        fill_grid(f.cmode4, px, py, pb, (uint8_t)(cmode4 ? 1 : 0));
       }
     } else if (sps.chroma_array_type) {
       fill_grid(f.intra_c, x0, y0, 1 << log2, (uint8_t)read_cmode(mode0));
+      fill_grid(f.cmode4, x0, y0, 1 << log2, (uint8_t)(cmode4 ? 1 : 0));
     }
   }
 
@@ -1917,8 +2006,8 @@ struct SliceReader {
   }
 
   int chroma_qp(int cidx) {
-    int off = cidx == 1 ? pps.cb_qp_offset + sh.cb_qp_off
-                        : pps.cr_qp_offset + sh.cr_qp_off;
+    int off = cidx == 1 ? pps.cb_qp_offset + sh.cb_qp_off + cu_qp_off_cb
+                        : pps.cr_qp_offset + sh.cr_qp_off + cu_qp_off_cr;
     int qpi = clip3(-6 * (sps.bd_chroma - 8), 57, cur_cu_qp + off);
     int qpc;
     if (sps.chroma_array_type == 1) {
@@ -1957,6 +2046,19 @@ struct SliceReader {
     // whether this leaf carries the chroma TBs
     if (cbf_l || cbf_cb || cbf_cr) {
       if (pps.cu_qp_delta && !qp_delta_coded) decode_cu_qp_delta();
+      // TU-level chroma QP offset (range ext, slice.cc:3610-3635); the
+      // reference reads cu_chroma_qp_offset_idx as ONE bin regardless of
+      // list length — mirrored here (and in ctu.py)
+      if (sh.cu_chroma_qp_offset_enabled && (cbf_cb || cbf_cr) &&
+          !cur_tq_bypass && !chroma_qp_offset_coded) {
+        int flag = cb->bin(ct.m[CTX_CUCHROFF]);
+        int idx = 0;
+        if (flag && pps.chroma_qp_list_len > 1)
+          idx = cb->bin(ct.m[CTX_CUCHROFF + 1]);
+        chroma_qp_offset_coded = true;
+        cu_qp_off_cb = flag ? pps.cb_qp_list[idx] : 0;
+        cu_qp_off_cr = flag ? pps.cr_qp_list[idx] : 0;
+      }
     }
     // luma TU
     TU tu{};
@@ -1965,10 +2067,12 @@ struct SliceReader {
     tu.qp = (int16_t)(cur_cu_qp + 6 * (sps.bd_luma - 8));  // QP' luma
     tu.tq_bypass = cur_tq_bypass; tu.pred_mode = (uint8_t)cur_pred_mode;
     tu.coeff_off = -1;
+    tu.rdpcm = -1;
     if (cbf_l) {
       tu.coeff_off = (int32_t)f.coeff_pool.size();
       if (!residual(x0, y0, log2, 0)) return false;
       tu.transform_skip = last_ts_flag;
+      tu.rdpcm = (int8_t)last_rdpcm;
     }
     f.tus.push_back(tu);
     if (chroma_here) {
@@ -1981,7 +2085,25 @@ struct SliceReader {
       // 4:2:2: two stacked square chroma TBs per plane (slice.cc:3671-3712)
       int n_tb = cat_u == 2 ? 2 : 1;
       const int cbfs[2] = {cbf_cb, cbf_cr};
+      // cross-component prediction (range ext, 4:4:4 only): one
+      // (scale, sign) pair per chroma component before its residual,
+      // gated on cbf_luma and inter / chroma-mode-4
+      // (slice.cc:3678-3692, 3530-3558)
+      bool do_ccp = cat_u == 3 && pps.ccp_enabled && cbf_l &&
+          (cur_pred_mode != 1 || f.cmode4[G(x0 >> 2, y0 >> 2)]);
       for (int ci = 1; ci <= 2; ci++) {
+        int res_scale = 0;
+        if (do_ccp) {
+          int v = 0;
+          for (int b = 0; b < 4; b++) {
+            if (cb->bin(ct.m[CTX_RESSCALE + 4 * (ci - 1) + b])) v++;
+            else break;
+          }
+          if (v) {
+            int sgn = cb->bin(ct.m[CTX_RESSIGN + (ci - 1)]);
+            res_scale = (1 << (v - 1)) * (1 - 2 * sgn);
+          }
+        }
         for (int tb = 0; tb < n_tb; tb++) {
           TU ctu{};
           ctu.cidx = (int8_t)ci; ctu.x = cx; ctu.y = cy + (tb << clog2);
@@ -1990,10 +2112,13 @@ struct SliceReader {
           ctu.qp = (int16_t)chroma_qp(ci);
           ctu.tq_bypass = cur_tq_bypass; ctu.pred_mode = (uint8_t)cur_pred_mode;
           ctu.coeff_off = -1;
+          ctu.ccp_alpha = (int16_t)res_scale;
+          ctu.rdpcm = -1;
           if (cbfs[ci - 1] & (1 << tb)) {
             ctu.coeff_off = (int32_t)f.coeff_pool.size();
             if (!residual(cx, cy + (tb << clog2), clog2, ci)) return false;
             ctu.transform_skip = last_ts_flag;
+            ctu.rdpcm = (int8_t)last_rdpcm;
           }
           f.tus.push_back(ctu);
         }
@@ -2026,6 +2151,21 @@ struct SliceReader {
     last_ts_flag = false;
     if (pps.transform_skip && !cur_tq_bypass && log2 <= pps.log2_max_tskip)
       last_ts_flag = cb->bin(ct.m[CTX_TSKIP + (cidx ? 1 : 0)]);
+    // explicit RDPCM (range ext): inter CUs with ts/bypass residual
+    // (slice.cc:2937-2951)
+    last_rdpcm = -1;
+    if (cur_pred_mode != 1 && sps.explicit_rdpcm &&
+        (last_ts_flag || cur_tq_bypass)) {
+      if (cb->bin(ct.m[CTX_ERDPCM + (cidx ? 1 : 0)])) {
+        int d = cb->bin(ct.m[CTX_ERDPCMDIR + (cidx ? 1 : 0)]);
+        last_rdpcm = d ? 2 : 1;
+      }
+    }
+    // persistent Rice state class + ts sig-ctx gate (slice.cc:2957-2961)
+    int sb_type = (cidx == 0 ? 2 : 0) +
+        ((last_ts_flag || cur_tq_bypass) ? 1 : 0);
+    bool persistent = sps.persistent_rice != 0;
+    bool ts_ctx = sps.ts_context && (cur_tq_bypass || last_ts_flag);
     int scan = 0;
     if (cur_pred_mode == 1 &&
         (log2 == 2 || (log2 == 3 && cidx == 0) ||
@@ -2103,7 +2243,8 @@ struct SliceReader {
       if (i == last_sb) sig_pos[nsig++] = last_pos;
       for (int n = start; n >= 0; n--) {
         if (n == 0 && infer_dc && nsig == 0) { sig_pos[nsig++] = 0; continue; }
-        int inc = (n == 0 && dc0 >= 0) ? dc0 : lut[n] + off;
+        int inc = ts_ctx ? (cidx == 0 ? 42 : 43)
+                         : ((n == 0 && dc0 >= 0) ? dc0 : lut[n] + off);
         if (cb->bin(ct.m[CTX_SIG + inc])) { sig_pos[nsig++] = n; infer_dc = false; }
       }
       if (!nsig) continue;
@@ -2132,7 +2273,11 @@ struct SliceReader {
       uint32_t sv = m ? cb->bypass_bits(m) : 0;
       for (int k = 0; k < m; k++) signs[k] = (sv >> (m - 1 - k)) & 1;
       if (hidden) signs[nsig - 1] = 0;
-      int rice = 0;
+      // persistent Rice adaptation (range ext): rice starts from
+      // StatCoeff[sbType]/4 per subblock; StatCoeff adapts on the
+      // subblock's FIRST remaining-coded level (slice.cc:3330-3376)
+      int rice = persistent ? (ct.stat_coeff[sb_type] >> 2) : 0;
+      bool first_rem = true;
       long sum_abs = 0;
       int vals[16];
       for (int k = 0; k < nsig; k++) {
@@ -2142,7 +2287,15 @@ struct SliceReader {
         if (base == threshold) {
           int rem = decode_remaining(rice);
           level = base + rem;
-          if (level > (3 << rice)) rice = std::min(rice + 1, 4);
+          if (level > (3 << rice))
+            rice = persistent ? rice + 1 : std::min(rice + 1, 4);
+          if (persistent && first_rem) {
+            int sc = ct.stat_coeff[sb_type];
+            if (rem >= (3 << (sc >> 2))) ct.stat_coeff[sb_type] = sc + 1;
+            else if (2 * rem < (1 << (sc >> 2)) && sc > 0)
+              ct.stat_coeff[sb_type] = sc - 1;
+          }
+          first_rem = false;
         }
         vals[k] = level;
         sum_abs += level;
@@ -2923,17 +3076,19 @@ int fe_get_ctb_grids(FEHandle* h, int idx, int32_t* slice_addr,
   return 0;
 }
 
-// tus: per TU 10 ints: cidx,x,y,log2,intra_mode,qp,tskip,tqbypass,pred_mode,coeff_off
+// tus: per TU 12 ints: cidx,x,y,log2,intra_mode,qp,tskip,tqbypass,
+//      pred_mode,coeff_off,ccp_alpha,rdpcm
 int fe_get_tus(FEHandle* h, int idx, int32_t* tus, int16_t* coeffs,
                int16_t* pcm) {
   if (idx < 0 || idx >= (int)h->ctx.frames.size()) return -1;
   Frame& f = *h->ctx.frames[idx];
   for (size_t i = 0; i < f.tus.size(); i++) {
     const TU& t = f.tus[i];
-    int32_t* o = tus + i * 10;
+    int32_t* o = tus + i * 12;
     o[0] = t.cidx; o[1] = t.x; o[2] = t.y; o[3] = t.log2;
     o[4] = t.intra_mode; o[5] = t.qp; o[6] = t.transform_skip;
     o[7] = t.tq_bypass; o[8] = t.pred_mode; o[9] = t.coeff_off;
+    o[10] = t.ccp_alpha; o[11] = t.rdpcm;
   }
   if (!f.coeff_pool.empty())
     memcpy(coeffs, f.coeff_pool.data(), f.coeff_pool.size() * sizeof(int16_t));

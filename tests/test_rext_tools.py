@@ -40,3 +40,15 @@ def test_rext_tool_python_path(name):
     assert len(pics) == man["frames"]
     for i, p in enumerate(pics):
         _check_planes(p.planes, man, i, name)
+
+
+@pytest.mark.parametrize("name", sorted(MANIFEST))
+def test_rext_tool_native_path(name):
+    """C++ front-end (native/frontend.cc rext syntax) + reconstruction."""
+    from libde265_tpu.api import decode_stream_native
+    man = MANIFEST[name]
+    pics = decode_stream_native(
+        open(os.path.join(DATA, name + ".bin"), "rb").read())
+    assert len(pics) == man["frames"]
+    for i, p in enumerate(pics):
+        _check_planes(p.planes, man, i, name)
