@@ -435,7 +435,7 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                                 halos[0], rs[0], rgs[0][t])
             return run
 
-        @pl.when(valid != 0)
+        @pl.when(valid != 0 if "nobody" not in ablate else valid > 9)
         def _():
             if nc == 1:
                 cls_branch(0)()
@@ -456,11 +456,18 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
     # avail/resid block index comes from the per-plane row-index
     # prefetch arrays — a zero-cost gather the XLA-gather prologue this
     # replaces paid ~320 ms/frame for at 4K.
-    def _avmap(i, j, s, sp, *rg):
-        return (rg[0][i * K + j] // 8, 0)
+    if "noio" in ablate:          # ablation: constant block maps (no
+        def _avmap(i, j, s, sp, *rg):   # per-step avail/resid streaming)
+            return (0, 0)
 
-    def _rsmap(p):
-        return lambda i, j, s, sp, *rg: (rg[p][i * K + j] // 8, 0)
+        def _rsmap(p):
+            return lambda i, j, s, sp, *rg: (0, 0)
+    else:
+        def _avmap(i, j, s, sp, *rg):
+            return (rg[0][i * K + j] // 8, 0)
+
+        def _rsmap(p):
+            return lambda i, j, s, sp, *rg: (rg[p][i * K + j] // 8, 0)
 
     in_specs = (
         [pl.BlockSpec((8, 256), _avmap, memory_space=pltpu.VMEM)]

@@ -14,6 +14,8 @@
 #include <cstring>
 #include <cstdio>
 #include <cstdlib>
+#include <climits>
+#include <functional>
 #include <vector>
 #include <map>
 #include <algorithm>
@@ -1238,7 +1240,69 @@ struct Context {
   int num_threads = 0;  // 0 = auto
 
   void derive_motion(Frame& f);  // defined after SliceReader
+  void derive_motion_wavefront(Frame& f, int nt);
   bool flush_jobs();
+
+  // persistent wavefront-replay helpers (created lazily; cv-parked
+  // between frames so they cost nothing while the CABAC pool owns the
+  // cores). One job generation = one frame's run list.
+  struct ReplayPool {
+    std::vector<std::thread> th;
+    std::mutex m;
+    std::condition_variable cv, cv_done;
+    std::function<void()> fn;
+    uint64_t gen = 0;
+    int done_for_gen = 0;
+    bool stop_ = false;
+    void ensure(int nw) {
+      while ((int)th.size() < nw)
+        th.emplace_back([this] {
+          uint64_t seen = 0;
+          for (;;) {
+            std::function<void()> f;
+            {
+              std::unique_lock<std::mutex> lk(m);
+              cv.wait(lk, [&] { return stop_ || gen != seen; });
+              if (stop_) return;
+              seen = gen;
+              f = fn;
+            }
+            f();
+            {
+              std::lock_guard<std::mutex> lk(m);
+              done_for_gen++;
+            }
+            cv_done.notify_all();
+          }
+        });
+    }
+    // dispatch f to the helpers and run it on the caller too; returns
+    // after every participant finished (each generation is run exactly
+    // once per helper — no helper from a previous generation can be
+    // live here because the previous run() waited them all out)
+    void run(int nw, const std::function<void()>& f) {
+      ensure(nw);
+      {
+        std::lock_guard<std::mutex> lk(m);
+        fn = f;
+        done_for_gen = 0;
+        gen++;
+      }
+      cv.notify_all();
+      f();
+      std::unique_lock<std::mutex> lk(m);
+      cv_done.wait(lk, [&] { return done_for_gen == (int)th.size(); });
+    }
+    ~ReplayPool() {
+      {
+        std::lock_guard<std::mutex> lk(m);
+        stop_ = true;
+      }
+      cv.notify_all();
+      for (auto& t : th) t.join();
+    }
+  };
+  ReplayPool replay_pool;
 
   ~Context() { for (auto* f : frames) delete f; }
 
@@ -2378,6 +2442,9 @@ struct SliceReader {
                        int pidx, int X, int ref_idx, int16_t pred[2][2]);
   void store_pu(int x0, int y0, int w, int h, const uint8_t* pf,
                 int16_t mv[2][2], const int8_t* ref);
+  // wavefront replay: when >=0, store_pu writes f.pus[pu_out] instead of
+  // push_back (slot order == decode order, matching the serial replay)
+  int pu_out = -1;
 };
 
 }  // namespace
@@ -2791,7 +2858,8 @@ void SliceReader::store_pu(int x0, int y0, int w, int h, const uint8_t* pf,
   pu.ref_poc[0] = rp[0]; pu.ref_poc[1] = rp[1];
   pu.ref_frame[0] = rframe[0]; pu.ref_frame[1] = rframe[1];
   pu.slice_idx = slice_idx;
-  f.pus.push_back(pu);
+  if (pu_out >= 0) f.pus[pu_out] = pu;
+  else f.pus.push_back(pu);
 }
 
 static bool decode_slice_data(PicState& ps, Frame& f, SliceHeader& sh,
@@ -2811,6 +2879,95 @@ void Context::derive_motion(Frame& fr) {
                                nullptr, 0, cur_slice));
     }
     sr->derive_pu(r);
+  }
+  fr.raw_pus.clear();
+  fr.raw_pus.shrink_to_fit();
+}
+
+// Wavefront motion replay: merge/AMVP read only left/top/top-right
+// neighbor motion (merge_candidates A1/B1/B0/A0/B2 above) plus the
+// collocated frame's compressed grids, so CTB rows can derive in
+// parallel with the same dependency shape the CABAC WPP pool exploits —
+// row N's PU at column c needs row N-1 derived through column
+// (x0+w)>>ctb_log2 (B0). A0 (y0+h, row below) is never z-order
+// available, and availability never crosses tiles, so the wavefront
+// unit is one (tile, CTB row) run of decode-order raw_pus. This is the
+// round-5 answer to the serial decode-order replay chain the reference
+// also walks inline (motion.cc:782-1019,1100-1276).
+void Context::derive_motion_wavefront(Frame& fr, int nt) {
+  size_t n = fr.raw_pus.size();
+  if (!n) return;
+  // small frames: parallel dispatch + wavefront waits cost more than
+  // the serial walk (~3 ms at 1080p)
+  if (nt <= 1 || n < 6000) { derive_motion(fr); return; }
+  int ctb_log2 = fr.sps->log2_ctb;
+  int wctbs = fr.nctbx;
+  const PPS& pps = *fr.pps;
+  struct Run { size_t a, b; int parent; };
+  std::vector<Run> runs;
+  {
+    std::map<std::pair<int, int>, int> last;   // (tile,row) -> run idx
+    int prow = -1, ptile = -1;
+    for (size_t i = 0; i < n; i++) {
+      const RawPU& r = fr.raw_pus[i];
+      int row = r.yc >> ctb_log2;
+      int rs = row * wctbs + (r.xc >> ctb_log2);
+      int tile = pps.tile_id[rs];
+      if (row != prow || tile != ptile) {
+        Run R{i, i, -1};
+        auto it = last.find({tile, row - 1});
+        if (it != last.end()) R.parent = it->second;
+        runs.push_back(R);
+        last[{tile, row}] = (int)runs.size() - 1;
+        prow = row; ptile = tile;
+      }
+      runs.back().b = i + 1;
+    }
+  }
+  fr.pus.resize(n);
+  std::unique_ptr<std::atomic<int>[]> prog(new std::atomic<int>[runs.size()]);
+  for (size_t k = 0; k < runs.size(); k++) prog[k].store(-1);
+  std::atomic<size_t> next{0};
+  std::atomic<bool> oops{false};
+  auto work = [&]() {
+    std::unique_ptr<SliceReader> sr;
+    for (;;) {
+      size_t k = next.fetch_add(1);
+      if (k >= runs.size()) break;
+      const Run& R = runs[k];
+      std::atomic<int>* par = R.parent >= 0 ? &prog[R.parent] : nullptr;
+      int cur_slice = -1;
+      for (size_t i = R.a; i < R.b && !oops.load(std::memory_order_relaxed);
+           i++) {
+        const RawPU& r = fr.raw_pus[i];
+        if (r.slice_idx != cur_slice) {
+          cur_slice = r.slice_idx;
+          if (cur_slice < 0 || cur_slice >= (int)fr.slices.size()) {
+            oops.store(true); break;
+          }
+          sr.reset(new SliceReader(nullptr, fr, fr.slices[cur_slice],
+                                   nullptr, 0, cur_slice));
+        }
+        if (par) {
+          int need = (r.x0 + r.w) >> ctb_log2;
+          while (par->load(std::memory_order_acquire) < need)
+            std::this_thread::yield();
+        }
+        // publish: all columns < current CTB column of this run are
+        // fully derived (in-run decode order); release orders the
+        // grid writes of earlier PUs before the column count
+        prog[k].store((r.xc >> ctb_log2) - 1, std::memory_order_release);
+        sr->pu_out = (int)i;
+        sr->derive_pu(r);
+      }
+      prog[k].store(INT_MAX, std::memory_order_release);
+    }
+  };
+  replay_pool.run(nt - 1, work);
+  if (oops.load()) {                 // corrupt slice_idx: serial fallback
+    fr.pus.clear();
+    derive_motion(fr);
+    return;
   }
   fr.raw_pus.clear();
   fr.raw_pus.shrink_to_fit();
@@ -2866,7 +3023,13 @@ bool Context::flush_jobs() {
     // motion) runs CONCURRENTLY on a consumer thread that follows the
     // pool's per-job completion flags, instead of after the whole
     // batch: the serial replay chain hides under the parse wall.
+    // Within each frame the replay itself runs as a CTB-row wavefront
+    // (derive_motion_wavefront) — it was 40-84% of the FE wall.
+    int replay_nt = std::min(nt, 4);
+    if (const char* e = getenv("FE_REPLAY_THREADS")) replay_nt = atoi(e);
+    if (replay_nt < 1) replay_nt = 1;
     std::atomic<size_t> next{begin};
+    std::atomic<size_t> parsed{0};
     std::unique_ptr<std::atomic<int>[]> done(
         new std::atomic<int>[end - begin]);
     for (size_t i = 0; i < end - begin; i++) done[i].store(0);
@@ -2878,6 +3041,7 @@ bool Context::flush_jobs() {
         if (i >= end) break;
         run_job(*jobs[i], jobs[i]->f, jobs[i]->f->slices);
         done[i - begin].store(1, std::memory_order_release);
+        parsed.fetch_add(1);
         { std::lock_guard<std::mutex> lk(m); }
         cv.notify_one();
       }
@@ -2893,7 +3057,14 @@ bool Context::flush_jobs() {
         }
         if (jobs[i]->failed) { replay_failed = true; return; }
         double a = prof_now();
-        derive_motion(*jobs[i]->f);
+        // cores are saturated while CABAC jobs remain: the serial walk
+        // overlaps with the parse wall for free. Once the pool drains
+        // (the replay chain is the tail — it was 40-84% of the FE
+        // wall), fan the frame out as a CTB-row wavefront.
+        if (parsed.load(std::memory_order_relaxed) >= end - begin)
+          derive_motion_wavefront(*jobs[i]->f, replay_nt);
+        else
+          derive_motion(*jobs[i]->f);
         double b = prof_now();
         jobs[i]->f->compress_motion();
         t_dm += b - a;
