@@ -146,6 +146,10 @@ def _pipe_worker(wid, nworkers, rounds, stream_path, cfg_i, cfg_p,
         aq.get()
     del first
     views.clear()         # release the exported buffer views first
+    # the creation-loop locals (vs = last set's view dict, v = last
+    # view) still alias exported buffers — the round-4 tail bug's
+    # second life; None them before collecting
+    vs = nm = v = a = b = None
     import gc
     gc.collect()
     for s in shms:
@@ -406,6 +410,7 @@ def main():
         # export makes mmap.close() raise BufferError and the skipped
         # close leaks the segment — the round-4 artifact tail bug)
         vs = bi = bp = None
+        sets = None           # attach-loop local: last worker's view set
         wviews.clear()
         import gc
         gc.collect()

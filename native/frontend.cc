@@ -3637,8 +3637,8 @@ static int pack_one_key(const PackCtx& c, const PackKeyDesc& kd,
       const int nslots = ((Hp + n - 1) / n) * ncols;
       const int nsb = (n / 4) * (n / 4);
       // init padding
-      if (kd.kind == PK_RC) memset(dst, 0, (size_t)kd.K * nn);
-      else if (kd.kind == PK_RB) memset(dst, 0, (size_t)kd.Ssb * 16);
+      if (kd.kind == PK_RC) memset(dst, 0, (size_t)kd.K * (nn / 2));
+      else if (kd.kind == PK_RB) memset(dst, 0, (size_t)kd.Ssb * 8);
       else if (kd.kind == PK_RBI) {
         int32_t* o = (int32_t*)dst;
         for (int i = 0; i < kd.Ssb; i++) o[i] = kd.K * nsb + i;
@@ -3662,33 +3662,37 @@ static int pack_one_key(const PackCtx& c, const PackKeyDesc& kd,
         const int16_t* cf = f.coeff_pool.data() + t.coeff_off;
         switch (kd.kind) {
           case PK_RC: {
-            int8_t* o = (int8_t*)dst + (size_t)k * nn;
-            for (int i = 0; i < nn; i++) {
-              int v = cf[i];
-              o[i] = (int8_t)(v < -128 ? -128 : v > 127 ? 127 : v);
-            }
+            // 4-bit two's-complement nibble pairs (mirror of
+            // pack_frame's uint8 body; escapes repair |v| outside
+            // [-8,7])
+            uint8_t* o = (uint8_t*)dst + (size_t)k * (nn / 2);
+            for (int i = 0; i < nn; i += 2)
+              o[i >> 1] = (uint8_t)((cf[i] & 15) |
+                                    ((cf[i + 1] & 15) << 4));
             break;
           }
           case PK_RB: case PK_RBI: {
             // coded-sub-block rows in (k, sy, sx) order; both keys walk
-            // the same nz sequence so their row counters agree
+            // the same nz sequence so their row counters agree. The nz
+            // test uses the ORIGINAL level (nibble wrap can zero a 16).
             for (int sy = 0; sy < n / 4; sy++)
               for (int sx = 0; sx < n / 4; sx++) {
                 bool any = false;
-                int8_t vals[16];
+                int vals[16];
                 for (int r = 0; r < 4; r++)
                   for (int cc = 0; cc < 4; cc++) {
                     int v = cf[(sy * 4 + r) * n + sx * 4 + cc];
-                    int8_t v8 = (int8_t)(v < -128 ? -128
-                                         : v > 127 ? 127 : v);
-                    vals[r * 4 + cc] = v8;
-                    any |= v8 != 0;
+                    vals[r * 4 + cc] = v;
+                    any |= v != 0;
                   }
                 if (!any) continue;
                 if (nz >= kd.Ssb) return -2;
-                if (kd.kind == PK_RB)
-                  memcpy(dst + (size_t)nz * 16, vals, 16);
-                else
+                if (kd.kind == PK_RB) {
+                  uint8_t* o = (uint8_t*)dst + (size_t)nz * 8;
+                  for (int j = 0; j < 8; j++)
+                    o[j] = (uint8_t)((vals[2 * j] & 15) |
+                                     ((vals[2 * j + 1] & 15) << 4));
+                } else
                   ((int32_t*)dst)[nz] = k * nsb + sy * (n / 4) + sx;
                 nz++;
               }
@@ -3697,7 +3701,7 @@ static int pack_one_key(const PackCtx& c, const PackKeyDesc& kd,
           case PK_REI: case PK_REV: {
             for (int i = 0; i < nn; i++) {
               int v = cf[i];
-              if (v >= -128 && v <= 127) continue;
+              if (v >= -8 && v <= 7) continue;
               if (ne >= kd.E) return -2;
               if (kd.kind == PK_REI)
                 ((int32_t*)dst)[ne] = k * nn + i;
