@@ -75,31 +75,48 @@ def pack_gops(gops, cfg_i, cfg_p):
             np.asarray(osl, np.int32), F)
 
 
-def get_gop_program(cfg, mesh):
+def get_gop_program(cfg, mesh, emit_frames=False):
     """shard_map program: leading axis = GOPs, sharded over mesh axis
-    'g'; per shard: IDR via the intra/skip_mc cfg, then scan the P run."""
+    'g'; per shard: IDR via the intra/skip_mc cfg, then scan the P run.
+    emit_frames: also return every decoded frame's planes as scan ys
+    (uint8/int16) — the consumer API path; the bench keeps stacks-only
+    (slot MD5s)."""
     cfg_i = replace(cfg, skip_mc=True)
     cfg_p = replace(cfg, intra=(), intra_C=0)
     gspec = P("g")
+    odt = jnp.uint8 if cfg.bitdepth == 8 else jnp.int16
 
     def shard_body(dy, dcb, dcr, ty, tc, ti, islot, ts, oslots):
         ti = {k: v[0] for k, v in ti.items()}
         carry = decode_frame_device(dy[0], dcb[0], dcr[0], ty[0], tc[0],
                                     ti, islot[0, 0], cfg_i)
 
+        def grab(c, slot):
+            return (c[0][slot].astype(odt), c[1][slot].astype(odt),
+                    c[2][slot].astype(odt))
+
         def step(c, xs):
             t, slot = xs
-            return decode_frame_device(*c, t, slot, cfg_p), 0
+            c = decode_frame_device(*c, t, slot, cfg_p)
+            return c, (grab(c, slot) if emit_frames else 0)
 
-        carry, _ = jax.lax.scan(step, carry,
-                                ({k: v[0] for k, v in ts.items()},
-                                 oslots[0]))
-        return tuple(x[None] for x in carry)
+        f0 = grab(carry, islot[0, 0]) if emit_frames else None
+        carry, ys = jax.lax.scan(step, carry,
+                                 ({k: v[0] for k, v in ts.items()},
+                                  oslots[0]))
+        out = tuple(x[None] for x in carry)
+        if emit_frames:
+            frames = tuple(
+                jnp.concatenate([a[None], y], axis=0)[None]
+                for a, y in zip(f0, ys))
+            return out + frames
+        return out
 
+    nout = 8 if emit_frames else 5
     kw = dict(mesh=mesh,
               in_specs=(gspec, gspec, gspec, gspec, gspec,
                         gspec, gspec, gspec, gspec),
-              out_specs=(gspec,) * 5)
+              out_specs=(gspec,) * nout)
     try:
         fn = shard_map(shard_body, check_vma=False, **kw)
     except TypeError:  # pre-0.8 jax spelling
@@ -107,7 +124,7 @@ def get_gop_program(cfg, mesh):
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
 
 
-def _shard_args(plans, sps, mesh, use_pallas=False):
+def _shard_args(plans, sps, mesh, use_pallas=False, emit_frames=False):
     from ..frame_program import stream_cfg
     G = mesh.shape["g"]
     gops = split_gop_plans(plans)
@@ -125,7 +142,7 @@ def _shard_args(plans, sps, mesh, use_pallas=False):
     ty1, tc1 = init_tables(cfg)
     ty = jnp.broadcast_to(ty1[None], (G,) + ty1.shape)
     tc = jnp.broadcast_to(tc1[None], (G,) + tc1.shape)
-    prog = get_gop_program(cfg, mesh)
+    prog = get_gop_program(cfg, mesh, emit_frames=emit_frames)
     args = (dy, dcb, dcr, ty, tc,
             {k: jnp.asarray(v) for k, v in ti.items()},
             jnp.asarray(islots)[:, None],
@@ -142,11 +159,14 @@ def lower_sharded_for_census(plans, sps, mesh, use_pallas=False):
     return prog.lower(*args)
 
 
-def decode_gops_sharded(plans, sps, mesh, use_pallas=False):
+def decode_gops_sharded(plans, sps, mesh, use_pallas=False,
+                        emit_frames=False):
     """Decode a closed-GOP stream with one GOP per mesh device. Returns
     {frame_id: (slot, gop_idx)} plus the final device stacks (G, R, H, W)
-    for MD5 verification/download."""
-    prog, args, gops = _shard_args(plans, sps, mesh, use_pallas)
+    for MD5 verification/download; with emit_frames, out[5:8] carry
+    every decoded frame's planes (G, F, H, W) in per-GOP decode order."""
+    prog, args, gops = _shard_args(plans, sps, mesh, use_pallas,
+                                   emit_frames=emit_frames)
     out = prog(*args)
     # frame -> (gop, slot) map for verification (last write per slot)
     where = {}

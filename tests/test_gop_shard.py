@@ -47,3 +47,29 @@ def test_gop_shard_bitexact():
         assert got == want, f"gop {gi} slot {slot} (frame {i})"
         checked += 1
     assert checked >= 40, checked
+
+
+def test_decode_gop_device_api():
+    """End-to-end consumer API: native FE parse + GOP-sharded device
+    program with per-frame emission, batched over GOP chunks when the
+    stream has more GOPs than mesh devices. Every frame MD5-checked."""
+    import hashlib
+    import json
+    import os
+    import numpy as np
+    from libde265_tpu.parallel.gop_parallel import decode_gop_device
+    DATA = os.path.join(os.path.dirname(__file__), "data")
+    path = os.path.join(DATA, "gop1080p.bin")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("bench stream not generated")
+    man = json.load(open(os.path.join(DATA, "manifest_big.json")))["gop1080p"]
+    frames = decode_gop_device(open(path, "rb").read())
+    assert len(frames) == man["frames"]
+    W, H = man["w"], man["h"]
+    for i, (poc, yuv) in enumerate(frames):
+        y = yuv[:W * H]
+        u = yuv[W * H:W * H + W * H // 4]
+        v = yuv[W * H + W * H // 4:]
+        for pl, k in zip((y, u, v), ("y", "u", "v")):
+            assert hashlib.md5(pl).hexdigest() == man["md5"][i][k], (i, k)

@@ -51,6 +51,68 @@ def _parse(name):
     return NativeFrontend().parse(data, spss, ppss)
 
 
+def scale_child(ndev):
+    """Weak-scaling probe: decode `ndev` GOPs on an `ndev`-device CPU
+    mesh, pinned (by the parent's taskset) to `ndev` host cores — one
+    core per virtual device, the honest stand-in for one chip/host per
+    GOP. Prints the second (compile-warm) wall time."""
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={ndev} "
+        + os.environ.get("XLA_FLAGS", ""))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+    except Exception:
+        pass
+    import numpy as np
+    from jax.sharding import Mesh
+    from libde265_tpu.parallel import gop_shard
+    plans = _parse("gop1080p")
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("g",))
+    # time the device program only (host pack is the FE axis, measured
+    # by FRONTEND.json / the pipelined bench; the scaling claim is
+    # about device frames/s per added chip)
+    prog, args, gops = gop_shard._shard_args(plans, plans[0].sps, mesh)
+    for rep in range(2):
+        t0 = time.time()
+        out = prog(*args) if rep == 0 else prog(*out[:5], *args[5:])
+        np.asarray(out[0])
+        wall = time.time() - t0
+    nf = sum(len(g) for g in gops)
+    print(json.dumps({"ndev": ndev, "wall_s": round(wall, 2),
+                      "frames": nf}))
+
+
+def run_scaling():
+    """Parent: taskset-pinned children for n=1/2/4; weak-scaling
+    efficiency = T(1)/T(n) with cores proportional to devices."""
+    import subprocess
+    res = {}
+    for n in (1, 2, 4):
+        cores = ",".join(str(c) for c in range(n))
+        p = subprocess.run(
+            ["taskset", "-c", cores, sys.executable, __file__,
+             "--scale-child", str(n)],
+            capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(p.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"scale child n={n} failed")
+        res[n] = json.loads(line[-1])
+    t1 = res[1]["wall_s"]
+    return {
+        "scaling_wall_s": {str(n): res[n]["wall_s"] for n in res},
+        "scaling_frames": {str(n): res[n]["frames"] for n in res},
+        "scaling_efficiency": {
+            str(n): round(t1 / res[n]["wall_s"], 3) for n in (2, 4)},
+        "scaling_note": "weak scaling, n GOPs on n single-core virtual "
+                        "devices (taskset 1 core/device): efficiency = "
+                        "T(1)/T(n); >=0.8 is the BASELINE.md north star",
+    }
+
+
 def main():
     import jax
     try:
@@ -136,6 +198,21 @@ def main():
                 "input bits and output frames cross DCN "
                 "(parallel/gop_shard.py)",
     }
+    # ---- 3. weak-scaling efficiency on taskset-pinned virtual devices
+    try:
+        out.update(run_scaling())
+    except Exception as e:          # pragma: no cover - env-dependent
+        out["scaling_error"] = str(e)
+    # ---- 4. same-machine threaded dec265 comparison (REFCOMP.json)
+    try:
+        ref = json.load(open(os.path.join(REPO, "REFCOMP.json")))
+        row = ref.get("streams", {}).get(stream, {})
+        if "dec265_t4_fps" in row:
+            out["dec265_t4_fps"] = row["dec265_t4_fps"]
+            out["sustained_vs_dec265_t4"] = round(
+                fps / row["dec265_t4_fps"], 2)
+    except Exception:
+        pass
     print(json.dumps(out))
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
@@ -143,4 +220,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale-child" in sys.argv:
+        scale_child(int(sys.argv[sys.argv.index("--scale-child") + 1]))
+    else:
+        main()
