@@ -9,12 +9,15 @@ per-CTB threaded decode loop (decctx.cc:700-789, slice.cc:4664-4830): the
 frame's whole dataflow graph is static, so XLA replaces the progress-lock
 protocol entirely.
 
-The fused path covers intra (band-scan kernel), PCM, transform-skip,
-tq-bypass, scaling lists, 8/10/12-bit and every chroma format; the one
-remaining exclusion is PCM inside 4:2:2/4:4:4 frames (see
-frame_compatible), which decodes through the round-1 hybrid device path
-with its pixels inserted into the device DPB stack, so mixed streams stay
-bit-exact end to end (tests/test_frame_program.py vs golden MD5).
+The fused path covers intra (band-scan kernel), PCM (all chroma
+formats, round 5), transform-skip, tq-bypass, scaling lists, 8/10/12-bit
+and every chroma format. Frames that exercise a range-extension residual
+tool (cross-component prediction, RDPCM, transform-skip rotation,
+disabled intra smoothing, TU-level chroma QP offsets) fall back per
+FRAME — see frame_compatible / frame_uses_rext_tools — to the hybrid or
+reference recon with their pixels inserted into the device DPB stack, so
+mixed streams stay bit-exact end to end (tests/test_frame_program.py,
+tests/test_rext_tools.py vs golden MD5).
 """
 import os
 from dataclasses import dataclass
@@ -197,9 +200,6 @@ def frame_compatible(plan):
             return False          # fused border smoothing is mode-driven
     if getattr(plan.pps, "chroma_qp_offset_list_enabled_flag", 0):
         return False              # TU-level chroma QP offsets vary tu.qp
-    if plan.sps.ChromaArrayType != 1 and tu_meta.shape[0] \
-            and (tu_meta[:, 0] == -1).any():
-        return False              # PCM paste layout is 4:2:0-only (yet)
     return True
 
 
@@ -800,41 +800,62 @@ def _pack_residual_buckets(t, plan, cfg, real_slots):
 
 
 def _pack_pcm(t, plan, cfg):
-    """PCM sample buckets: per coded log2, (Kp, n*n) luma + (Kp, n*n/2)
+    """PCM sample buckets: per coded log2, (Kp, n*n) luma + (Kp, 2*csz)
     interleaved [Cb|Cr] samples and CEIL-lattice slot rows (dump row for
-    padding), scattered onto the zeroed PCM regions on device."""
+    padding), scattered onto the zeroed PCM regions on device.
+
+    Chroma geometry is per-axis (read_pcm_samples, slice.cc:4144-4215):
+    4:2:0 one (n/2, n/2) square per block, 4:4:4 one (n, n), 4:2:2 a
+    TALL (n, n/2) rect shipped as TWO stacked squares (two slot rows per
+    block — the square scatter lattice stays); monochrome ships none."""
     tu_meta, _, pcm_pool = plan._tu_arrays
     dt = np.uint8 if cfg.bitdepth <= 8 else np.int16
+    cat = cfg.chroma_fmt
+    subw = 2 if cat in (1, 2) else 1
+    subh = 2 if cat == 1 else 1
     sel_all = tu_meta[:, 0] == -1 if tu_meta.shape[0] else \
         np.zeros(0, bool)
     for (log2, Kp) in cfg.pcm:
         n = 1 << log2
         nn = n * n
+        cw, chh = (n // subw, n // subh) if cat else (0, 0)
+        csz = cw * chh
         m = sel_all & (tu_meta[:, 3] == log2) if tu_meta.shape[0] else \
             np.zeros(0, bool)
         rows = tu_meta[m]
         k = rows.shape[0]
         assert k <= Kp, (log2, k, Kp)
         py = np.zeros((Kp, nn), dt)
-        pc = np.zeros((Kp, nn // 2), dt)
         if k:
             gi = rows[:, 9][:, None] + np.arange(nn)[None, :]
             py[:k] = pcm_pool[gi]
-            gc = rows[:, 9][:, None] + nn + np.arange(nn // 2)[None, :]
-            pc[:k] = pcm_pool[gc]
         ncols = -(-cfg.W // n)
         nslots = -(-cfg.H // n) * ncols
         slots = np.full(Kp, nslots, np.int32)
-        ncols_c = -(-(cfg.W // 2) // (n // 2))
-        nslots_c = -(-(cfg.H // 2) // (n // 2)) * ncols_c
-        slots_c = np.full(Kp, nslots_c, np.int32)
         if k:
             slots[:k] = (rows[:, 2] >> log2) * ncols + (rows[:, 1] >> log2)
-            slots_c[:k] = ((rows[:, 2] >> 1) >> (log2 - 1)) * ncols_c + \
-                ((rows[:, 1] >> 1) >> (log2 - 1))
         t[f"py_{log2}"] = py
-        t[f"pc_{log2}"] = pc
         t[f"ps_{log2}"] = slots
+        if not cat:
+            continue
+        pc = np.zeros((Kp, 2 * csz), dt)
+        if k:
+            gc = rows[:, 9][:, None] + nn + np.arange(2 * csz)[None, :]
+            pc[:k] = pcm_pool[gc]
+        s = n // 2 if cat == 2 else cw            # square side
+        nsq = 2 if cat == 2 else 1
+        ncols_c = -(-(cfg.W // subw) // s)
+        nslots_c = -(-(cfg.H // subh) // s) * ncols_c
+        slots_c = np.full(Kp * nsq, nslots_c, np.int32)
+        if k:
+            cx = rows[:, 1] // subw
+            cy = rows[:, 2] // subh
+            if cat == 2:
+                slots_c[0:2 * k:2] = (cy // s) * ncols_c + cx // s
+                slots_c[1:2 * k:2] = (cy // s + 1) * ncols_c + cx // s
+            else:
+                slots_c[:k] = (cy // s) * ncols_c + cx // s
+        t[f"pc_{log2}"] = pc
         t[f"psc_{log2}"] = slots_c
     return t
 
@@ -1105,19 +1126,34 @@ def _finish_frame(dy, dcb, dcr, ty, tc, t, out_slot, cfg, stages,
     # The pm grid masked MC out of PCM regions and no TU scatters there,
     # so the add-scatter lands on zeros == an overwrite.
     if cfg.pcm and "res" in stages:
+        cat = cfg.chroma_fmt
+        subw = 2 if cat in (1, 2) else 1
         for (log2, Kp) in cfg.pcm:
             n = 1 << log2
             nn = n * n
             Y = _scatter_residual_slots(
                 Y, t[f"py_{log2}"].astype(jnp.int32).reshape(Kp, n, n),
                 t[f"ps_{log2}"], log2, maxv)
+            if not cat:
+                continue
             pc = t[f"pc_{log2}"].astype(jnp.int32)
+            csz = pc.shape[1] // 2
+            if cat == 2:
+                # 4:2:2 tall (n, n/2) blocks scatter as 2 stacked
+                # squares (psc carries 2 slot rows per block)
+                s = n // 2
+                def sq(a):
+                    return a.reshape(Kp * 2, s, s)
+                lg = log2 - 1
+            else:
+                s = n // subw
+                def sq(a):
+                    return a.reshape(Kp, s, s)
+                lg = log2 - 1 if cat == 1 else log2
             Cb = _scatter_residual_slots(
-                Cb, pc[:, :nn // 4].reshape(Kp, n // 2, n // 2),
-                t[f"psc_{log2}"], log2 - 1, maxv)
+                Cb, sq(pc[:, :csz]), t[f"psc_{log2}"], lg, maxv)
             Cr = _scatter_residual_slots(
-                Cr, pc[:, nn // 4:].reshape(Kp, n // 2, n // 2),
-                t[f"psc_{log2}"], log2 - 1, maxv)
+                Cr, sq(pc[:, csz:]), t[f"psc_{log2}"], lg, maxv)
 
     # ---- fused intra wavefront (reads post-inter-residual neighbors,
     # exactly the reference's in-loop order: decode_TU slice.cc:3424)

@@ -103,6 +103,25 @@ CASES = {
         inter_mode="mixed", inter_residual=True, wpp=True,
         num_slices=2, dependent_slices=True, sao=True,
         disable_deblocking=False)),
+    # PCM inside rext chroma formats: the fused paste geometry is
+    # per-axis (4:2:2 tall blocks scatter as two stacked squares,
+    # 4:4:4 full-size) — round-5's last frame_compatible exclusion
+    # (read_pcm_samples slice.cc:4144-4215)
+    "adv_pcm_422": (3, dict(
+        width=104, height=72, qp=29, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, chroma_format=2,
+        pcm=True, intra_period=2, sao=True,
+        disable_deblocking=False)),
+    "adv_pcm_444": (3, dict(
+        width=96, height=64, qp=29, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, chroma_format=3,
+        pcm=True, intra_period=2, sao=True,
+        disable_deblocking=False)),
+    "adv_pcm_mono": (3, dict(
+        width=104, height=72, qp=29, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, chroma_format=0,
+        pcm=True, intra_period=2, sao=True,
+        disable_deblocking=False)),
     "adv_cra_scaling_10b_amp": (5, dict(
         width=104, height=72, qp=30, log2_ctb=5, cu_log2=4,
         inter_mode="mixed", inter_residual=True, bit_depth=10,
