@@ -128,6 +128,45 @@ CASES = {
         use_cra=True, intra_period=3, scaling_lists=True, amp=True,
         temporal_mvp=True, num_ref_l0=2, sao=True,
         disable_deblocking=False)),
+    # round-5 rext residual tools crossed with the parallel structures
+    # (WPP ctx snapshots must carry StatCoeff, tiles re-init it, CCP
+    # meets tile boundaries, TU chroma QP offsets meet the qp
+    # predictor) — slice.cc:2937-3376, 3530-3635
+    # (persistent Rice x WPP/dep-slices is intentionally not minted:
+    # the reference leaves StatCoeff uninitialized across its WPP
+    # thread contexts, so dec265 is not a well-defined oracle there —
+    # encoder.py:248-253. Tiles re-init CABAC per tile: well-defined.)
+    "adv_rice_tiles": (4, dict(
+        width=104, height=72, qp=26, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, transform_skip=True,
+        persistent_rice=True, tiles=(2, 1), sao=True,
+        disable_deblocking=False)),
+    "adv_ccp_tiles_444": (3, dict(
+        width=96, height=64, qp=29, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, chroma_format=3,
+        cross_comp_pred=True, tiles=(2, 1), sao=True,
+        disable_deblocking=False)),
+    "adv_erdpcm_dep": (4, dict(
+        width=104, height=72, qp=29, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, tq_bypass=True,
+        explicit_rdpcm=True, num_slices=2, dependent_slices=True,
+        sao=True, disable_deblocking=False)),
+    "adv_cqo_tiles": (4, dict(
+        width=104, height=72, qp=29, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True,
+        chroma_qp_offset_list=((4, -4), (-3, 3)), tiles=(2, 1),
+        sao=True, disable_deblocking=False)),
+    "adv_rot_tsctx_wpp": (4, dict(
+        width=104, height=72, qp=28, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, transform_skip=True,
+        tskip_rotation=True, transform_skip_context=True,
+        implicit_rdpcm=True, wpp=True, sao=True,
+        disable_deblocking=False)),
+    "adv_rice_12b_444": (3, dict(
+        width=96, height=64, qp=26, log2_ctb=5, cu_log2=4,
+        inter_mode="mixed", inter_residual=True, bit_depth=12,
+        chroma_format=3, transform_skip=True, persistent_rice=True,
+        sao=True, disable_deblocking=False)),
 }
 
 

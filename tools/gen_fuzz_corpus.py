@@ -21,7 +21,12 @@ SOURCES = ["intra_64x64_q27", "intra_104x72_q26", "lowdelay_cif_q28",
            # interactions under mutation
            "adv_wpp_dep10_scaling", "adv_tiles_lossless",
            "adv_ltr_tsa_scaling", "adv_422_tiles_tskip",
-           "adv_dep_pcm_strong"]
+           "adv_dep_pcm_strong",
+           # round-5 syntax: rext residual tools (CCP, RDPCM, rotation,
+           # persistent Rice, TU chroma QP offsets) + PCM in rext
+           # chroma formats — mutations over the new parse paths
+           "rxt_kitchen", "rxt_ccp_444", "rxt_erdpcm_rot_tsctx",
+           "rxt_rice", "rxt_cqo", "adv_pcm_422", "adv_pcm_444"]
 
 
 def main():
