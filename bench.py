@@ -414,19 +414,16 @@ def main():
         wviews.clear()
         import gc
         gc.collect()
-        from multiprocessing import resource_tracker
         for s in wshms:
             try:
                 s.close()
             except BufferError:
                 pass
-            try:
-                # attaching registers with the resource tracker too
-                # (CPython<3.13); the creator unlinks, we must only
-                # unregister or the exit hook reports phantom leaks
-                resource_tracker.unregister(s._name, "shared_memory")
-            except Exception:
-                pass
+            # no explicit resource_tracker.unregister here: spawn
+            # children share the parent's tracker process, so the
+            # worker's unlink already removes the name — a second
+            # remove raced it and made the tracker print KeyError
+            # tracebacks into the artifact tail
         for p in procs:
             p.join(timeout=30)
         return done / dt

@@ -201,7 +201,8 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             # is either availability-masked or hits a zero W row
             tmp[1:2, 0:BH] = lc[:, 0:1].reshape(1, BH)
             col = pltpu.roll(tmp[1:2, :], -yin, axis=1)
-            lrev = _reverse_prefix(col, lane, c2)
+            lrev = col if "norev" in ablate else \
+                _reverse_prefix(col, lane, c2)
             tseg = pltpu.roll(top, c2, axis=1)
             ref = jnp.where(lane < c2, lrev, tseg)
             if "noasm" in ablate:
@@ -232,7 +233,7 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
                     ref = jax.lax.cond(hole != 0, _slow, _fast, ref)
             # ---- smoothing (8.4.4.2.3)
             fflag = fflag_b
-            if n >= 8:
+            if n >= 8 and "nosmooth" not in ablate:
                 f121 = (pltpu.roll(ref, 1, axis=1) + 2 * ref
                         + pltpu.roll(ref, 255, axis=1) + 2) >> 2
                 f121 = jnp.where((lane == 0) | (lane == L - 1), ref,
@@ -265,7 +266,7 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             isdc = mode == 1
             is26 = mode == 26
             is10 = mode == 10
-            fix = luma and n < 32
+            fix = luma and n < 32 and "nofix" not in ablate
             corner = ref[:, c2:c2 + 1]
             top0 = ref[:, c2 + 1:c2 + 2]
             left0 = ref[:, c2 - 1:c2]
@@ -285,8 +286,11 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             else:
                 dc = jnp.zeros((), jnp.int32)
             # ---- residual + clip
-            resv = resrow[pl.ds(rg % 8, 1), :]
-            out = jnp.clip(pred + resv[:, :nsq], 0, maxv)   # (1,nsq)
+            if "nores" in ablate:
+                out = jnp.clip(pred, 0, maxv)
+            else:
+                resv = resrow[pl.ds(rg % 8, 1), :]
+                out = jnp.clip(pred + resv[:, :nsq], 0, maxv)   # (1,nsq)
             # ---- place the flat row-major block into n VMEM rows with
             # ONE MXU dot against a 0/1 matrix (the per-row roll/blend
             # loop this replaces was 75% of the kernel in ablation);
