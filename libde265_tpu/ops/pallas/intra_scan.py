@@ -286,10 +286,10 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             else:
                 dc = jnp.zeros((), jnp.int32)
             # ---- residual + clip
+            resv = resrow[pl.ds(rg % 8, 1), :]
             if "nores" in ablate:
                 out = jnp.clip(pred, 0, maxv)
             else:
-                resv = resrow[pl.ds(rg % 8, 1), :]
                 out = jnp.clip(pred + resv[:, :nsq], 0, maxv)   # (1,nsq)
             # ---- place the flat row-major block into n VMEM rows with
             # ONE MXU dot against a 0/1 matrix (the per-row roll/blend

@@ -237,12 +237,18 @@ def reconstruct_frame(plan: FramePlan, dpb_images=None):
     plan.planes = planes
     # Loop filters: gate per-frame on *any* slice enabling the filter; the
     # per-CTB slice-header lookup inside the filters handles mixed flags
-    # (reference: per-CTB lookup, deblock.cc:1020-1058)
+    # (reference: per-CTB lookup, deblock.cc:1020-1058). The debug
+    # kill-switches mirror dec265 --disable-deblocking/--disable-sao
+    # (dec265.cc:598-609).
+    import os
     shs = plan.slice_headers or []
-    if any(not sh.slice_deblocking_filter_disabled_flag for sh in shs):
+    if os.environ.get("DE265_DISABLE_DEBLOCK", "0") == "0" and \
+            any(not sh.slice_deblocking_filter_disabled_flag for sh in shs):
         from .ops.deblock_ref import deblock_frame
         deblock_frame(plan, planes)
-    if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag for sh in shs):
+    if os.environ.get("DE265_DISABLE_SAO", "0") == "0" and \
+            any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
+                for sh in shs):
         from .ops.sao_ref import sao_frame
         planes = sao_frame(plan, planes)
         plan.planes = planes

@@ -33,7 +33,18 @@ def main():
     ap.add_argument("-F", "--framerate-ratio", type=int, default=None,
                     help="decode only this percent of the frame rate "
                          "(drops highest temporal layers)")
+    ap.add_argument("--disable-deblocking", action="store_true",
+                    help="debug: skip the deblocking filter "
+                         "(reference dec265.cc:598-609)")
+    ap.add_argument("--disable-sao", action="store_true",
+                    help="debug: skip the SAO filter")
     args = ap.parse_args()
+    if args.disable_deblocking:
+        os.environ["DE265_DISABLE_DEBLOCK"] = "1"
+        args.native = False      # filter kill-switch lives in the
+    if args.disable_sao:         # reference recon path
+        os.environ["DE265_DISABLE_SAO"] = "1"
+        args.native = False
     if (args.highest_tid is not None or args.framerate_ratio is not None):
         args.native = False  # temporal gating runs in the Python decoder
 
