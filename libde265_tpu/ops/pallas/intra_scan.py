@@ -262,29 +262,10 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             else:
                 wsl = wref[pl.ds(mode * Lp, Lp), :]
                 pred = (_wdot(ref[0:1, :Lp], wsl, bd) + 8224) >> 6
-            # ---- boundary fixups (luma n<32): row 0 vector forms
             isdc = mode == 1
             is26 = mode == 26
             is10 = mode == 10
             fix = luma and n < 32 and "nofix" not in ablate
-            corner = ref[:, c2:c2 + 1]
-            top0 = ref[:, c2 + 1:c2 + 2]
-            left0 = ref[:, c2 - 1:c2]
-            if fix:                                     # nsq <= 256 here
-                mleft = (lane >= c2 - n) & (lane < c2)
-                mtop = (lane > c2) & (lane <= c2 + n)
-                dc = (jnp.sum(jnp.where(mleft | mtop, ref, 0)) + n) \
-                    >> (log2 + 1)
-                tf = pltpu.roll(ref, 256 - (c2 + 1), axis=1)  # k=top[k]
-                lane_o = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, nsq), 1) if nsq != 256 else lane
-                dcrow = (tf + 3 * dc + 2) >> 2
-                r10 = jnp.clip(left0 + ((tf - corner) >> 1), 0, maxv)
-                row0 = jnp.where(isdc, dcrow, r10)[:, :nsq]
-                pred = jnp.where((isdc | is10) & (lane_o < n), row0,
-                                 pred)
-            else:
-                dc = jnp.zeros((), jnp.int32)
             # ---- residual + clip
             resv = resrow[pl.ds(rg % 8, 1), :]
             if "nores" in ablate:
@@ -299,38 +280,59 @@ def build_scan(classes, BH, C, NB, K, planes, bd, strong, luma, RW,
             blk = _wdot(out, pref[...], bd)
             lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, n * 128), 1)
             blk = (blk + 128 * ((lane128 % 128) < n)).reshape(n, 128)
+            tmp3[0:n, 0:128] = blk
             if fix:
-                # column-0 fixups vectorized over rows: left column via
-                # prefix reversal + transpose; residual column via the
-                # select dot (exact hi/lo int8 split)
-                lv = pltpu.roll(ref, 256 - (c2 - n), axis=1)
-                lv = _reverse_prefix(lv, lane, n)   # lane k = left[k]
-                lcol = lv[0:1, :n].reshape(n, 1)
-                r_ = resv[:, :nsq]
-                hi8 = (r_ >> 8).astype(jnp.int8)
-                lo8 = ((r_ & 255) - 128).astype(jnp.int8)
-                rc = (256 * jax.lax.dot_general(
-                          hi8, sref[...], dims,
-                          preferred_element_type=jnp.int32)
-                      + jax.lax.dot_general(
-                          lo8, sref[...], dims,
-                          preferred_element_type=jnp.int32) + 128)
-                rcol = rc[0:1, :n].reshape(n, 1)
-                cv = jnp.where(
-                    is26,
-                    jnp.clip(top0 + ((lcol - corner) >> 1), 0, maxv),
-                    (lcol + 3 * dc + 2) >> 2)
-                rown = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-                cv = jnp.where(isdc & (rown == 0),
-                               (left0 + 2 * dc + top0 + 2) >> 2, cv)
-                cv = jnp.clip(cv + rcol, 0, maxv)
-                collane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
-                blk = jnp.where((isdc | is26) & (collane == 0), cv, blk)
+                # ---- boundary fixups (luma n<32), patched into the
+                # staged block UNDER pl.when: only DC/10/26 TUs pay the
+                # ~0.5 us of dc-sum + reversal + select dots (round-5;
+                # the unconditional form charged every TU)
+                @pl.when(isdc | is26 | is10)
+                def _():
+                    corner = ref[:, c2:c2 + 1]
+                    top0 = ref[:, c2 + 1:c2 + 2]
+                    left0 = ref[:, c2 - 1:c2]
+                    mleft = (lane >= c2 - n) & (lane < c2)
+                    mtop = (lane > c2) & (lane <= c2 + n)
+                    dc = (jnp.sum(jnp.where(mleft | mtop, ref, 0)) + n) \
+                        >> (log2 + 1)
+                    tf = pltpu.roll(ref, 256 - (c2 + 1), axis=1)
+                    dcrow = (tf + 3 * dc + 2) >> 2
+                    r10 = jnp.clip(left0 + ((tf - corner) >> 1), 0, maxv)
+                    row0 = jnp.where(isdc, dcrow, r10)[:, :nsq]
+                    out0 = jnp.clip(row0 + resv[:, :nsq], 0, maxv)
+                    cur0 = tmp3[0:1, 0:n]
+                    tmp3[0:1, 0:n] = jnp.where(isdc | is10,
+                                               out0[:, :n], cur0)
+                    # column-0 fixups vectorized over rows: left column
+                    # via prefix reversal + transpose; residual column
+                    # via the select dot (exact hi/lo int8 split)
+                    lv = pltpu.roll(ref, 256 - (c2 - n), axis=1)
+                    lv = _reverse_prefix(lv, lane, n)  # lane k = left[k]
+                    lcol = lv[0:1, :n].reshape(n, 1)
+                    r_ = resv[:, :nsq]
+                    hi8 = (r_ >> 8).astype(jnp.int8)
+                    lo8 = ((r_ & 255) - 128).astype(jnp.int8)
+                    rc = (256 * jax.lax.dot_general(
+                              hi8, sref[...], dims,
+                              preferred_element_type=jnp.int32)
+                          + jax.lax.dot_general(
+                              lo8, sref[...], dims,
+                              preferred_element_type=jnp.int32) + 128)
+                    rcol = rc[0:1, :n].reshape(n, 1)
+                    cv = jnp.where(
+                        is26,
+                        jnp.clip(top0 + ((lcol - corner) >> 1), 0, maxv),
+                        (lcol + 3 * dc + 2) >> 2)
+                    rown = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                    cv = jnp.where(isdc & (rown == 0),
+                                   (left0 + 2 * dc + top0 + 2) >> 2, cv)
+                    cv = jnp.clip(cv + rcol, 0, maxv)
+                    curc = tmp3[0:n, 0:1]
+                    tmp3[0:n, 0:1] = jnp.where(isdc | is26, cv, curc)
             # ---- strip RMW: stage, roll to lane offset, blend 2 tiles
             ox = x % 128
             cx = x // 128
             cx1 = jnp.minimum(cx + 1, C - 1)
-            tmp3[0:n, 0:128] = blk
             rolled = pltpu.roll(tmp3[0:n, :], ox, axis=1)   # (n,256)
             m = (lane >= ox) & (lane < ox + n)
             if "noscat" in ablate:
