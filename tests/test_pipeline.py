@@ -60,11 +60,13 @@ def test_pipelined_falls_back_on_hybrid_streams():
     and still produce golden output."""
     from libde265_tpu.device_stream import (DeviceStreamDecoder,
                                             PipelineUnsupported)
-    name = "rext_422_pcm"      # PCM-in-rext: the remaining hybrid case
+    # PCM-in-rext runs fused since round 5; cross-component prediction
+    # is the remaining per-frame fallback (frame_uses_rext_tools)
+    name = "rxt_ccp_444"
     path = os.path.join(DATA, name + ".bin")
     if not os.path.exists(path):
-        pytest.skip("rext vector absent")
-    with open(os.path.join(DATA, "manifest_rext.json")) as f:
+        pytest.skip("rext-tools vector absent")
+    with open(os.path.join(DATA, "manifest_rext_tools.json")) as f:
         man = json.load(f)[name]
     plans = _parse(path)
     dec = DeviceStreamDecoder(plans, plans[0].sps)
