@@ -475,6 +475,18 @@ def main():
             float(v.ravel()[0])
     up_mbps = 2 * nbytes / (time.time() - t0) / 1e6
     baseline = 36.0
+    # same-machine threaded dec265 comparison for THIS stream
+    # (REFCOMP.json; VERDICT r4 #2's honest e2e row)
+    extra = {}
+    try:
+        ref = json.load(open(os.path.join(REPO, "REFCOMP.json")))
+        row = ref.get("streams", {}).get(STREAM, {})
+        if "dec265_t4_fps" in row:
+            extra["dec265_t4_fps"] = row["dec265_t4_fps"]
+            extra["sustained_vs_dec265_t4"] = round(
+                sustained / row["dec265_t4_fps"], 2)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "tpu_4k_e2e_decode_fps",
         "stream": STREAM,
@@ -495,6 +507,7 @@ def main():
         "upload_mb_per_frame": round(nbytes / nfr / 1e6, 1),
         "link_mbps": round(up_mbps, 1),
         "frames_timed": n_done,
+        **extra,
     }))
 
 
